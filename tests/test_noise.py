@@ -47,7 +47,7 @@ def test_step_999_is_nearly_pure_noise():
 
 def test_step_0_is_nearly_identity():
     a, b = diffusion_schedule()
-    assert a[0] > 0.99999 and b[0] < 0.005
+    assert a[0] > 0.9999 and b[0] < 0.005
 
 
 def test_traced_noise_step_no_recompile():
