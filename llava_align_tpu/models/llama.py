@@ -1,0 +1,189 @@
+"""LLaMA decoder in pure functional JAX.
+
+Capability parity target: the HF LlamaForCausalLM backbone that LLaVA wraps
+(reference experiments/llava/model/language_model/llava_llama.py:43-128).
+TPU-first design choices:
+
+  * layer weights are stacked on a leading [num_layers, ...] axis and the
+    layer stack runs under `lax.scan` — one compiled layer body, fast compiles,
+    clean pjit sharding of the stacked axis-1/2 dims;
+  * the KV cache is a single [L, B, Smax, K, Dh] array pair holding ALL decode
+    branches on the batch axis (the reference keeps 2-3 independent python-side
+    caches and runs sequential forwards, vcd_utils/vcd_sample.py:109-185);
+  * per-row cache offsets let branches of different true lengths (the VDD
+    'none' branch is ~576 tokens shorter) share one static-shape cache;
+  * attention softmax/logits accumulate in fp32; weights/activations bf16.
+
+Param tree (all linear kernels stored [in, out]):
+    embed:      [V, D]
+    layers/attn_norm  [L, D]
+    layers/{q,k,v,o}  [L, D, H*Dh] / [L, D, K*Dh] x2 / [L, H*Dh, D]
+    layers/mlp_norm   [L, D]
+    layers/{gate,up,down} [L, D, F] x2 / [L, F, D]
+    final_norm: [D]
+    lm_head:    [D, V]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llava_align_tpu.config import LlamaConfig
+from llava_align_tpu.ops.attention import causal_attention, decode_attention
+from llava_align_tpu.ops.layers import apply_rope, rms_norm, rope_cos_sin, silu
+
+Params = Dict[str, Any]
+KVCache = Dict[str, jax.Array]
+
+
+def init(rng: jax.Array, cfg: LlamaConfig) -> Params:
+    """Random init (tests / benchmarks; real weights come from hf_convert)."""
+    ks = jax.random.split(rng, 12)
+    D, F, L, V = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
+    QD, KD = cfg.q_dim, cfg.kv_dim
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) / (fan_in**0.5)).astype(cfg.dtype)
+
+    return {
+        "embed": w(ks[0], (V, D), D),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), cfg.dtype),
+            "q": w(ks[1], (L, D, QD), D),
+            "k": w(ks[2], (L, D, KD), D),
+            "v": w(ks[3], (L, D, KD), D),
+            "o": w(ks[4], (L, QD, D), QD),
+            "mlp_norm": jnp.ones((L, D), cfg.dtype),
+            "gate": w(ks[5], (L, D, F), D),
+            "up": w(ks[6], (L, D, F), D),
+            "down": w(ks[7], (L, F, D), F),
+        },
+        "final_norm": jnp.ones((D,), cfg.dtype),
+        "lm_head": w(ks[8], (D, V), D),
+    }
+
+
+def init_cache(
+    cfg: LlamaConfig, batch: int, max_len: int, dtype: Optional[jnp.dtype] = None
+) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
+    """token_ids [...] int32 → embeddings [..., D]. Ids are clipped to the
+    vocab so sentinel ids (IMAGE_TOKEN_INDEX=-200) are safe — the caller
+    overwrites those positions with image features anyway."""
+    V = params["embed"].shape[0]
+    safe = jnp.clip(token_ids, 0, V - 1)
+    return params["embed"][safe]
+
+
+def _write_cache(cache_slice: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array:
+    """Write new [B, S, K, Dh] into cache_slice [B, Smax, K, Dh] at per-row
+    offsets [B] (each branch appends at its own true length)."""
+
+    def one(row_cache, row_new, off):
+        return jax.lax.dynamic_update_slice(row_cache, row_new, (off, 0, 0))
+
+    return jax.vmap(one)(cache_slice, new, offsets)
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    embeds: jax.Array,
+    positions: jax.Array,
+    cache: Optional[KVCache] = None,
+    cache_offset: Optional[jax.Array] = None,
+    *,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder stack.
+
+    embeds       [B, S, D]   (token or spliced multimodal embeddings)
+    positions    [B, S]      absolute RoPE positions
+    cache        optional KV cache to read/extend
+    cache_offset [B] int32   where this block starts in the cache. Prefill
+                 requires offset == 0 (fresh cache, causal within the block);
+                 decode uses S == 1 at the per-row current length.
+
+    Returns (hidden [B, S, D] after final norm, updated cache).
+    """
+    B, S, D = embeds.shape
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    if cache_offset is None:
+        cache_offset = jnp.zeros((B,), jnp.int32)
+
+    is_decode = cache is not None and S == 1
+
+    def layer_fn(x, layer_in):
+        lp, k_slice, v_slice = layer_in
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q = (h @ lp["q"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = (h @ lp["k"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = (h @ lp["v"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache is not None:
+            k_slice = _write_cache(k_slice, k, cache_offset)
+            v_slice = _write_cache(v_slice, v, cache_offset)
+
+        if is_decode:
+            attn = decode_attention(q, k_slice, v_slice, cache_offset)
+        else:
+            attn = causal_attention(q, k, v, impl=attn_impl)
+
+        x = x + attn.reshape(B, S, cfg.q_dim) @ lp["o"]
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + (silu(h @ lp["gate"]) * (h @ lp["up"])) @ lp["down"]
+        return x, (k_slice, v_slice)
+
+    if cache is not None:
+        xs = (params["layers"], cache["k"], cache["v"])
+    else:
+        L = cfg.num_layers
+        dummy = jnp.zeros((L, 0), embeds.dtype)
+        xs = (params["layers"], dummy, dummy)
+
+    def scan_body(x, layer_in):
+        if cache is None:
+            lp, _, _ = layer_in
+            x, _ = layer_fn(x, (lp, None, None))
+            return x, None
+        x, kv = layer_fn(x, layer_in)
+        return x, kv
+
+    x, kv_out = jax.lax.scan(scan_body, embeds, xs)
+    hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    new_cache = {"k": kv_out[0], "v": kv_out[1]} if cache is not None else None
+    return hidden, new_cache
+
+
+def logits_from_hidden(params: Params, hidden: jax.Array) -> jax.Array:
+    """lm_head in fp32 (parity-critical; SURVEY §7 hard part 1)."""
+    return jnp.dot(
+        hidden.astype(jnp.float32),
+        params["lm_head"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def last_token_logits(
+    params: Params, hidden: jax.Array, last_index: jax.Array
+) -> jax.Array:
+    """Gather hidden at per-row last valid position, then one [B,D]x[D,V]
+    matmul — avoids the full [B,S,V] prefill logits the reference computes."""
+    B = hidden.shape[0]
+    gathered = hidden[jnp.arange(B), last_index]  # [B, D]
+    return logits_from_hidden(params, gathered)
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

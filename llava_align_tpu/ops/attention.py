@@ -1,0 +1,237 @@
+"""Attention ops: Pallas flash-attention TPU kernel + XLA reference paths.
+
+The reference's only native kernel is a Triton flash-attention for its MPT
+stack (experiments/llava/model/language_model/mpt/flash_attn_triton.py:50-306).
+This module is the TPU-native equivalent: a blockwise online-softmax causal
+attention kernel in Pallas (Mosaic) for the prefill hot path, plus an XLA
+decode attention over the packed-branch KV cache.
+
+Layouts:
+    q        [B, S, H, Dh]
+    k, v     [B, S, K, Dh]          (K = num kv heads; GQA via H % K == 0)
+    cache    [B, Smax, K, Dh]
+
+All softmax math is float32; inputs may be bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# XLA reference attention (used on CPU, for tests, and for short sequences)
+# ---------------------------------------------------------------------------
+
+
+def mha_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Plain XLA attention. q [B,Sq,H,Dh], k/v [B,Sk,K,Dh] → [B,Sq,H,Dh]."""
+    B, Sq, H, Dh = q.shape
+    K = k.shape[2]
+    group = H // K
+    scale = 1.0 / (Dh**0.5)
+
+    qf = q.astype(jnp.float32).reshape(B, Sq, K, group, Dh)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # [B, K, group, Sq, Sk]; HIGHEST so fp32 stays fp32 on the MXU
+    logits = jnp.einsum(
+        "bqkgd,bskd->bkgqs", qf, kf, precision=jax.lax.Precision.HIGHEST
+    ) * scale
+    if causal:
+        Sk = k.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
+        logits = jnp.where(col <= row, logits, NEG_INF)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", probs, vf, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(B, Sq, H, Dh).astype(q.dtype)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+) -> jax.Array:
+    """Single-step decode attention over a KV cache.
+
+    q        [B, 1, H, Dh]   (query token already written to cache at lengths[b])
+    k/v      [B, Smax, K, Dh]
+    lengths  [B] int32 — index of the current token; keys j <= lengths[b] attend.
+
+    Per-branch lengths make the packed VDD branch axis honest: the 'none'
+    branch is genuinely shorter (reference removes image positions outright,
+    vcd_sample.py:156-160) — masking here reproduces physical removal exactly
+    because the padded slots were never written with attended content.
+    """
+    B, _, H, Dh = q.shape
+    Smax, K = k_cache.shape[1], k_cache.shape[2]
+    group = H // K
+    scale = 1.0 / (Dh**0.5)
+
+    qf = q.astype(jnp.float32).reshape(B, K, group, Dh)
+    kf = k_cache.astype(jnp.float32)
+    logits = jnp.einsum("bkgd,bskd->bkgs", qf, kf, precision=jax.lax.Precision.HIGHEST) * scale  # [B,K,g,Smax]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, Smax), 3)
+    mask = pos <= lengths[:, None, None, None]
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkgs,bskd->bkgd", probs, v_cache.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(B, 1, H, Dh).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (causal, prefill)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_q, block_k):
+    """Grid: (batch*kv_head*group, num_q_blocks, num_k_blocks); k innermost.
+
+    Carries the online-softmax state (m, l, acc) in VMEM scratch across the
+    innermost (k) grid dimension — the canonical TPU flash pattern.
+    """
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+
+    # Causal: the whole k block is masked out iff k_start > q_end.
+    @pl.when(k_start <= q_start + block_q - 1)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [block_q, Dh]
+        k = k_ref[0].astype(jnp.float32)  # [block_k, Dh]
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [block_q, block_k]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_start
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_start
+        s = jnp.where(col <= row, s, NEG_INF)
+
+        # m/l scratch are [block_q, 128] with the value replicated across all
+        # lanes (narrow 1-lane stores are inefficient on TPU).
+        m_prev = m_ref[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+        m_new = jnp.maximum(m_prev, m_cur)  # broadcast → [block_q, 128]
+
+        p = jnp.exp(s - m_new[:, :1])  # [block_q, block_k]
+        corr = jnp.exp(m_prev - m_new)  # [block_q, 128], lanes equal
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, Dh]
+        acc_ref[:] = acc_ref[:] * corr[:, :1] + pv
+        m_ref[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+def flash_attention_tpu(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal flash attention. q [B,S,H,Dh], k/v [B,S,K,Dh] → [B,S,H,Dh].
+
+    Requires S % block == 0 (callers pad to the sequence bucket anyway) and
+    Dh in {64, 128, 256}. GQA is handled by indexing the kv head as h // group
+    in the BlockSpec index maps — no materialized head repetition.
+    """
+    B, S, H, Dh = q.shape
+    K = k.shape[2]
+    group = H // K
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    assert S % block_q == 0 and S % block_k == 0, (S, block_q, block_k)
+    scale = 1.0 / (Dh**0.5)
+
+    # [B,S,H,Dh] -> [B*H, S, Dh] layout for clean blocking
+    qt = q.transpose(0, 2, 1, 3).reshape(B * H, S, Dh)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * K, S, Dh)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * K, S, Dh)
+
+    grid = (B * H, S // block_q, S // block_k)
+
+    def q_index(bh, iq, ik):
+        return (bh, iq, 0)
+
+    def kv_index(bh, iq, ik):
+        b = bh // H
+        h = bh % H
+        return (b * K + h // group, ik, 0)
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_q=block_q, block_k=block_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh), q_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, Dh), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, Dh), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh), q_index, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, S, Dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # m
+            pltpu.VMEM((block_q, 128), jnp.float32),  # l
+            pltpu.VMEM((block_q, Dh), jnp.float32),  # acc
+        ],
+        interpret=interpret,
+    )(qt, kt, vt)
+    return out.reshape(B, H, S, Dh).transpose(0, 2, 1, 3)
+
+
+def causal_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, impl: str = "auto"
+) -> jax.Array:
+    """Causal self-attention dispatcher: 'pallas' | 'xla' | 'auto'."""
+    if impl == "auto":
+        impl = "pallas" if (_on_tpu() and q.shape[1] % 128 == 0 and q.shape[3] in (64, 128, 256)) else "xla"
+    if impl == "pallas":
+        return flash_attention_tpu(q, k, v)
+    if impl == "pallas_interpret":
+        return flash_attention_tpu(q, k, v, interpret=True)
+    return mha_xla(q, k, v, causal=True)

@@ -1,0 +1,240 @@
+"""HF checkpoint → JAX pytree weight conversion.
+
+Replaces the reference's `load_pretrained_model`
+(experiments/llava/model/builder.py:26-148) for the TPU stack: instead of
+instantiating torch modules, safetensors/torch state dicts are mapped directly
+into this framework's stacked-layer param trees. Never ports module code.
+
+Supported sources:
+  * liuhaotian/llava-v1.5-* style checkpoints (keys: model.layers.*,
+    model.vision_tower.vision_tower.vision_model.*, model.mm_projector.*)
+  * plain HF LlamaForCausalLM / CLIPVisionModel state dicts (for parity tests
+    against tiny random torch models).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from llava_align_tpu.config import ClipVisionConfig, LlamaConfig, LlavaConfig
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def _np(x) -> Array:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor (possibly bf16/fp16) without importing torch at module scope
+    return x.float().cpu().numpy()
+
+
+def _to(dtype):
+    def f(x: Array):
+        return jnp.asarray(x, dtype=dtype)
+
+    return f
+
+
+def _stack(sd: StateDict, template: str, num_layers: int, transform: Callable[[Array], Array]):
+    return np.stack([transform(_np(sd[template.format(i=i)])) for i in range(num_layers)])
+
+
+def convert_llama(sd: StateDict, cfg: LlamaConfig, prefix: str = "") -> Dict[str, Any]:
+    """HF LlamaForCausalLM state dict → llama.init-shaped params."""
+    p = prefix
+    t = _to(cfg.dtype)
+    T = lambda w: w.T  # torch Linear stores [out, in]; ours is [in, out]
+
+    def lt(template):
+        return t(_stack(sd, p + template, cfg.num_layers, T))
+
+    def ln(template):
+        return t(_stack(sd, p + template, cfg.num_layers, lambda w: w))
+
+    embed = _np(sd[p + "model.embed_tokens.weight"])
+    if p + "lm_head.weight" in sd:
+        lm_head = _np(sd[p + "lm_head.weight"]).T
+    else:  # tied embeddings
+        lm_head = embed.T
+    return {
+        "embed": t(embed),
+        "layers": {
+            "attn_norm": ln("model.layers.{i}.input_layernorm.weight"),
+            "q": lt("model.layers.{i}.self_attn.q_proj.weight"),
+            "k": lt("model.layers.{i}.self_attn.k_proj.weight"),
+            "v": lt("model.layers.{i}.self_attn.v_proj.weight"),
+            "o": lt("model.layers.{i}.self_attn.o_proj.weight"),
+            "mlp_norm": ln("model.layers.{i}.post_attention_layernorm.weight"),
+            "gate": lt("model.layers.{i}.mlp.gate_proj.weight"),
+            "up": lt("model.layers.{i}.mlp.up_proj.weight"),
+            "down": lt("model.layers.{i}.mlp.down_proj.weight"),
+        },
+        "final_norm": t(_np(sd[p + "model.norm.weight"])),
+        "lm_head": t(lm_head),
+    }
+
+
+def convert_clip(
+    sd: StateDict, cfg: ClipVisionConfig, prefix: str = "vision_model."
+) -> Dict[str, Any]:
+    """HF CLIPVisionModel state dict → clip_vit.init-shaped params."""
+    p = prefix
+    t = _to(cfg.dtype)
+    L = cfg.num_layers
+    T = lambda w: w.T
+
+    def attn(name):
+        return {
+            "kernel": t(_stack(sd, p + "encoder.layers.{i}.self_attn." + name + ".weight", L, T)),
+            "bias": t(_stack(sd, p + "encoder.layers.{i}.self_attn." + name + ".bias", L, lambda w: w)),
+        }
+
+    def lnorm(name):
+        return {
+            "scale": t(_stack(sd, p + "encoder.layers.{i}." + name + ".weight", L, lambda w: w)),
+            "bias": t(_stack(sd, p + "encoder.layers.{i}." + name + ".bias", L, lambda w: w)),
+        }
+
+    def mlp(name):
+        return {
+            "kernel": t(_stack(sd, p + "encoder.layers.{i}.mlp." + name + ".weight", L, T)),
+            "bias": t(_stack(sd, p + "encoder.layers.{i}.mlp." + name + ".bias", L, lambda w: w)),
+        }
+
+    # conv kernel [D, 3, P, P] → [3*P*P, D] in (C, kh, kw)-major order,
+    # matching models/clip_vit.patchify's flattening.
+    conv = _np(sd[p + "embeddings.patch_embedding.weight"])
+    D = conv.shape[0]
+    patch_embed = conv.reshape(D, -1).T
+
+    return {
+        "cls": t(_np(sd[p + "embeddings.class_embedding"]).reshape(-1)),
+        "patch_embed": t(patch_embed),
+        "pos_embed": t(_np(sd[p + "embeddings.position_embedding.weight"])),
+        "pre_ln": {
+            "scale": t(_np(sd[p + "pre_layrnorm.weight"])),
+            "bias": t(_np(sd[p + "pre_layrnorm.bias"])),
+        },
+        "layers": {
+            "ln1": lnorm("layer_norm1"),
+            "q": attn("q_proj"),
+            "k": attn("k_proj"),
+            "v": attn("v_proj"),
+            "o": attn("out_proj"),
+            "ln2": lnorm("layer_norm2"),
+            "fc1": mlp("fc1"),
+            "fc2": mlp("fc2"),
+        },
+        "post_ln": {
+            "scale": t(_np(sd[p + "post_layernorm.weight"])),
+            "bias": t(_np(sd[p + "post_layernorm.bias"])),
+        },
+    }
+
+
+def convert_projector(
+    sd: StateDict, projector_type: str, dtype, prefix: str = "model.mm_projector."
+) -> Dict[str, Any]:
+    """mm_projector.{0,2,4...}.{weight,bias} (Sequential indices skip GELUs)."""
+    from llava_align_tpu.models.projector import num_layers
+
+    t = _to(dtype)
+    n = num_layers(projector_type)
+    layers = []
+    for i in range(n):
+        idx = 2 * i  # GELU between linears occupies odd indices
+        key_w = f"{prefix}{idx}.weight" if n > 1 else f"{prefix}{idx}.weight"
+        if key_w not in sd and n == 1:
+            key_w = prefix.rstrip(".") + ".weight"  # bare Linear
+        key_b = key_w.replace("weight", "bias")
+        layers.append({"kernel": t(_np(sd[key_w]).T), "bias": t(_np(sd[key_b]))})
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# Full-checkpoint loading
+# ---------------------------------------------------------------------------
+
+
+def load_state_dict(model_path: str) -> Dict[str, Array]:
+    """Load all weights under a checkpoint dir (safetensors preferred)."""
+    sd: Dict[str, Array] = {}
+    st_files = sorted(
+        f for f in os.listdir(model_path) if f.endswith(".safetensors")
+    )
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(os.path.join(model_path, f), framework="np") as h:
+                for k in h.keys():
+                    sd[k] = h.get_tensor(k)
+        return sd
+    bin_files = sorted(
+        f
+        for f in os.listdir(model_path)
+        if f.startswith("pytorch_model") and f.endswith(".bin")
+    )
+    if not bin_files:
+        raise FileNotFoundError(f"no weights found under {model_path}")
+    import torch
+
+    for f in bin_files:
+        chunk = torch.load(os.path.join(model_path, f), map_location="cpu", weights_only=True)
+        for k, v in chunk.items():
+            sd[k] = _np(v)
+    return sd
+
+
+def config_from_hf(hf_cfg: dict, dtype=jnp.bfloat16) -> LlavaConfig:
+    """Build LlavaConfig from a llava-v1.5 HF config.json dict."""
+    text = LlamaConfig(
+        vocab_size=hf_cfg["vocab_size"],
+        hidden_size=hf_cfg["hidden_size"],
+        intermediate_size=hf_cfg["intermediate_size"],
+        num_layers=hf_cfg["num_hidden_layers"],
+        num_heads=hf_cfg["num_attention_heads"],
+        num_kv_heads=hf_cfg.get("num_key_value_heads", hf_cfg["num_attention_heads"]),
+        head_dim=hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"],
+        rope_theta=hf_cfg.get("rope_theta", 10000.0),
+        rms_norm_eps=hf_cfg.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf_cfg.get("max_position_embeddings", 4096),
+        dtype=dtype,
+    )
+    vision = ClipVisionConfig(
+        select_layer=hf_cfg.get("mm_vision_select_layer", -2),
+        select_feature=hf_cfg.get("mm_vision_select_feature", "patch"),
+        dtype=dtype,
+    )
+    return LlavaConfig(
+        text=text,
+        vision=vision,
+        mm_projector_type=hf_cfg.get("mm_projector_type", "linear"),
+        image_aspect_ratio=hf_cfg.get("image_aspect_ratio", "pad"),
+        mm_use_im_start_end=hf_cfg.get("mm_use_im_start_end", False),
+        mm_use_im_patch_token=hf_cfg.get("mm_use_im_patch_token", False),
+    )
+
+
+def load_llava_checkpoint(
+    model_path: str, dtype=jnp.bfloat16
+) -> Tuple[Dict[str, Any], LlavaConfig]:
+    """liuhaotian/llava-v1.5-* checkpoint dir → (params, cfg)."""
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg, dtype)
+    sd = load_state_dict(model_path)
+    params = {
+        "llama": convert_llama(sd, cfg.text),
+        "vision": convert_clip(
+            sd, cfg.vision, prefix="model.vision_tower.vision_tower.vision_model."
+        ),
+        "projector": convert_projector(sd, cfg.mm_projector_type, dtype),
+    }
+    return params, cfg
