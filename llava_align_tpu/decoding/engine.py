@@ -1,0 +1,312 @@
+"""TPU-native debiased decode engine.
+
+Replaces the reference's monkey-patched HF sampler (vcd_utils/vcd_sample.py:25-326)
+with a first-class engine. Per generated token the reference runs 2-3
+*sequential* HF forwards — one per contrast branch, each owning a python-side
+KV cache (vcd_sample.py:109-114,163-168,178-183,269-277). Here all branches
+live on the batch axis of ONE jitted forward and ONE packed KV cache, and the
+whole decode loop (forward → fuse → warp → sample → stop-check) runs on device
+inside `lax.while_loop` — zero host round-trips per token.
+
+Branch semantics (exact reference behavior, vcd_sample.py:147-185):
+    main            full visual input
+    'unk'           IMAGE_TOKEN_INDEX positions replaced with token id 0
+    'none'          IMAGE_TOKEN_INDEX positions physically removed (here: a
+                    genuinely shorter row, right-padded, masked by length)
+    'cd'            same tokens, diffusion-noised image (VCD)
+Contrast logits = the primary branch, or the mean of (primary, 'none') when
+both use_dd and use_dd_unk are set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llava_align_tpu.config import GenerationConfig, LlavaConfig
+from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+from llava_align_tpu.decoding import sampler as S
+from llava_align_tpu.models import llama, llava
+from llava_align_tpu.ops.noise import add_diffusion_noise
+
+Params = Dict[str, Any]
+
+UNK_TOKEN_ID = 0  # reference vcd_sample.py:155 replaces the sentinel with 0
+
+
+def branch_kinds(gen: GenerationConfig) -> List[str]:
+    """Row layout of the packed branch axis (row 0 = main).
+
+    Mirrors the reference's if/elif chain (vcd_sample.py:147-161) plus the
+    dual-dd extra forward (:171-177): the primary contrast branch is cd > unk >
+    none by priority; a secondary 'none' branch exists iff use_dd AND
+    use_dd_unk."""
+    kinds = ["main"]
+    if gen.use_cd:
+        kinds.append("cd")
+    elif gen.use_dd_unk:
+        kinds.append("unk")
+    elif gen.use_dd:
+        kinds.append("none")
+    if gen.use_dd and gen.use_dd_unk:
+        kinds.append("none")
+    return kinds
+
+
+def branch_token_ids(input_ids: Sequence[int], kind: str) -> List[int]:
+    ids = [int(t) for t in input_ids]
+    if kind in ("main", "cd"):
+        return ids
+    if kind == "unk":
+        return [UNK_TOKEN_ID if t == IMAGE_TOKEN_INDEX else t for t in ids]
+    if kind == "none":
+        return [t for t in ids if t != IMAGE_TOKEN_INDEX]
+    raise ValueError(kind)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class GenerationOutput:
+    token_ids: List[int]              # generated ids (trimmed at stop)
+    num_generated: int
+    first_scores_top_probs: np.ndarray  # [k] softmax of first-step warped scores
+    first_scores_top_ids: np.ndarray    # [k]
+    prompt_length: int                  # main-branch spliced length
+
+
+class DecodeEngine:
+    """Compiles and runs debiased generation for one (model, GenerationConfig).
+
+    Prefill lengths are bucketed to multiples of `bucket` so the number of
+    compiled programs stays small across a dataset sweep.
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: LlavaConfig,
+        gen: GenerationConfig,
+        *,
+        stop_keyword_ids: Optional[Sequence[Sequence[int]]] = None,
+        attn_impl: str = "auto",
+        bucket: int = 128,
+        top_scores_k: int = 100,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.gen = gen
+        self.kinds = branch_kinds(gen)
+        self.stop_keyword_ids = [list(map(int, k)) for k in (stop_keyword_ids or [])]
+        self.attn_impl = attn_impl
+        self.bucket = bucket
+        self.top_scores_k = top_scores_k
+        self._compiled: Dict[int, Any] = {}
+
+    # ------------------------------------------------------------------
+    # host-side packing
+    # ------------------------------------------------------------------
+
+    def _pack(self, input_ids: Sequence[int], has_image: bool):
+        n_img = self.cfg.num_image_tokens if has_image else 0
+        per_branch = []
+        for kind in self.kinds:
+            ids = branch_token_ids(input_ids, kind)
+            n = n_img if kind in ("main", "cd") else 0
+            per_branch.append((kind, ids, n))
+        max_len = max(
+            len(ids) + (n - 1) * sum(1 for t in ids if t == IMAGE_TOKEN_INDEX)
+            if n
+            else len(ids)
+            for _, ids, n in per_branch
+        )
+        pad_to = _round_up(max(max_len, self.bucket), self.bucket)
+
+        nb = len(self.kinds)
+        tokens = np.zeros((nb, pad_to), np.int32)
+        tok_g = np.zeros((nb, pad_to), np.int32)
+        img_g = np.zeros((nb, pad_to), np.int32)
+        is_img = np.zeros((nb, pad_to), bool)
+        lengths = np.zeros((nb,), np.int32)
+        feats_src = np.full((nb,), -1, np.int32)  # -1 = no image features
+        for b, (kind, ids, n) in enumerate(per_branch):
+            plan = llava.plan_splice(ids, n, pad_to)
+            tokens[b, : len(plan.tokens)] = plan.tokens
+            tok_g[b] = plan.tok_gather
+            img_g[b] = plan.img_gather
+            is_img[b] = plan.is_image
+            lengths[b] = plan.length
+            if kind == "main" and has_image:
+                feats_src[b] = 0
+            elif kind == "cd":
+                feats_src[b] = 1
+        return pad_to, tokens, tok_g, img_g, is_img, lengths, feats_src
+
+    # ------------------------------------------------------------------
+    # jitted generate
+    # ------------------------------------------------------------------
+
+    def _get_fn(self, pad_to: int):
+        if pad_to in self._compiled:
+            return self._compiled[pad_to]
+
+        cfg, gen = self.cfg, self.gen
+        nb = len(self.kinds)
+        n_contrast = nb - 1
+        T = gen.max_new_tokens
+        cache_len = pad_to + T
+        kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if len(k) > 0]
+        attn_impl = self.attn_impl
+        topk = self.top_scores_k
+
+        def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
+            if n_contrast:
+                main, contrast = S.combine_contrast_branches(branch_logits, n_contrast)
+                fused = S.fuse_contrastive_logits(main, contrast, gen.cd_alpha, gen.cd_beta)
+            else:
+                fused = branch_logits[0]
+            return S.warp_logits(fused, gen.temperature, gen.top_k, gen.top_p)
+
+        def stop_hit(out_buf: jax.Array, n: jax.Array) -> jax.Array:
+            done = jnp.asarray(False)
+            for kw in kws:
+                m = len(kw)
+                start = jnp.maximum(n - m, 0)
+                window = jax.lax.dynamic_slice(out_buf, (start,), (m,))
+                done |= jnp.all(window == jnp.asarray(kw)) & (n >= m)
+            return done
+
+        def generate_fn(params, tokens, tok_g, img_g, is_img, lengths, feats_src, images, rng):
+            # ---- vision encode (main + optional noised copy, one tower call)
+            if gen.use_cd:
+                rng, rng_noise = jax.random.split(rng)
+                noised = add_diffusion_noise(images, rng_noise, gen.noise_step)
+                imgs = jnp.concatenate([images, noised], axis=0)
+            else:
+                imgs = images
+            feats = llava.encode_images(params, cfg, imgs)  # [n_imgs, N, D]
+            N, D = feats.shape[1], feats.shape[2]
+            feats_ext = jnp.concatenate(
+                [jnp.zeros((1, N, D), feats.dtype), feats], axis=0
+            )
+            branch_feats = feats_ext[feats_src + 1]  # [nb, N, D]
+
+            # ---- prefill (all branches, one forward)
+            embeds = llava.splice_embeds(params, cfg, tokens, tok_g, img_g, is_img, branch_feats)
+            positions = jnp.broadcast_to(
+                jnp.arange(pad_to, dtype=jnp.int32), (nb, pad_to)
+            )
+            cache = llama.init_cache(cfg.text, nb, cache_len)
+            hidden, cache = llama.forward(
+                params["llama"], cfg.text, embeds, positions, cache,
+                jnp.zeros((nb,), jnp.int32), attn_impl=attn_impl,
+            )
+            logits = llama.last_token_logits(params["llama"], hidden, lengths - 1)
+
+            # ---- on-device decode loop
+            V = logits.shape[-1]
+            init = dict(
+                cache=cache,
+                lengths=lengths,
+                logits=logits,
+                out_buf=jnp.zeros((T,), jnp.int32),
+                first_scores=jnp.zeros((V,), jnp.float32),
+                n=jnp.asarray(0, jnp.int32),
+                done=jnp.asarray(False),
+                rng=rng,
+            )
+
+            def cond(c):
+                return (~c["done"]) & (c["n"] < T)
+
+            def body(c):
+                warped = fuse_and_warp(c["logits"])
+                first_scores = jnp.where(c["n"] == 0, warped, c["first_scores"])
+                rng, sub = jax.random.split(c["rng"])
+                tok = S.sample_token(sub, warped, gen.do_sample).astype(jnp.int32)
+                out_buf = jax.lax.dynamic_update_slice(c["out_buf"], tok[None], (c["n"],))
+                n = c["n"] + 1
+                done = (tok == gen.eos_token_id) | stop_hit(out_buf, n) | (n >= T)
+
+                def fwd(cache, lengths, logits):
+                    emb = llama.embed_tokens(
+                        params["llama"], jnp.broadcast_to(tok, (nb, 1))
+                    )
+                    hidden, cache = llama.forward(
+                        params["llama"], cfg.text, emb, lengths[:, None],
+                        cache, lengths, attn_impl=attn_impl,
+                    )
+                    return cache, lengths + 1, llama.logits_from_hidden(
+                        params["llama"], hidden[:, 0]
+                    )
+
+                cache, lengths, logits = jax.lax.cond(
+                    done,
+                    lambda a, b_, c_: (a, b_, c_),
+                    fwd,
+                    c["cache"], c["lengths"], c["logits"],
+                )
+                return dict(
+                    cache=cache, lengths=lengths, logits=logits, out_buf=out_buf,
+                    first_scores=first_scores, n=n, done=done, rng=rng,
+                )
+
+            final = jax.lax.while_loop(cond, body, init)
+            probs = jax.nn.softmax(final["first_scores"], axis=-1)
+            top_probs, top_ids = jax.lax.top_k(probs, min(topk, V))
+            return final["out_buf"], final["n"], top_probs, top_ids
+
+        fn = jax.jit(generate_fn)
+        self._compiled[pad_to] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        input_ids: Sequence[int],
+        image: Optional[np.ndarray] = None,
+        *,
+        rng: Optional[jax.Array] = None,
+    ) -> GenerationOutput:
+        """image: normalized pixels [3, H, W] (CLIP-preprocessed) or None."""
+        has_image = image is not None and any(
+            t == IMAGE_TOKEN_INDEX for t in input_ids
+        )
+        pad_to, tokens, tok_g, img_g, is_img, lengths, feats_src = self._pack(
+            input_ids, has_image
+        )
+        if image is not None:
+            images = jnp.asarray(image, self.cfg.vision.dtype)[None]
+        else:
+            H = self.cfg.vision.image_size
+            images = jnp.zeros((1, 3, H, H), self.cfg.vision.dtype)
+        if rng is None:
+            rng = jax.random.PRNGKey(self.gen.seed)
+        fn = self._get_fn(pad_to)
+        out_buf, n, top_probs, top_ids = fn(
+            self.params,
+            jnp.asarray(tokens),
+            jnp.asarray(tok_g),
+            jnp.asarray(img_g),
+            jnp.asarray(is_img),
+            jnp.asarray(lengths),
+            jnp.asarray(feats_src),
+            images,
+            rng,
+        )
+        n = int(n)
+        return GenerationOutput(
+            token_ids=[int(t) for t in np.asarray(out_buf)[:n]],
+            num_generated=n,
+            first_scores_top_probs=np.asarray(top_probs),
+            first_scores_top_ids=np.asarray(top_ids),
+            prompt_length=int(lengths[0]),
+        )
