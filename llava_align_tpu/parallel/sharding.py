@@ -1,0 +1,96 @@
+"""Parameter / cache sharding rules (Megatron-style tensor parallelism).
+
+Column-parallel (shard output features) for q/k/v/gate/up/fc1, row-parallel
+(shard input features) for o/down/fc2 — so each transformer block needs exactly
+one all-reduce per sublayer, riding ICI. Norms, biases and small tensors are
+replicated. The 13B model does not fit one v5e core in bf16; this sharding is
+what replaces the reference's device_map="auto" pipeline approximation
+(reference builder.py:27, llava_llama.py:114-115).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llava_align_tpu.config import LlamaConfig, LlavaConfig
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def llama_param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, Any]:
+    rep = _ns(mesh)
+    return {
+        "embed": _ns(mesh, None, "model"),
+        "layers": {
+            "attn_norm": rep,
+            "q": _ns(mesh, None, None, "model"),
+            "k": _ns(mesh, None, None, "model"),
+            "v": _ns(mesh, None, None, "model"),
+            "o": _ns(mesh, None, "model", None),
+            "mlp_norm": rep,
+            "gate": _ns(mesh, None, None, "model"),
+            "up": _ns(mesh, None, None, "model"),
+            "down": _ns(mesh, None, "model", None),
+        },
+        "final_norm": rep,
+        "lm_head": _ns(mesh, None, "model"),
+    }
+
+
+def clip_param_shardings(mesh: Mesh) -> Dict[str, Any]:
+    rep = _ns(mesh)
+
+    def lin(col: bool):
+        return {
+            "kernel": _ns(mesh, None, None, "model") if col else _ns(mesh, None, "model", None),
+            "bias": rep,
+        }
+
+    ln = {"scale": rep, "bias": rep}
+    return {
+        "cls": rep,
+        "patch_embed": rep,
+        "pos_embed": rep,
+        "pre_ln": dict(ln),
+        "layers": {
+            "ln1": dict(ln),
+            "q": lin(True),
+            "k": lin(True),
+            "v": lin(True),
+            "o": lin(False),
+            "ln2": dict(ln),
+            "fc1": lin(True),
+            "fc2": lin(False),
+        },
+        "post_ln": dict(ln),
+    }
+
+
+def projector_shardings(params_projector: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    rep = _ns(mesh)
+    return {"layers": [{"kernel": rep, "bias": rep} for _ in params_projector["layers"]]}
+
+
+def llava_param_shardings(
+    cfg: LlavaConfig, mesh: Mesh, params: Dict[str, Any]
+) -> Dict[str, Any]:
+    return {
+        "llama": llama_param_shardings(cfg.text, mesh),
+        "vision": clip_param_shardings(mesh),
+        "projector": projector_shardings(params["projector"], mesh),
+    }
+
+
+def cache_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    """KV cache [L, B, Smax, K, Dh]: shard kv heads over 'model'."""
+    s = _ns(mesh, None, None, None, "model", None)
+    return {"k": s, "v": s}
+
+
+def shard_params(params: Dict[str, Any], shardings: Dict[str, Any]) -> Dict[str, Any]:
+    return jax.device_put(params, shardings)
