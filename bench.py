@@ -1,0 +1,136 @@
+"""Benchmark: LLaVA-v1.5-7B dual-branch VDD decoding on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...extras}
+
+Primary metric: dual-branch VDD (use_dd + use_dd_unk → 3 packed branches)
+decode throughput in tokens/sec/chip on LLaVA-7B shapes.
+
+Baseline: the reference's decode strategy measured on the SAME chip — it runs
+the branches as sequential single-branch forwards, one per branch per token
+(reference vcd_utils/vcd_sample.py:109-185: main + unk + none = 3 forwards),
+so baseline_tps = measured single-branch tokens/sec ÷ 3. vs_baseline is the
+speedup of the packed-branch fused decode over that faithful re-enactment.
+
+Extras reported: single-branch tps, POPE-style samples/sec, p50 answer latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build_params(cfg, seed=0):
+    from llava_align_tpu.models import llava
+
+    init = jax.jit(lambda k: llava.init(k, cfg))
+    return jax.block_until_ready(init(jax.random.PRNGKey(seed)))
+
+
+def _prompt_ids(text_len: int):
+    from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+
+    rng = np.random.default_rng(0)
+    ids = [1] + rng.integers(10, 20000, size=text_len - 1).tolist()
+    ids.insert(2, IMAGE_TOKEN_INDEX)  # reference prompts put <image> up front
+    return ids
+
+
+def _time_generate(engine, ids, image, iters: int):
+    # warmup / compile
+    out = engine.generate(ids, image)
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = engine.generate(ids, image, rng=jax.random.PRNGKey(i + 1))
+        times.append(time.perf_counter() - t0)
+    return out, times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b", choices=["7b", "13b", "tiny"])
+    ap.add_argument("--text-len", type=int, default=52)
+    ap.add_argument("--short-new", type=int, default=16)
+    ap.add_argument("--long-new", type=int, default=80)
+    ap.add_argument("--answer-new", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from llava_align_tpu.config import GenerationConfig, LlavaConfig
+    from llava_align_tpu.decoding.engine import DecodeEngine
+
+    if args.model == "7b":
+        cfg = LlavaConfig.llava_v15_7b()
+    elif args.model == "13b":
+        cfg = LlavaConfig.llava_v15_13b()
+    else:
+        cfg = LlavaConfig.tiny(vocab_size=1024)
+
+    dev = jax.devices()[0]
+    params = _build_params(cfg)
+    ids = _prompt_ids(args.text_len)
+    H = cfg.vision.image_size
+    image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (3, H, H)), dtype=np.float32
+    )
+
+    NO_EOS = 10**9  # force full-length decode for steady-state timing
+
+    def make_engine(max_new, dual: bool):
+        gen = GenerationConfig(
+            max_new_tokens=max_new,
+            do_sample=True,
+            temperature=1.0,
+            use_dd=dual,
+            use_dd_unk=dual,
+            cd_alpha=1.0,
+            cd_beta=0.1,
+            eos_token_id=NO_EOS,
+        )
+        return DecodeEngine(params, cfg, gen, attn_impl="auto")
+
+    results = {}
+    for label, dual in [("dual", True), ("single", False)]:
+        _, t_short = _time_generate(make_engine(args.short_new, dual), ids, image, args.iters)
+        _, t_long = _time_generate(make_engine(args.long_new, dual), ids, image, args.iters)
+        dt = (min(t_long) - min(t_short)) / (args.long_new - args.short_new)
+        results[label + "_decode_tps"] = 1.0 / dt
+        results[label + "_prefill_plus_short_s"] = min(t_short)
+
+    # POPE-style sample latency: prefill + short answer (typical "Yes."),
+    # dual-branch VDD configuration
+    _, t_ans = _time_generate(make_engine(args.answer_new, True), ids, image, max(args.iters, 5))
+    p50 = float(np.percentile(t_ans, 50))
+    results["pope_samples_per_sec"] = 1.0 / p50
+    results["p50_answer_latency_s"] = p50
+
+    dual_tps = results["dual_decode_tps"]
+    single_tps = results["single_decode_tps"]
+    baseline_tps = single_tps / 3.0  # reference: 3 sequential forwards/token
+
+    out = {
+        "metric": "llava7b_vdd_dual_branch_decode_tokens_per_sec_per_chip",
+        "value": round(dual_tps, 3),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(dual_tps / baseline_tps, 3),
+        "baseline_def": "single-branch tps / 3 (reference sequential 3-forward VDD on same chip)",
+        "single_branch_tps": round(single_tps, 3),
+        "pope_samples_per_sec": round(results["pope_samples_per_sec"], 4),
+        "p50_answer_latency_s": round(p50, 4),
+        "model": args.model,
+        "device": str(dev),
+        "branches": 3,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

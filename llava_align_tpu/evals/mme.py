@@ -1,0 +1,150 @@
+"""MME benchmark scoring.
+
+Parity: reference experiments/eval/MME/eval_tool/calculation.py (answer
+parsing :23-37, per-task metrics :40-83, acc+ pairing :86-154) and
+convert_answer_to_mme.py (answers-jsonl → per-category txt :40-73).
+Implemented with numpy (no sklearn dependency).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Iterable, List, Mapping, Sequence, Tuple
+
+EVAL_TYPE_DICT = {
+    "Perception": ["existence", "count", "position", "color"],
+    "Cognition": [
+        "commonsense_reasoning",
+        "numerical_calculation",
+        "text_translation",
+        "code_reasoning",
+    ],
+}
+
+LABEL_MAP = {"yes": 1, "no": 0, "other": -1}
+
+
+def parse_pred_ans(pred_ans: str) -> str:
+    """reference calculation.py:23-37."""
+    pred_ans = pred_ans.lower()
+    if pred_ans in ("yes", "no"):
+        return pred_ans
+    prefix = pred_ans[:4]
+    if "yes" in prefix:
+        return "yes"
+    if "no" in prefix:
+        return "no"
+    return "other"
+
+
+def compute_metric(gts: Sequence[str], preds: Sequence[str]) -> Dict[str, float]:
+    """reference calculation.py:40-83 (sklearn replaced with direct counts;
+    accuracy includes 'other' predictions as wrong, precision/recall are on
+    the cleaned subset with positive class 'yes')."""
+    assert len(gts) == len(preds)
+    g = [LABEL_MAP[x] for x in gts]
+    p = [LABEL_MAP[x] for x in preds]
+    n = len(g)
+    acc = sum(1 for a, b in zip(g, p) if a == b) / n if n else 0.0
+
+    tp = fn = fp = tn = other = 0
+    for gt, pred in zip(g, p):
+        if pred == -1:
+            other += 1
+            continue
+        if gt == 1 and pred == 1:
+            tp += 1
+        elif gt == 1 and pred == 0:
+            fn += 1
+        elif gt == 0 and pred == 1:
+            fp += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    return {
+        "TP": tp, "FN": fn, "TN": tn, "FP": fp,
+        "precision": precision, "recall": recall,
+        "other_num": other, "acc": acc,
+    }
+
+
+def score_task_lines(lines: Sequence[str]) -> Dict[str, float]:
+    """Score one task's txt lines ('img\\tquestion\\tgt\\tpred', 2 per image).
+    Task score = (acc + acc_plus) * 100 (reference calculation.py:108-145)."""
+    chunks = [lines[i : i + 2] for i in range(0, len(lines), 2)]
+    gts: List[str] = []
+    preds: List[str] = []
+    acc_plus_correct = 0
+    for pair in chunks:
+        assert len(pair) == 2, "one image corresponds to two questions"
+        correct = 0
+        for item in pair:
+            _, _, gt_ans, pred_ans = item.rstrip("\n").split("\t")
+            gt_ans = gt_ans.lower()
+            assert gt_ans in ("yes", "no")
+            pred = parse_pred_ans(pred_ans)
+            gts.append(gt_ans)
+            preds.append(pred)
+            if gt_ans == pred:
+                correct += 1
+        if correct == 2:
+            acc_plus_correct += 1
+    m = compute_metric(gts, preds)
+    m["acc_plus"] = acc_plus_correct / len(chunks) if chunks else 0.0
+    m["task_score"] = (m["acc"] + m["acc_plus"]) * 100
+    return m
+
+
+def score_results_dir(results_dir: str) -> Dict[str, Dict]:
+    """Full MME report over a per-category txt dir."""
+    report: Dict[str, Dict] = {}
+    for eval_type, tasks in EVAL_TYPE_DICT.items():
+        total = 0.0
+        task_scores = {}
+        for task in tasks:
+            path = os.path.join(results_dir, task + ".txt")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                m = score_task_lines(f.readlines())
+            task_scores[task] = m
+            total += m["task_score"]
+        report[eval_type] = {"total_score": total, "tasks": task_scores}
+    return report
+
+
+def convert_answers_to_category_txt(
+    answers: Iterable[dict],
+    gt: Mapping[Tuple[str, str, str], str],
+    out_dir: str,
+) -> List[str]:
+    """answers jsonl rows {question_id: 'category/.../img.png', prompt, text}
+    → per-category txt files (reference convert_answer_to_mme.py:55-73)."""
+    os.makedirs(out_dir, exist_ok=True)
+    results = defaultdict(list)
+    for answer in answers:
+        category = answer["question_id"].split("/")[0]
+        file = answer["question_id"].split("/")[-1].split(".")[0] + ".txt"
+        results[category].append((file, answer["prompt"], answer["text"]))
+
+    written = []
+    for category, tups in results.items():
+        path = os.path.join(out_dir, f"{category}.txt")
+        with open(path, "w") as fp:
+            for file, prompt, answer in tups:
+                if "Answer the question using a single word or phrase." in prompt:
+                    prompt = prompt.replace(
+                        "Answer the question using a single word or phrase.", ""
+                    ).strip()
+                if "Please answer yes or no." not in prompt:
+                    prompt = prompt + " Please answer yes or no."
+                    if (category, file, prompt) not in gt:
+                        prompt = prompt.replace(
+                            " Please answer yes or no.", "  Please answer yes or no."
+                        )
+                gt_ans = gt[(category, file, prompt)]
+                fp.write("\t".join((file, prompt, gt_ans, answer)) + "\n")
+        written.append(path)
+    return written

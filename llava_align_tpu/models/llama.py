@@ -83,14 +83,26 @@ def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
     return params["embed"][safe]
 
 
-def _write_cache(cache_slice: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array:
-    """Write new [B, S, K, Dh] into cache_slice [B, Smax, K, Dh] at per-row
-    offsets [B] (each branch appends at its own true length)."""
+def _write_cache_full(
+    cache_full: jax.Array,
+    new: jax.Array,
+    layer_idx: jax.Array,
+    offsets: jax.Array,
+    is_decode: bool,
+) -> jax.Array:
+    """Write new [B, S, K, Dh] into cache_full [L, B, Smax, K, Dh] at layer
+    `layer_idx`, per-row sequence offsets `offsets` [B].
 
-    def one(row_cache, row_new, off):
-        return jax.lax.dynamic_update_slice(row_cache, row_new, (off, 0, 0))
-
-    return jax.vmap(one)(cache_slice, new, offsets)
+    Both paths lower to in-place updates when the cache is a loop carry:
+    prefill (offsets==0 by contract) is a static-start dynamic_update_slice;
+    decode (S==1) is a batched scatter at per-branch lengths.
+    """
+    B, S = new.shape[0], new.shape[1]
+    if is_decode:
+        return cache_full.at[layer_idx, jnp.arange(B), offsets].set(new[:, 0])
+    return jax.lax.dynamic_update_slice(
+        cache_full, new[None], (layer_idx, 0, 0, 0, 0)
+    )
 
 
 def forward(
@@ -121,8 +133,7 @@ def forward(
 
     is_decode = cache is not None and S == 1
 
-    def layer_fn(x, layer_in):
-        lp, k_slice, v_slice = layer_in
+    def layer_fn(x, lp, k_full, v_full, li):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         q = (h @ lp["q"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
         k = (h @ lp["k"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
@@ -131,10 +142,12 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         if cache is not None:
-            k_slice = _write_cache(k_slice, k, cache_offset)
-            v_slice = _write_cache(v_slice, v, cache_offset)
+            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode)
+            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode)
 
         if is_decode:
+            k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
+            v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
             attn = decode_attention(q, k_slice, v_slice, cache_offset)
         else:
             attn = causal_attention(q, k, v, impl=attn_impl)
@@ -143,35 +156,40 @@ def forward(
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         x = x + (silu(h @ lp["gate"]) * (h @ lp["up"])) @ lp["down"]
-        return x, (k_slice, v_slice)
+        return x, k_full, v_full
 
     if cache is not None:
-        xs = (params["layers"], cache["k"], cache["v"])
+        # The cache rides the scan CARRY (not xs/ys) so XLA updates it in
+        # place inside the loop — scan ys would allocate a fresh cache-sized
+        # buffer every call, which both doubles HBM traffic and OOMs 7B+cache
+        # on a 16GB chip.
+        def scan_body(carry, lp):
+            x, kf, vf, li = carry
+            x, kf, vf = layer_fn(x, lp, kf, vf, li)
+            return (x, kf, vf, li + 1), None
+
+        init = (embeds, cache["k"], cache["v"], jnp.asarray(0, jnp.int32))
+        (x, kf, vf, _), _ = jax.lax.scan(scan_body, init, params["layers"])
+        new_cache = {"k": kf, "v": vf}
     else:
-        L = cfg.num_layers
-        dummy = jnp.zeros((L, 0), embeds.dtype)
-        xs = (params["layers"], dummy, dummy)
-
-    def scan_body(x, layer_in):
-        if cache is None:
-            lp, _, _ = layer_in
-            x, _ = layer_fn(x, (lp, None, None))
+        def scan_body(x, lp):
+            x, _, _ = layer_fn(x, lp, None, None, None)
             return x, None
-        x, kv = layer_fn(x, layer_in)
-        return x, kv
 
-    x, kv_out = jax.lax.scan(scan_body, embeds, xs)
+        x, _ = jax.lax.scan(scan_body, embeds, params["layers"])
+        new_cache = None
+
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    new_cache = {"k": kv_out[0], "v": kv_out[1]} if cache is not None else None
     return hidden, new_cache
 
 
 def logits_from_hidden(params: Params, hidden: jax.Array) -> jax.Array:
-    """lm_head in fp32 (parity-critical; SURVEY §7 hard part 1)."""
+    """lm_head with fp32 MXU accumulation (parity-critical; SURVEY §7 hard
+    part 1). Inputs stay in the weight dtype (bf16 on TPU) so no fp32 copy of
+    the [D, V] matrix is ever materialized."""
+    w = params["lm_head"]
     return jnp.dot(
-        hidden.astype(jnp.float32),
-        params["lm_head"].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        hidden.astype(w.dtype), w, preferred_element_type=jnp.float32
     )
 
 

@@ -52,13 +52,14 @@ def mha_xla(
     group = H // K
     scale = 1.0 / (Dh**0.5)
 
-    qf = q.astype(jnp.float32).reshape(B, Sq, K, group, Dh)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    # [B, K, group, Sq, Sk]; HIGHEST so fp32 stays fp32 on the MXU
+    # No fp32 input upcasts (that would materialize fp32 copies of K/V):
+    # the MXU accumulates bf16 x bf16 into fp32 via preferred_element_type.
+    qr = q.reshape(B, Sq, K, group, Dh)
     logits = jnp.einsum(
-        "bqkgd,bskd->bkgqs", qf, kf, precision=jax.lax.Precision.HIGHEST
-    ) * scale
+        "bqkgd,bskd->bkgqs", qr, k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale  # [B, K, group, Sq, Sk] fp32
     if causal:
         Sk = k.shape[1]
         row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
@@ -66,8 +67,12 @@ def mha_xla(
         logits = jnp.where(col <= row, logits, NEG_INF)
     if bias is not None:
         logits = logits + bias
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bkgqs,bskd->bqkgd", probs, vf, precision=jax.lax.Precision.HIGHEST)
+    probs = jax.nn.softmax(logits, axis=-1)  # fp32
+    out = jnp.einsum(
+        "bkgqs,bskd->bqkgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out.reshape(B, Sq, H, Dh).astype(q.dtype)
 
 
@@ -93,14 +98,23 @@ def decode_attention(
     group = H // K
     scale = 1.0 / (Dh**0.5)
 
-    qf = q.astype(jnp.float32).reshape(B, K, group, Dh)
-    kf = k_cache.astype(jnp.float32)
-    logits = jnp.einsum("bkgd,bskd->bkgs", qf, kf, precision=jax.lax.Precision.HIGHEST) * scale  # [B,K,g,Smax]
+    # bf16 cache reads with fp32 MXU accumulation — never upcast the cache
+    # (an fp32 copy of a GB-scale cache per step would dominate HBM traffic).
+    qr = q.astype(k_cache.dtype).reshape(B, K, group, Dh)
+    logits = jnp.einsum(
+        "bkgd,bskd->bkgs", qr, k_cache,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale  # [B, K, group, Smax] fp32
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, Smax), 3)
     mask = pos <= lengths[:, None, None, None]
     logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bkgs,bskd->bkgd", probs, v_cache.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum(
+        "bkgs,bskd->bkgd", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out.reshape(B, 1, H, Dh).astype(q.dtype)
 
 
