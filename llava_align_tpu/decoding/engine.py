@@ -178,6 +178,8 @@ class DecodeEngine:
             done = jnp.asarray(False)
             for kw in kws:
                 m = len(kw)
+                if m > T:  # cannot ever match inside the output buffer
+                    continue
                 start = jnp.maximum(n - m, 0)
                 window = jax.lax.dynamic_slice(out_buf, (start,), (m,))
                 done |= jnp.all(window == jnp.asarray(kw)) & (n >= m)
@@ -235,27 +237,21 @@ class DecodeEngine:
                 n = c["n"] + 1
                 done = (tok == gen.eos_token_id) | stop_hit(out_buf, n) | (n >= T)
 
-                def fwd(cache, lengths, logits):
-                    emb = llama.embed_tokens(
-                        params["llama"], jnp.broadcast_to(tok, (nb, 1))
-                    )
-                    hidden, cache = llama.forward(
-                        params["llama"], cfg.text, emb, lengths[:, None],
-                        cache, lengths, attn_impl=attn_impl,
-                    )
-                    return cache, lengths + 1, llama.logits_from_hidden(
-                        params["llama"], hidden[:, 0]
-                    )
-
-                cache, lengths, logits = jax.lax.cond(
-                    done,
-                    lambda a, b_, c_: (a, b_, c_),
-                    fwd,
-                    c["cache"], c["lengths"], c["logits"],
+                # No lax.cond skip for the final step's forward: both cond
+                # branches carrying the GB-scale cache force XLA to reserve
+                # duplicate buffers; one wasted trailing forward is cheaper.
+                emb = llama.embed_tokens(
+                    params["llama"], jnp.broadcast_to(tok, (nb, 1))
                 )
+                hidden, cache = llama.forward(
+                    params["llama"], cfg.text, emb, c["lengths"][:, None],
+                    c["cache"], c["lengths"], attn_impl=attn_impl,
+                )
+                logits = llama.logits_from_hidden(params["llama"], hidden[:, 0])
                 return dict(
-                    cache=cache, lengths=lengths, logits=logits, out_buf=out_buf,
-                    first_scores=first_scores, n=n, done=done, rng=rng,
+                    cache=cache, lengths=c["lengths"] + 1, logits=logits,
+                    out_buf=out_buf, first_scores=first_scores, n=n, done=done,
+                    rng=rng,
                 )
 
             final = jax.lax.while_loop(cond, body, init)

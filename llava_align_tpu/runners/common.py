@@ -1,0 +1,241 @@
+"""Shared runner infrastructure: model/tokenizer loading, prompt building,
+dataset chunking, resumable jsonl answer files.
+
+Capability parity with the reference eval scripts' shared plumbing
+(experiments/eval/calibrate/llava_calibrate.py:91-160, llava_naive.py:28-66,
+MME/run_llava.py:32-43 split_list/get_chunk) — written fresh, TPU-first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from llava_align_tpu.config import GenerationConfig, LlavaConfig
+from llava_align_tpu.constants import (
+    DEFAULT_IM_END_TOKEN,
+    DEFAULT_IM_START_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+    IMAGE_TOKEN_INDEX,
+)
+from llava_align_tpu.conversation import SeparatorStyle, conv_templates
+from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_token
+
+
+def split_list(lst: Sequence, n: int) -> List[Sequence]:
+    """Split into n (roughly) equal chunks (reference MME/run_llava.py:32-38)."""
+    chunk_size = math.ceil(len(lst) / n)
+    return [lst[i : i + chunk_size] for i in range(0, len(lst), chunk_size)]
+
+
+def get_chunk(lst: Sequence, n: int, k: int) -> Sequence:
+    return split_list(lst, n)[k]
+
+
+def load_questions(path: str, num_chunks: int = 1, chunk_idx: int = 0) -> List[dict]:
+    with open(os.path.expanduser(path)) as f:
+        questions = [json.loads(line) for line in f if line.strip()]
+    if num_chunks > 1:
+        questions = list(get_chunk(questions, num_chunks, chunk_idx))
+    return questions
+
+
+class AnswerFile:
+    """Append-only jsonl answers with skip-done resume (the reference relies
+    on per-line flush for crude resumability, llava_calibrate.py:219;
+    here resume is first-class)."""
+
+    def __init__(self, path: str, resume: bool = False):
+        self.path = os.path.expanduser(path)
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        self.done_ids = set()
+        if resume and os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    try:
+                        self.done_ids.add(json.loads(line)["question_id"])
+                    except Exception:
+                        pass
+            self._f = open(self.path, "a")
+        else:
+            self._f = open(self.path, "w")
+
+    def is_done(self, question_id) -> bool:
+        return question_id in self.done_ids
+
+    def write(self, record: dict) -> None:
+        self._f.write(json.dumps(record) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def build_prompt(
+    question: str,
+    conv_mode: str,
+    *,
+    with_image: bool = True,
+    mm_use_im_start_end: bool = False,
+    one_word: bool = False,
+    suffix: str = "",
+) -> Tuple[str, str]:
+    """Returns (prompt, stop_str). Mirrors llava_calibrate.py:136-144 /
+    llava_naive.py:43-53."""
+    qs = question
+    if with_image:
+        if mm_use_im_start_end:
+            qs = (
+                DEFAULT_IM_START_TOKEN + DEFAULT_IMAGE_TOKEN + DEFAULT_IM_END_TOKEN
+                + "\n" + qs
+            )
+        else:
+            qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
+    if one_word:
+        qs = qs + " Please answer this question with one word."
+    if suffix:
+        qs = qs + suffix
+    conv = conv_templates[conv_mode].copy()
+    conv.append_message(conv.roles[0], qs)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt(), conv.stop_str
+
+
+def postprocess_answer(text: str, stop_str: str) -> str:
+    """Trim at the stop keyword (reference llava_calibrate.py:202-207 plus
+    first-occurrence truncation for strings the token matcher couldn't see)."""
+    text = text.strip()
+    if stop_str:
+        pos = text.find(stop_str)
+        if pos >= 0:
+            text = text[:pos]
+    return text.strip()
+
+
+def load_image_tensor(
+    image_folder: str,
+    image_file: str,
+    *,
+    image_size: int = 336,
+    image_aspect_ratio: Optional[str] = None,
+    synthetic_ok: bool = False,
+) -> np.ndarray:
+    """CLIP-preprocessed [3, H, W] float32. With synthetic_ok, a deterministic
+    noise image replaces missing files (offline smoke runs)."""
+    from llava_align_tpu.ops.image import clip_preprocess_pil
+
+    path = os.path.join(image_folder, image_file) if image_folder else image_file
+    if os.path.exists(path):
+        from PIL import Image
+
+        return clip_preprocess_pil(
+            Image.open(path), image_size, image_aspect_ratio
+        )
+    if not synthetic_ok:
+        raise FileNotFoundError(path)
+    rng = np.random.default_rng(abs(hash(image_file)) % (2**31))
+    raw = rng.integers(0, 256, (image_size, image_size, 3), dtype=np.uint8)
+    from PIL import Image
+
+    return clip_preprocess_pil(Image.fromarray(raw), image_size, None)
+
+
+# ---------------------------------------------------------------------------
+# model loading
+# ---------------------------------------------------------------------------
+
+
+class MockTokenizer:
+    """Deterministic offline tokenizer for smoke runs (no checkpoint files).
+    One id per character, BOS=1, EOS=2; decode maps back to characters."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+    unk_token_id = 0
+    pad_token_id = 0
+
+    def __call__(self, text):
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = [self.bos_token_id] + [min(ord(c), 255) + 3 for c in text]
+        return r
+
+    def decode(self, ids, skip_special_tokens=True):
+        if isinstance(ids, (int, np.integer)):
+            ids = [ids]
+        out = []
+        for t in ids:
+            t = int(t)
+            if t >= 3:
+                out.append(chr(t - 3))
+            elif not skip_special_tokens:
+                out.append({0: "<unk>", 1: "<s>", 2: "</s>"}[t])
+        return "".join(out)
+
+
+@dataclasses.dataclass
+class LoadedModel:
+    tokenizer: Any
+    params: Dict[str, Any]
+    cfg: LlavaConfig
+    model_name: str
+
+
+def load_model(model_path: str, dtype=None) -> LoadedModel:
+    """Load a llava checkpoint dir, or a synthetic model for offline smoke:
+    'random:tiny' | 'random:7b' | 'random:13b'."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    if model_path.startswith("random:"):
+        size = model_path.split(":", 1)[1]
+        from llava_align_tpu.models import llava as llava_model
+
+        if size == "tiny":
+            cfg = LlavaConfig.tiny(vocab_size=512)
+        elif size == "7b":
+            cfg = LlavaConfig.llava_v15_7b()
+        elif size == "13b":
+            cfg = LlavaConfig.llava_v15_13b()
+        else:
+            raise ValueError(size)
+        params = jax.jit(lambda k: llava_model.init(k, cfg))(jax.random.PRNGKey(0))
+        return LoadedModel(MockTokenizer(), params, cfg, f"random-{size}")
+
+    from transformers import AutoTokenizer
+
+    from llava_align_tpu.tokenization import get_model_name_from_path
+    from llava_align_tpu.utils.hf_convert import load_llava_checkpoint
+
+    params, cfg = load_llava_checkpoint(os.path.expanduser(model_path), dtype)
+    tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=False)
+    return LoadedModel(tokenizer, params, cfg, get_model_name_from_path(model_path))
+
+
+def make_generation_config(args, **overrides) -> GenerationConfig:
+    """argparse namespace (reference knob names) → GenerationConfig."""
+    temp = getattr(args, "temperature", 1.0)
+    kw = dict(
+        max_new_tokens=getattr(args, "max_new_tokens", 64),
+        do_sample=temp > 0,
+        temperature=temp if temp > 0 else 1.0,
+        top_p=getattr(args, "top_p", None),
+        top_k=getattr(args, "top_k", None),
+        seed=getattr(args, "seed", 42),
+        use_cd=getattr(args, "use_cd", False),
+        use_dd=getattr(args, "use_dd", False),
+        use_dd_unk=getattr(args, "use_dd_unk", False),
+        cd_alpha=getattr(args, "cd_alpha", 1.0),
+        cd_beta=getattr(args, "cd_beta", 0.1),
+        noise_step=getattr(args, "noise_step", 500),
+    )
+    kw.update(overrides)
+    return GenerationConfig(**kw)

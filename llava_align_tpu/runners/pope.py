@@ -1,0 +1,172 @@
+"""POPE answer-generation runner (VDD/VCD + Post-Hoc logit dumping).
+
+Capability parity: experiments/eval/llava_naive.py (plain answers) and
+experiments/eval/calibrate/llava_calibrate.py (answers + naive/none/unk top-k
+dicts for Post-Hoc calibration). Same public knobs, same jsonl schema.
+
+Example:
+    python -m llava_align_tpu.runners.pope \
+        --model-path /ckpt/llava-v1.5-7b \
+        --question-file data/POPE/coco/coco_pope_adversarial.json \
+        --image-folder /data/coco/val2014 \
+        --answers-file out/answers.jsonl \
+        --use_dd --use_dd_unk --cd_alpha 1 --cd_beta 0.2 --calibrate
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from llava_align_tpu.calibrate.posthoc import calibrate_label_dict, get_prob_from_logits
+from llava_align_tpu.decoding.engine import DecodeEngine
+from llava_align_tpu.runners.common import (
+    AnswerFile,
+    LoadedModel,
+    build_prompt,
+    load_image_tensor,
+    load_model,
+    load_questions,
+    make_generation_config,
+    postprocess_answer,
+)
+from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_token
+
+
+def run(args) -> str:
+    model = load_model(args.model_path)
+    tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
+
+    questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    if args.max_questions:
+        questions = questions[: args.max_questions]
+    ans = AnswerFile(args.answers_file, resume=args.resume)
+
+    gen = make_generation_config(args)
+    _, stop_str = build_prompt("x", args.conv_mode)
+    stop_ids = keyword_token_ids([stop_str], tokenizer)
+    engine = DecodeEngine(params, cfg, gen, stop_keyword_ids=stop_ids)
+    score_engine: Optional[DecodeEngine] = None
+    if args.calibrate:
+        # content-free scoring runs use the plain sampling path
+        # (reference calibrate_label_sapce, llava_calibrate.py:41-89)
+        score_gen = make_generation_config(
+            args, use_cd=False, use_dd=False, use_dd_unk=False, max_new_tokens=1
+        )
+        score_engine = DecodeEngine(params, cfg, score_gen, stop_keyword_ids=stop_ids)
+
+    one_word = args.one_word or "POPE" in args.question_file
+
+    t0 = time.time()
+    n_done = 0
+    for line in questions:
+        idx = line["question_id"]
+        if ans.is_done(idx):
+            continue
+        qs = line["text"]
+        image_file = line.get("image", "")
+
+        prompt, stop_str = build_prompt(
+            qs, args.conv_mode,
+            with_image=True,
+            mm_use_im_start_end=cfg.mm_use_im_start_end,
+            one_word=one_word,
+        )
+        input_ids = tokenizer_image_token(prompt, tokenizer)
+        image = load_image_tensor(
+            args.image_folder, image_file,
+            image_size=cfg.vision.image_size,
+            image_aspect_ratio=args.image_aspect_ratio,
+            synthetic_ok=args.synthetic_images,
+        )
+
+        rng = jax.random.PRNGKey(args.seed + (hash(str(idx)) % 65536))
+        out = engine.generate(input_ids, image, rng=rng)
+        text = postprocess_answer(
+            tokenizer.decode(out.token_ids, skip_special_tokens=True), stop_str
+        )
+        tokens_naive = calibrate_label_dict(
+            out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
+        )
+        record = {
+            "question_id": idx,
+            "prompt": qs,
+            "text": text,
+            "model_id": model.model_name,
+            "image": image_file,
+            "logits_score": get_prob_from_logits(tokens_naive),
+            "naive": tokens_naive,
+            "metadata": {},
+        }
+
+        if score_engine is not None:
+            # 'none': prompt without the image token, no image
+            # (llava_calibrate.py:192 via calibrate_label_sapce images=None)
+            p_none, _ = build_prompt(qs, args.conv_mode, with_image=False, one_word=one_word)
+            out_none = score_engine.generate(
+                tokenizer_image_token(p_none, tokenizer), None, rng=rng
+            )
+            record["none"] = calibrate_label_dict(
+                out_none.first_scores_top_probs, out_none.first_scores_top_ids, tokenizer
+            )
+            # 'unk': image token positions → unk id, no image encoding
+            # (llava_calibrate.py:59-61)
+            p_unk, _ = build_prompt(qs, args.conv_mode, with_image=True, one_word=one_word)
+            ids_unk = [
+                tokenizer.unk_token_id if t == -200 else t
+                for t in tokenizer_image_token(p_unk, tokenizer)
+            ]
+            out_unk = score_engine.generate(ids_unk, None, rng=rng)
+            record["unk"] = calibrate_label_dict(
+                out_unk.first_scores_top_probs, out_unk.first_scores_top_ids, tokenizer
+            )
+
+        ans.write(record)
+        n_done += 1
+        if args.verbose and n_done % 20 == 0:
+            rate = n_done / (time.time() - t0)
+            print(f"{n_done} done, {rate:.2f} samples/s")
+
+    ans.close()
+    return args.answers_file
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # knob names match the reference CLI (llava_calibrate.py:223-246)
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-path", type=str, required=True)
+    p.add_argument("--model-base", type=str, default=None)
+    p.add_argument("--image-folder", type=str, default="")
+    p.add_argument("--question-file", type=str, required=True)
+    p.add_argument("--answers-file", type=str, required=True)
+    p.add_argument("--conv-mode", type=str, default="llava_v1")
+    p.add_argument("--num-chunks", type=int, default=1)
+    p.add_argument("--chunk-idx", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--noise_step", type=int, default=500)
+    p.add_argument("--use_cd", action="store_true", default=False)
+    p.add_argument("--use_dd", action="store_true", default=False)
+    p.add_argument("--use_dd_unk", action="store_true", default=False)
+    p.add_argument("--cd_alpha", type=float, default=1.0)
+    p.add_argument("--cd_beta", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--calibrate", action="store_true", default=False,
+                   help="also dump none/unk content-free top-k dicts")
+    p.add_argument("--one-word", action="store_true", default=False)
+    p.add_argument("--image-aspect-ratio", type=str, default=None)
+    p.add_argument("--synthetic-images", action="store_true", default=False)
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--max-questions", type=int, default=0)
+    p.add_argument("--verbose", action="store_true", default=True)
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

@@ -1,0 +1,54 @@
+"""Decoding-configuration sweep runner.
+
+Capability parity: experiments/eval/sampling/llava_sampling.py:150-194 —
+run the default config, then sweep temperature 0.05..1.0 (step .05), top-p
+0..1 (step .05), and top-k {1,2,5,10,20,50,100,200,500}; answers-file name is
+templated on the literal 'setting'.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from llava_align_tpu.runners import pope
+
+
+def run_sweep(args) -> list:
+    assert "setting" in args.answers_file, "--answers-file must contain 'setting'"
+    answers_template = args.answers_file
+    produced = []
+
+    def run_one(a, name):
+        a.answers_file = answers_template.replace("setting", name)
+        pope.run(a)
+        produced.append(a.answers_file)
+
+    base = copy.deepcopy(args)
+    base.temperature, base.top_p, base.top_k = 1.0, None, None
+    run_one(copy.deepcopy(base), "default")
+
+    if args.use_cd:
+        return produced
+
+    for temp in np.arange(0.05, 1.05, 0.05):
+        t = float(np.round(temp, 2))
+        a = copy.deepcopy(base)
+        a.temperature = t
+        run_one(a, f"temp_{t}")
+
+    for top_p in np.arange(0, 1.05, 0.05):
+        a = copy.deepcopy(base)
+        a.top_p = float(np.round(top_p, 2))
+        run_one(a, f"top_p_{a.top_p}")
+
+    for top_k in [1, 2, 5, 10, 20, 50, 100, 200, 500]:
+        a = copy.deepcopy(base)
+        a.top_k = top_k
+        run_one(a, f"top_k_{top_k}")
+    return produced
+
+
+if __name__ == "__main__":
+    run_sweep(pope.build_parser().parse_args())
