@@ -1,0 +1,60 @@
+"""MME scorer parity (reference eval_tool/calculation.py)."""
+
+from llava_align_tpu.evals.mme import (
+    compute_metric,
+    convert_answers_to_category_txt,
+    parse_pred_ans,
+    score_results_dir,
+    score_task_lines,
+)
+
+
+def test_parse_pred_ans():
+    assert parse_pred_ans("yes") == "yes"
+    assert parse_pred_ans("Yes, it is.") == "yes"
+    assert parse_pred_ans("no") == "no"
+    assert parse_pred_ans("No.") == "no"
+    assert parse_pred_ans("maybe") == "other"
+    # only the 4-char prefix is inspected (calculation.py:28-33)
+    assert parse_pred_ans("that is yes") == "other"
+
+
+def test_compute_metric_counts():
+    gts = ["yes", "yes", "no", "no", "yes"]
+    preds = ["yes", "no", "no", "yes", "other"]
+    m = compute_metric(gts, preds)
+    assert m["TP"] == 1 and m["FN"] == 1 and m["TN"] == 1 and m["FP"] == 1
+    assert m["other_num"] == 1
+    assert m["acc"] == 2 / 5  # 'other' counted wrong in accuracy
+    assert m["precision"] == 0.5 and m["recall"] == 0.5
+
+
+def test_task_score_acc_plus():
+    lines = [
+        "img1\tq1\tyes\tyes\n",
+        "img1\tq2\tno\tno\n",   # both right → acc_plus hit
+        "img2\tq1\tyes\tyes\n",
+        "img2\tq2\tno\tyes\n",  # one wrong → no acc_plus
+    ]
+    m = score_task_lines(lines)
+    assert m["acc"] == 0.75
+    assert m["acc_plus"] == 0.5
+    assert m["task_score"] == (0.75 + 0.5) * 100
+
+
+def test_convert_and_score_dir(tmp_path):
+    answers = [
+        {"question_id": "existence/img1.png", "prompt": "Is there a dog? Please answer yes or no.", "text": "Yes"},
+        {"question_id": "existence/img1.png", "prompt": "Is there a cat? Please answer yes or no.", "text": "No"},
+    ]
+    gt = {
+        ("existence", "img1.txt", "Is there a dog? Please answer yes or no."): "yes",
+        ("existence", "img1.txt", "Is there a cat? Please answer yes or no."): "no",
+    }
+    out = tmp_path / "res"
+    written = convert_answers_to_category_txt(answers, gt, str(out))
+    assert len(written) == 1
+    report = score_results_dir(str(out))
+    ex = report["Perception"]["tasks"]["existence"]
+    assert ex["acc"] == 1.0 and ex["acc_plus"] == 1.0
+    assert report["Perception"]["total_score"] == 200.0
