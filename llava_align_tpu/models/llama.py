@@ -14,14 +14,19 @@ TPU-first design choices:
     'none' branch is ~576 tokens shorter) share one static-shape cache;
   * attention softmax/logits accumulate in fp32; weights/activations bf16.
 
-Param tree (all linear kernels stored [in, out]):
+Param tree — linear kernels kept in torch convention [out, in] (stacked
+[L, out, in]): XLA's preferred operand layout for the decode-time matmuls has
+the contraction dim minormost on both sides; storing [in, out] made XLA hoist
+1GB layout-copies of q/k/v out of the decode loop (observed OOM on v5e).
     embed:      [V, D]
     layers/attn_norm  [L, D]
-    layers/{q,k,v,o}  [L, D, H*Dh] / [L, D, K*Dh] x2 / [L, H*Dh, D]
+    layers/{q,k,v}    [L, H*Dh, D] / [L, K*Dh, D] x2
+    layers/o          [L, D, H*Dh]
     layers/mlp_norm   [L, D]
-    layers/{gate,up,down} [L, D, F] x2 / [L, F, D]
+    layers/{gate,up}  [L, F, D]
+    layers/down       [L, D, F]
     final_norm: [D]
-    lm_head:    [D, V]
+    lm_head:    [V, D]
 """
 
 from __future__ import annotations
@@ -52,17 +57,17 @@ def init(rng: jax.Array, cfg: LlamaConfig) -> Params:
         "embed": w(ks[0], (V, D), D),
         "layers": {
             "attn_norm": jnp.ones((L, D), cfg.dtype),
-            "q": w(ks[1], (L, D, QD), D),
-            "k": w(ks[2], (L, D, KD), D),
-            "v": w(ks[3], (L, D, KD), D),
-            "o": w(ks[4], (L, QD, D), QD),
+            "q": w(ks[1], (L, QD, D), D),
+            "k": w(ks[2], (L, KD, D), D),
+            "v": w(ks[3], (L, KD, D), D),
+            "o": w(ks[4], (L, D, QD), QD),
             "mlp_norm": jnp.ones((L, D), cfg.dtype),
-            "gate": w(ks[5], (L, D, F), D),
-            "up": w(ks[6], (L, D, F), D),
-            "down": w(ks[7], (L, F, D), F),
+            "gate": w(ks[5], (L, F, D), D),
+            "up": w(ks[6], (L, F, D), D),
+            "down": w(ks[7], (L, D, F), F),
         },
         "final_norm": jnp.ones((D,), cfg.dtype),
-        "lm_head": w(ks[8], (D, V), D),
+        "lm_head": w(ks[8], (V, D), D),
     }
 
 
@@ -133,11 +138,16 @@ def forward(
 
     is_decode = cache is not None and S == 1
 
+    def _lin(h, w):  # h [B,S,in] x w [out,in] -> [B,S,out]
+        return jax.lax.dot_general(
+            h, w, (((2,), (1,)), ((), ())), preferred_element_type=h.dtype
+        )
+
     def layer_fn(x, lp, k_full, v_full, li):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q = (h @ lp["q"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = (h @ lp["k"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        v = (h @ lp["v"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q = _lin(h, lp["q"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = _lin(h, lp["k"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = _lin(h, lp["v"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -152,10 +162,10 @@ def forward(
         else:
             attn = causal_attention(q, k, v, impl=attn_impl)
 
-        x = x + attn.reshape(B, S, cfg.q_dim) @ lp["o"]
+        x = x + _lin(attn.reshape(B, S, cfg.q_dim), lp["o"])
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + (silu(h @ lp["gate"]) * (h @ lp["up"])) @ lp["down"]
+        x = x + _lin(silu(_lin(h, lp["gate"])) * _lin(h, lp["up"]), lp["down"])
         return x, k_full, v_full
 
     if cache is not None:
@@ -187,9 +197,12 @@ def logits_from_hidden(params: Params, hidden: jax.Array) -> jax.Array:
     """lm_head with fp32 MXU accumulation (parity-critical; SURVEY §7 hard
     part 1). Inputs stay in the weight dtype (bf16 on TPU) so no fp32 copy of
     the [D, V] matrix is ever materialized."""
-    w = params["lm_head"]
-    return jnp.dot(
-        hidden.astype(w.dtype), w, preferred_element_type=jnp.float32
+    w = params["lm_head"]  # [V, D]
+    return jnp.einsum(
+        "...d,vd->...v",
+        hidden.astype(w.dtype),
+        w,
+        preferred_element_type=jnp.float32,
     )
 
 

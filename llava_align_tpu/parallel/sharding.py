@@ -24,21 +24,23 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
 
 def llama_param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, Any]:
     rep = _ns(mesh)
+    # weights are [L, out, in] (torch convention; see models/llama.py):
+    # column-parallel = shard dim 1 (out), row-parallel = shard dim 2 (in)
     return {
         "embed": _ns(mesh, None, "model"),
         "layers": {
             "attn_norm": rep,
-            "q": _ns(mesh, None, None, "model"),
-            "k": _ns(mesh, None, None, "model"),
-            "v": _ns(mesh, None, None, "model"),
-            "o": _ns(mesh, None, "model", None),
+            "q": _ns(mesh, None, "model", None),
+            "k": _ns(mesh, None, "model", None),
+            "v": _ns(mesh, None, "model", None),
+            "o": _ns(mesh, None, None, "model"),
             "mlp_norm": rep,
-            "gate": _ns(mesh, None, None, "model"),
-            "up": _ns(mesh, None, None, "model"),
-            "down": _ns(mesh, None, "model", None),
+            "gate": _ns(mesh, None, "model", None),
+            "up": _ns(mesh, None, "model", None),
+            "down": _ns(mesh, None, None, "model"),
         },
         "final_norm": rep,
-        "lm_head": _ns(mesh, None, "model"),
+        "lm_head": _ns(mesh, "model", None),
     }
 
 

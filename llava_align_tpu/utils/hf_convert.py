@@ -49,19 +49,20 @@ def convert_llama(sd: StateDict, cfg: LlamaConfig, prefix: str = "") -> Dict[str
     """HF LlamaForCausalLM state dict → llama.init-shaped params."""
     p = prefix
     t = _to(cfg.dtype)
-    T = lambda w: w.T  # torch Linear stores [out, in]; ours is [in, out]
+    # torch Linear stores [out, in] — kept as-is (llama.py stores [L, out, in];
+    # the [in, out] layout made XLA hoist GB-scale layout copies on TPU).
 
     def lt(template):
-        return t(_stack(sd, p + template, cfg.num_layers, T))
+        return t(_stack(sd, p + template, cfg.num_layers, lambda w: w))
 
     def ln(template):
         return t(_stack(sd, p + template, cfg.num_layers, lambda w: w))
 
     embed = _np(sd[p + "model.embed_tokens.weight"])
     if p + "lm_head.weight" in sd:
-        lm_head = _np(sd[p + "lm_head.weight"]).T
+        lm_head = _np(sd[p + "lm_head.weight"])
     else:  # tied embeddings
-        lm_head = embed.T
+        lm_head = embed
     return {
         "embed": t(embed),
         "layers": {
