@@ -1,0 +1,179 @@
+"""Model adapters: the decode engine's interface to each VLM family.
+
+The reference couples its sampler to each model through
+`prepare_inputs_for_generation[_cd]` hooks monkey-wired per fork
+(llava_llama.py:130-197, modeling_qwen.py:1089-1118,
+lavis modeling_llama.py:764-792). Here the coupling is one explicit adapter
+object per family; the engine is family-agnostic.
+
+Branch-degradation semantics per family:
+  llava: 'unk' → IMAGE_TOKEN_INDEX→token 0; 'none' → sentinel removed
+         (vcd_sample.py:153-160)
+  qwen:  'none' → the whole <img>…</img> span (start/pads/end) removed —
+         the reference expresses this at prompt level
+         (qwen_calibrate.py:34-39); 'unk' needs tokenizer text ("None"
+         prefix) so runners pass explicit branch ids instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from llava_align_tpu.config import LlavaConfig
+from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+
+Params = Dict[str, Any]
+
+UNK_TOKEN_ID = 0  # reference vcd_sample.py:155
+
+
+class LlavaAdapter:
+    name = "llava"
+
+    def __init__(self, cfg: LlavaConfig):
+        self.cfg = cfg
+
+    # --- static properties -------------------------------------------------
+    @property
+    def num_image_tokens(self) -> int:
+        return self.cfg.num_image_tokens
+
+    @property
+    def image_size(self) -> int:
+        return self.cfg.vision.image_size
+
+    @property
+    def vision_dtype(self):
+        return self.cfg.vision.dtype
+
+    # --- token-level branch degradation ------------------------------------
+    def branch_token_ids(self, input_ids: Sequence[int], kind: str) -> List[int]:
+        ids = [int(t) for t in input_ids]
+        if kind in ("main", "cd"):
+            return ids
+        if kind == "unk":
+            return [UNK_TOKEN_ID if t == IMAGE_TOKEN_INDEX else t for t in ids]
+        if kind == "none":
+            return [t for t in ids if t != IMAGE_TOKEN_INDEX]
+        raise ValueError(kind)
+
+    # --- device-side model ops ----------------------------------------------
+    def encode_images(self, params: Params, images: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import llava
+
+        return llava.encode_images(params, self.cfg, images)
+
+    def splice_embeds(self, params, tokens, tok_g, img_g, is_img, feats):
+        from llava_align_tpu.models import llava
+
+        return llava.splice_embeds(params, self.cfg, tokens, tok_g, img_g, is_img, feats)
+
+    def embed_tokens(self, params: Params, ids: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import llama
+
+        return llama.embed_tokens(params["llama"], ids)
+
+    def init_cache(self, batch: int, max_len: int):
+        from llava_align_tpu.models import llama
+
+        return llama.init_cache(self.cfg.text, batch, max_len)
+
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+        from llava_align_tpu.models import llama
+
+        return llama.forward(
+            params["llama"], self.cfg.text, embeds, positions, cache, offsets,
+            attn_impl=attn_impl,
+        )
+
+    def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import llama
+
+        return llama.logits_from_hidden(params["llama"], hidden)
+
+
+class QwenVLAdapter:
+    """Qwen-VL: in-band image spans. Callers mark the 256-token image span
+    with a single IMAGE_TOKEN_INDEX sentinel (models/qwen_vl.sentinelize_span);
+    the splice plan expands it to n_queries feature slots framed by the real
+    img_start/img_end tokens."""
+
+    name = "qwen_vl"
+
+    def __init__(self, cfg):
+        self.cfg = cfg  # models.qwen_vl.QwenVLConfig
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.cfg.vision.n_queries
+
+    @property
+    def image_size(self) -> int:
+        return self.cfg.vision.image_size
+
+    @property
+    def vision_dtype(self):
+        return self.cfg.vision.dtype
+
+    def branch_token_ids(self, input_ids: Sequence[int], kind: str) -> List[int]:
+        ids = [int(t) for t in input_ids]
+        if kind in ("main", "cd"):
+            return ids
+        if kind == "none":
+            # drop the whole <img>…</img> block: sentinel plus framing tokens
+            out = []
+            for i, t in enumerate(ids):
+                if t == IMAGE_TOKEN_INDEX:
+                    continue
+                if t in (self.cfg.image_start_id, self.cfg.image_end_id):
+                    continue
+                out.append(t)
+            return out
+        raise ValueError(
+            f"qwen branch '{kind}' requires tokenizer text; pass explicit "
+            "branch ids via generate(..., branch_ids={...})"
+        )
+
+    def encode_images(self, params: Params, images: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import qwen_vit
+
+        return qwen_vit.forward(params["visual"], self.cfg.vision, images).astype(
+            self.cfg.text.dtype
+        )
+
+    def splice_embeds(self, params, tokens, tok_g, img_g, is_img, feats):
+        from llava_align_tpu.models import qwen
+
+        text_emb = qwen.embed_tokens(params["qwen"], tokens)
+        gathered_text = jnp.take_along_axis(text_emb, tok_g[..., None], axis=1)
+        gathered_img = jnp.take_along_axis(feats, img_g[..., None], axis=1).astype(
+            gathered_text.dtype
+        )
+        return jnp.where(is_img[..., None], gathered_img, gathered_text)
+
+    def embed_tokens(self, params: Params, ids: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import qwen
+
+        return qwen.embed_tokens(params["qwen"], ids)
+
+    def init_cache(self, batch: int, max_len: int):
+        from llava_align_tpu.models import qwen
+
+        return qwen.init_cache(self.cfg.text, batch, max_len)
+
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+        from llava_align_tpu.models import qwen
+
+        return qwen.forward(
+            params["qwen"], self.cfg.text, embeds, positions, cache, offsets,
+            ntk_alpha=qwen.ntk_alpha_for_len(self.cfg.text, max_seq_len),
+            attn_impl=attn_impl,
+        )
+
+    def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import qwen
+
+        return qwen.logits_from_hidden(params["qwen"], hidden)

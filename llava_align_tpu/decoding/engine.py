@@ -10,19 +10,20 @@ inside `lax.while_loop` — zero host round-trips per token.
 
 Branch semantics (exact reference behavior, vcd_sample.py:147-185):
     main            full visual input
-    'unk'           IMAGE_TOKEN_INDEX positions replaced with token id 0
-    'none'          IMAGE_TOKEN_INDEX positions physically removed (here: a
-                    genuinely shorter row, right-padded, masked by length)
+    'unk'           degraded-token branch (model-specific; llava: sentinel→0)
+    'none'          visual positions physically removed (here: a genuinely
+                    shorter row, right-padded, masked by length)
     'cd'            same tokens, diffusion-noised image (VCD)
 Contrast logits = the primary branch, or the mean of (primary, 'none') when
 both use_dd and use_dd_unk are set.
+
+The engine is model-family-agnostic via `decoding.adapters`.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,12 +32,11 @@ import numpy as np
 from llava_align_tpu.config import GenerationConfig, LlavaConfig
 from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
 from llava_align_tpu.decoding import sampler as S
-from llava_align_tpu.models import llama, llava
+from llava_align_tpu.decoding.adapters import LlavaAdapter, UNK_TOKEN_ID  # noqa: F401
+from llava_align_tpu.models import llava as llava_model
 from llava_align_tpu.ops.noise import add_diffusion_noise
 
 Params = Dict[str, Any]
-
-UNK_TOKEN_ID = 0  # reference vcd_sample.py:155 replaces the sentinel with 0
 
 
 def branch_kinds(gen: GenerationConfig) -> List[str]:
@@ -59,14 +59,9 @@ def branch_kinds(gen: GenerationConfig) -> List[str]:
 
 
 def branch_token_ids(input_ids: Sequence[int], kind: str) -> List[int]:
-    ids = [int(t) for t in input_ids]
-    if kind in ("main", "cd"):
-        return ids
-    if kind == "unk":
-        return [UNK_TOKEN_ID if t == IMAGE_TOKEN_INDEX else t for t in ids]
-    if kind == "none":
-        return [t for t in ids if t != IMAGE_TOKEN_INDEX]
-    raise ValueError(kind)
+    """LLaVA-family branch degradation (kept for compatibility; adapters own
+    this per family)."""
+    return LlavaAdapter.branch_token_ids(None, input_ids, kind)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -95,6 +90,7 @@ class DecodeEngine:
         cfg: LlavaConfig,
         gen: GenerationConfig,
         *,
+        adapter=None,
         stop_keyword_ids: Optional[Sequence[Sequence[int]]] = None,
         attn_impl: str = "auto",
         bucket: int = 128,
@@ -102,6 +98,7 @@ class DecodeEngine:
     ):
         self.params = params
         self.cfg = cfg
+        self.adapter = adapter if adapter is not None else LlavaAdapter(cfg)
         self.gen = gen
         self.kinds = branch_kinds(gen)
         self.stop_keyword_ids = [list(map(int, k)) for k in (stop_keyword_ids or [])]
@@ -114,11 +111,20 @@ class DecodeEngine:
     # host-side packing
     # ------------------------------------------------------------------
 
-    def _pack(self, input_ids: Sequence[int], has_image: bool):
-        n_img = self.cfg.num_image_tokens if has_image else 0
+    def _pack(
+        self,
+        input_ids: Sequence[int],
+        has_image: bool,
+        branch_ids: Optional[Mapping[str, Sequence[int]]] = None,
+    ):
+        n_img = self.adapter.num_image_tokens if has_image else 0
+        branch_ids = branch_ids or {}
         per_branch = []
         for kind in self.kinds:
-            ids = branch_token_ids(input_ids, kind)
+            if kind in branch_ids:
+                ids = [int(t) for t in branch_ids[kind]]
+            else:
+                ids = self.adapter.branch_token_ids(input_ids, kind)
             n = n_img if kind in ("main", "cd") else 0
             per_branch.append((kind, ids, n))
         max_len = max(
@@ -137,7 +143,7 @@ class DecodeEngine:
         lengths = np.zeros((nb,), np.int32)
         feats_src = np.full((nb,), -1, np.int32)  # -1 = no image features
         for b, (kind, ids, n) in enumerate(per_branch):
-            plan = llava.plan_splice(ids, n, pad_to)
+            plan = llava_model.plan_splice(ids, n, pad_to)
             tokens[b, : len(plan.tokens)] = plan.tokens
             tok_g[b] = plan.tok_gather
             img_g[b] = plan.img_gather
@@ -157,7 +163,7 @@ class DecodeEngine:
         if pad_to in self._compiled:
             return self._compiled[pad_to]
 
-        cfg, gen = self.cfg, self.gen
+        adapter, gen = self.adapter, self.gen
         nb = len(self.kinds)
         n_contrast = nb - 1
         T = gen.max_new_tokens
@@ -193,7 +199,7 @@ class DecodeEngine:
                 imgs = jnp.concatenate([images, noised], axis=0)
             else:
                 imgs = images
-            feats = llava.encode_images(params, cfg, imgs)  # [n_imgs, N, D]
+            feats = adapter.encode_images(params, imgs)  # [n_imgs, N, D]
             N, D = feats.shape[1], feats.shape[2]
             feats_ext = jnp.concatenate(
                 [jnp.zeros((1, N, D), feats.dtype), feats], axis=0
@@ -201,16 +207,18 @@ class DecodeEngine:
             branch_feats = feats_ext[feats_src + 1]  # [nb, N, D]
 
             # ---- prefill (all branches, one forward)
-            embeds = llava.splice_embeds(params, cfg, tokens, tok_g, img_g, is_img, branch_feats)
+            embeds = adapter.splice_embeds(params, tokens, tok_g, img_g, is_img, branch_feats)
             positions = jnp.broadcast_to(
                 jnp.arange(pad_to, dtype=jnp.int32), (nb, pad_to)
             )
-            cache = llama.init_cache(cfg.text, nb, cache_len)
-            hidden, cache = llama.forward(
-                params["llama"], cfg.text, embeds, positions, cache,
+            cache = adapter.init_cache(nb, cache_len)
+            hidden, cache = adapter.forward(
+                params, embeds, positions, cache,
                 jnp.zeros((nb,), jnp.int32), attn_impl=attn_impl,
+                max_seq_len=cache_len,
             )
-            logits = llama.last_token_logits(params["llama"], hidden, lengths - 1)
+            last_hidden = hidden[jnp.arange(nb), lengths - 1]
+            logits = adapter.logits(params, last_hidden)
 
             # ---- on-device decode loop
             V = logits.shape[-1]
@@ -240,14 +248,12 @@ class DecodeEngine:
                 # No lax.cond skip for the final step's forward: both cond
                 # branches carrying the GB-scale cache force XLA to reserve
                 # duplicate buffers; one wasted trailing forward is cheaper.
-                emb = llama.embed_tokens(
-                    params["llama"], jnp.broadcast_to(tok, (nb, 1))
+                emb = adapter.embed_tokens(params, jnp.broadcast_to(tok, (nb, 1)))
+                hidden, cache = adapter.forward(
+                    params, emb, c["lengths"][:, None], c["cache"], c["lengths"],
+                    attn_impl=attn_impl, max_seq_len=cache_len,
                 )
-                hidden, cache = llama.forward(
-                    params["llama"], cfg.text, emb, c["lengths"][:, None],
-                    c["cache"], c["lengths"], attn_impl=attn_impl,
-                )
-                logits = llama.logits_from_hidden(params["llama"], hidden[:, 0])
+                logits = adapter.logits(params, hidden[:, 0])
                 return dict(
                     cache=cache, lengths=c["lengths"] + 1, logits=logits,
                     out_buf=out_buf, first_scores=first_scores, n=n, done=done,
@@ -271,19 +277,22 @@ class DecodeEngine:
         image: Optional[np.ndarray] = None,
         *,
         rng: Optional[jax.Array] = None,
+        branch_ids: Optional[Mapping[str, Sequence[int]]] = None,
     ) -> GenerationOutput:
-        """image: normalized pixels [3, H, W] (CLIP-preprocessed) or None."""
+        """image: normalized pixels [3, H, W] (CLIP-preprocessed) or None.
+        branch_ids: optional explicit token ids per branch kind (models whose
+        degraded prompts need the tokenizer, e.g. qwen 'unk')."""
         has_image = image is not None and any(
             t == IMAGE_TOKEN_INDEX for t in input_ids
         )
         pad_to, tokens, tok_g, img_g, is_img, lengths, feats_src = self._pack(
-            input_ids, has_image
+            input_ids, has_image, branch_ids
         )
         if image is not None:
-            images = jnp.asarray(image, self.cfg.vision.dtype)[None]
+            images = jnp.asarray(image, self.adapter.vision_dtype)[None]
         else:
-            H = self.cfg.vision.image_size
-            images = jnp.zeros((1, 3, H, H), self.cfg.vision.dtype)
+            H = self.adapter.image_size
+            images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
         fn = self._get_fn(pad_to)

@@ -1,0 +1,207 @@
+"""Qwen(-VL) decoder in functional JAX.
+
+Capability parity: reference experiments/Qwen_VL/modeling_qwen.py —
+QWenAttention (:107-318, packed c_attn with bias, bias-free projections),
+QWenMLP a1*silu(a2) (:319-336), QWenBlock pre-RMSNorm residuals (:338+),
+RotaryEmbedding with dynamic-NTK base scaling (:1150-1190, :645-659),
+log-n attention scaling beyond the trained context (:137-144, :292-298),
+RMSNorm eps 1e-6 (:1219-1233).
+
+Same TPU-first structure as models/llama.py: stacked [L, out, in] weights,
+scan-carry KV cache, bf16 matmuls with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llava_align_tpu.ops.attention import causal_attention, decode_attention
+from llava_align_tpu.ops.layers import apply_rope, rms_norm, rope_cos_sin, silu
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    head_dim: int = 128  # kv_channels
+    intermediate_size: int = 22016  # w1/w2 each output intermediate_size // 2
+    layer_norm_eps: float = 1e-6
+    rotary_emb_base: float = 10000.0
+    seq_length: int = 2048  # trained context — NTK/log-n kick in beyond it
+    use_dynamic_ntk: bool = True
+    use_logn_attn: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def ff_dim(self) -> int:
+        return self.intermediate_size // 2
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @staticmethod
+    def qwen_vl_7b() -> "QwenConfig":
+        return QwenConfig()
+
+    @staticmethod
+    def tiny(vocab_size: int = 256) -> "QwenConfig":
+        return QwenConfig(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            head_dim=16,
+            intermediate_size=256,
+            seq_length=128,
+            dtype=jnp.float32,
+        )
+
+
+def init(rng: jax.Array, cfg: QwenConfig) -> Params:
+    ks = jax.random.split(rng, 10)
+    D, F2, L, V, QD = cfg.hidden_size, cfg.ff_dim, cfg.num_layers, cfg.vocab_size, cfg.q_dim
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) / (fan_in**0.5)).astype(cfg.dtype)
+
+    return {
+        "wte": w(ks[0], (V, D), D),
+        "layers": {
+            "ln_1": jnp.ones((L, D), cfg.dtype),
+            "c_attn_w": w(ks[1], (L, 3 * QD, D), D),
+            "c_attn_b": jnp.zeros((L, 3 * QD), cfg.dtype),
+            "attn_proj": w(ks[2], (L, D, QD), QD),
+            "ln_2": jnp.ones((L, D), cfg.dtype),
+            "w1": w(ks[3], (L, F2, D), D),
+            "w2": w(ks[4], (L, F2, D), D),
+            "mlp_proj": w(ks[5], (L, D, F2), F2),
+        },
+        "ln_f": jnp.ones((D,), cfg.dtype),
+        "lm_head": w(ks[6], (V, D), D),
+    }
+
+
+def init_cache(cfg: QwenConfig, batch: int, max_len: int) -> Dict[str, jax.Array]:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+
+
+def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
+    V = params["wte"].shape[0]
+    return params["wte"][jnp.clip(token_ids, 0, V - 1)]
+
+
+def ntk_alpha_for_len(cfg: QwenConfig, kv_seq_len: int) -> float:
+    """Dynamic-NTK alpha (reference modeling_qwen.py:645-659). Computed
+    host-side from the static max sequence length of the compiled program."""
+    if not cfg.use_dynamic_ntk or kv_seq_len <= cfg.seq_length:
+        return 1.0
+    context_value = math.log(kv_seq_len / cfg.seq_length, 2) + 1
+    return max(2 ** math.ceil(context_value) - 1, 1.0)
+
+
+def _logn_scale(cfg: QwenConfig, positions: jax.Array) -> jax.Array:
+    """log-n query scaling factor per absolute position
+    (reference :140-144: log_{seq_length}(i) for 1-based i > seq_length)."""
+    i = positions.astype(jnp.float32) + 1.0
+    factor = jnp.log(i) / jnp.log(float(cfg.seq_length))
+    return jnp.where(i > cfg.seq_length, factor, 1.0)
+
+
+def _write_cache_full(cache_full, new, layer_idx, offsets, is_decode):
+    B = new.shape[0]
+    if is_decode:
+        return cache_full.at[layer_idx, jnp.arange(B), offsets].set(new[:, 0])
+    return jax.lax.dynamic_update_slice(cache_full, new[None], (layer_idx, 0, 0, 0, 0))
+
+
+def forward(
+    params: Params,
+    cfg: QwenConfig,
+    embeds: jax.Array,
+    positions: jax.Array,
+    cache: Optional[Dict[str, jax.Array]] = None,
+    cache_offset: Optional[jax.Array] = None,
+    *,
+    ntk_alpha: float = 1.0,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    B, S, D = embeds.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+    base = cfg.rotary_emb_base * ntk_alpha ** (Dh / (Dh - 2))
+    cos, sin = rope_cos_sin(positions, Dh, base)
+    if cache_offset is None:
+        cache_offset = jnp.zeros((B,), jnp.int32)
+    is_decode = cache is not None and S == 1
+    if cfg.use_logn_attn:
+        logn = _logn_scale(cfg, positions)[..., None, None]  # [B,S,1,1]
+    else:
+        logn = None
+
+    def _lin(h, w):
+        return jax.lax.dot_general(
+            h, w, (((2,), (1,)), ((), ())), preferred_element_type=h.dtype
+        )
+
+    def layer_fn(x, lp, k_full, v_full, li):
+        h = rms_norm(x, lp["ln_1"], cfg.layer_norm_eps)
+        qkv = _lin(h, lp["c_attn_w"]) + lp["c_attn_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = apply_rope(q.reshape(B, S, H, Dh), cos, sin)
+        k = apply_rope(k.reshape(B, S, H, Dh), cos, sin)
+        v = v.reshape(B, S, H, Dh)
+        if logn is not None:
+            q = (q.astype(jnp.float32) * logn).astype(q.dtype)
+
+        if cache is not None:
+            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode)
+            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode)
+
+        if is_decode:
+            k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
+            v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+            attn = decode_attention(q, k_slice, v_slice, cache_offset)
+        else:
+            attn = causal_attention(q, k, v, impl=attn_impl)
+
+        x = x + _lin(attn.reshape(B, S, cfg.q_dim), lp["attn_proj"])
+        h = rms_norm(x, lp["ln_2"], cfg.layer_norm_eps)
+        x = x + _lin(_lin(h, lp["w1"]) * silu(_lin(h, lp["w2"])), lp["mlp_proj"])
+        return x, k_full, v_full
+
+    if cache is not None:
+        def scan_body(carry, lp):
+            x, kf, vf, li = carry
+            x, kf, vf = layer_fn(x, lp, kf, vf, li)
+            return (x, kf, vf, li + 1), None
+
+        init_c = (embeds, cache["k"], cache["v"], jnp.asarray(0, jnp.int32))
+        (x, kf, vf, _), _ = jax.lax.scan(scan_body, init_c, params["layers"])
+        new_cache = {"k": kf, "v": vf}
+    else:
+        def scan_body(x, lp):
+            x, _, _ = layer_fn(x, lp, None, None, None)
+            return x, None
+
+        x, _ = jax.lax.scan(scan_body, embeds, params["layers"])
+        new_cache = None
+
+    hidden = rms_norm(x, params["ln_f"], cfg.layer_norm_eps)
+    return hidden, new_cache
+
+
+def logits_from_hidden(params: Params, hidden: jax.Array) -> jax.Array:
+    w = params["lm_head"]
+    return jnp.einsum(
+        "...d,vd->...v", hidden.astype(w.dtype), w, preferred_element_type=jnp.float32
+    )

@@ -1,0 +1,79 @@
+"""MME benchmark runner: generate answers over llava_mme.jsonl, convert to
+per-category txts, score.
+
+Capability parity: experiments/eval/MME/run_llava.py (generation; prompt has
+no 'one word' suffix — the MME questions carry 'Please answer yes or no.'),
+convert_answer_to_mme.py, eval_tool/calculation.py.
+
+    python -m llava_align_tpu.runners.mme \
+        --model-path /ckpt/llava-v1.5-7b \
+        --question-file eval/MME/llava_mme.jsonl \
+        --image-folder /data/MME_Benchmark \
+        --answers-file out/mme/answers.jsonl \
+        --mme-data-root /data/MME_Benchmark [--use_dd --use_dd_unk ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from llava_align_tpu.evals.mme import (
+    convert_answers_to_category_txt,
+    score_results_dir,
+)
+from llava_align_tpu.runners import pope
+
+
+def load_mme_gt(data_path: str) -> dict:
+    """MME_Benchmark dir → {(category, file, question): answer}
+    (reference convert_answer_to_mme.py:19-38)."""
+    gt = {}
+    for category in os.listdir(data_path):
+        category_dir = os.path.join(data_path, category)
+        if not os.path.isdir(category_dir):
+            continue
+        if os.path.exists(os.path.join(category_dir, "images")):
+            qa_path = os.path.join(category_dir, "questions_answers_YN")
+        else:
+            qa_path = category_dir
+        if not os.path.isdir(qa_path):
+            continue
+        for file in os.listdir(qa_path):
+            if not file.endswith(".txt"):
+                continue
+            with open(os.path.join(qa_path, file)) as f:
+                for line in f:
+                    parts = line.strip().split("\t")
+                    if len(parts) >= 2:
+                        gt[(category, file, parts[0])] = parts[1]
+    return gt
+
+
+def run(args) -> dict:
+    args.one_word = False  # MME questions already instruct yes/no
+    if args.image_aspect_ratio is None:
+        args.image_aspect_ratio = "pad"  # llava-v1.5 config default
+    answers_file = pope.run(args)
+
+    if not args.mme_data_root:
+        print("no --mme-data-root given; skipping conversion/scoring")
+        return {}
+    with open(answers_file) as f:
+        answers = [json.loads(line) for line in f]
+    gt = load_mme_gt(args.mme_data_root)
+    out_dir = os.path.join(os.path.dirname(answers_file), "mme_eval")
+    convert_answers_to_category_txt(answers, gt, out_dir)
+    report = score_results_dir(out_dir)
+    print(json.dumps(report, indent=2, default=float))
+    return report
+
+
+def build_parser():
+    p = pope.build_parser()
+    p.add_argument("--mme-data-root", type=str, default="")
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

@@ -159,6 +159,154 @@ def convert_projector(
 
 
 # ---------------------------------------------------------------------------
+# Qwen-VL
+# ---------------------------------------------------------------------------
+
+
+def convert_qwen(sd: StateDict, cfg, prefix: str = "") -> Dict[str, Any]:
+    """Qwen decoder state dict (transformer.h.{i}.* keys) → models/qwen
+    params. All linears stay in torch [out, in] layout."""
+    p = prefix
+    t = _to(cfg.dtype)
+    L = cfg.num_layers
+
+    def st(template):
+        return t(_stack(sd, p + template, L, lambda w: w))
+
+    return {
+        "wte": t(_np(sd[p + "transformer.wte.weight"])),
+        "layers": {
+            "ln_1": st("transformer.h.{i}.ln_1.weight"),
+            "c_attn_w": st("transformer.h.{i}.attn.c_attn.weight"),
+            "c_attn_b": st("transformer.h.{i}.attn.c_attn.bias"),
+            "attn_proj": st("transformer.h.{i}.attn.c_proj.weight"),
+            "ln_2": st("transformer.h.{i}.ln_2.weight"),
+            "w1": st("transformer.h.{i}.mlp.w1.weight"),
+            "w2": st("transformer.h.{i}.mlp.w2.weight"),
+            "mlp_proj": st("transformer.h.{i}.mlp.c_proj.weight"),
+        },
+        "ln_f": t(_np(sd[p + "transformer.ln_f.weight"])),
+        "lm_head": t(_np(sd[p + "lm_head.weight"])),
+    }
+
+
+def convert_qwen_visual(
+    sd: StateDict, cfg, prefix: str = "transformer.visual."
+) -> Dict[str, Any]:
+    """Qwen-VL ViT + Resampler state dict → models/qwen_vit params. Position
+    embeddings are bicubic-interpolated to the patch grid at conversion time
+    (reference interpolates per forward, visual.py:23-39,141,402)."""
+    from llava_align_tpu.models.qwen_vit import interpolate_pos_embed
+
+    p = prefix
+    t = _to(cfg.dtype)
+    L, N = cfg.num_layers, cfg.num_patches
+
+    def st(template):
+        return t(_stack(sd, p + template, L, lambda w: w))
+
+    conv = _np(sd[p + "conv1.weight"])  # [W, 3, P, P], bias-free
+    pos = interpolate_pos_embed(_np(sd[p + "positional_embedding"]), N)
+    pos_q = _np(sd[p + "attn_pool.pos_embed"])
+    pos_kv = interpolate_pos_embed(pos_q, N)
+
+    def ln(key, stacked_template=None):
+        if stacked_template:
+            return {"scale": st(stacked_template + ".weight"), "bias": st(stacked_template + ".bias")}
+        return {"scale": t(_np(sd[p + key + ".weight"])), "bias": t(_np(sd[p + key + ".bias"]))}
+
+    return {
+        "conv": t(conv.reshape(conv.shape[0], -1)),
+        "pos_embed": t(pos),
+        "ln_pre": ln("ln_pre"),
+        "layers": {
+            "ln_1": ln(None, "transformer.resblocks.{i}.ln_1"),
+            "in_proj": {
+                "w": st("transformer.resblocks.{i}.attn.in_proj.weight"),
+                "b": st("transformer.resblocks.{i}.attn.in_proj.bias"),
+            },
+            "out_proj": {
+                "w": st("transformer.resblocks.{i}.attn.out_proj.weight"),
+                "b": st("transformer.resblocks.{i}.attn.out_proj.bias"),
+            },
+            "ln_2": ln(None, "transformer.resblocks.{i}.ln_2"),
+            "c_fc": {
+                "w": st("transformer.resblocks.{i}.mlp.c_fc.weight"),
+                "b": st("transformer.resblocks.{i}.mlp.c_fc.bias"),
+            },
+            "c_proj": {
+                "w": st("transformer.resblocks.{i}.mlp.c_proj.weight"),
+                "b": st("transformer.resblocks.{i}.mlp.c_proj.bias"),
+            },
+        },
+        "resampler": {
+            "query": t(_np(sd[p + "attn_pool.query"])),
+            "pos_q": t(pos_q),
+            "pos_kv": t(pos_kv),
+            "kv_proj": t(_np(sd[p + "attn_pool.kv_proj.weight"])),
+            "ln_q": ln("attn_pool.ln_q"),
+            "ln_kv": ln("attn_pool.ln_kv"),
+            "in_proj": {
+                "w": t(_np(sd[p + "attn_pool.attn.in_proj_weight"])),
+                "b": t(_np(sd[p + "attn_pool.attn.in_proj_bias"])),
+            },
+            "out_proj": {
+                "w": t(_np(sd[p + "attn_pool.attn.out_proj.weight"])),
+                "b": t(_np(sd[p + "attn_pool.attn.out_proj.bias"])),
+            },
+        },
+        "ln_post": ln("ln_post"),
+        "proj": t(_np(sd[p + "proj"])),
+    }
+
+
+def load_qwen_vl_checkpoint(model_path: str, dtype=jnp.bfloat16):
+    """Qwen-VL checkpoint dir → (params, QwenVLConfig)."""
+    from llava_align_tpu.models.qwen import QwenConfig
+    from llava_align_tpu.models.qwen_vit import QwenVisionConfig
+    from llava_align_tpu.models.qwen_vl import QwenVLConfig
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf = json.load(f)
+    vis = hf.get("visual", {})
+    text = QwenConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        head_dim=hf.get("kv_channels", hf["hidden_size"] // hf["num_attention_heads"]),
+        intermediate_size=hf["intermediate_size"],
+        layer_norm_eps=hf.get("layer_norm_epsilon", 1e-6),
+        rotary_emb_base=hf.get("rotary_emb_base", 10000),
+        seq_length=hf.get("seq_length", 2048),
+        use_dynamic_ntk=hf.get("use_dynamic_ntk", True),
+        use_logn_attn=hf.get("use_logn_attn", True),
+        dtype=dtype,
+    )
+    vision = QwenVisionConfig(
+        image_size=vis.get("image_size", 448),
+        patch_size=vis.get("patch_size", 14),
+        width=vis.get("width", 1664),
+        num_layers=vis.get("layers", 48),
+        num_heads=vis.get("heads", 16),
+        mlp_ratio=vis.get("mlp_ratio", 4.9231),
+        n_queries=vis.get("n_queries", 256),
+        output_dim=vis.get("output_dim", 4096),
+        dtype=dtype,
+    )
+    cfg = QwenVLConfig(
+        text=text, vision=vision,
+        image_start_id=vis.get("image_start_id", 151857),
+    )
+    sd = load_state_dict(model_path)
+    params = {
+        "qwen": convert_qwen(sd, text),
+        "visual": convert_qwen_visual(sd, vision),
+    }
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
 # Full-checkpoint loading
 # ---------------------------------------------------------------------------
 
