@@ -51,11 +51,9 @@ class QwenVLConfig:
 
     @staticmethod
     def tiny(vocab_size: int = 512) -> "QwenVLConfig":
-        return QwenVLConfig(
-            text=QwenConfig.tiny(vocab_size),
-            vision=QwenVisionConfig.tiny(),
-            image_start_id=vocab_size - 5,
-        )
+        text = QwenConfig.tiny(vocab_size)
+        vision = dataclasses.replace(QwenVisionConfig.tiny(), output_dim=text.hidden_size)
+        return QwenVLConfig(text=text, vision=vision, image_start_id=vocab_size - 5)
 
 
 def init(rng: jax.Array, cfg: QwenVLConfig) -> Params:

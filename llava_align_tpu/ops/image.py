@@ -78,6 +78,23 @@ def clip_preprocess_pil(
     return arr.transpose(2, 0, 1)  # CHW
 
 
+def qwen_preprocess_pil(
+    pil_img,
+    image_size: int = 448,
+    mean: Sequence[float] = OPENAI_CLIP_MEAN,
+    std: Sequence[float] = OPENAI_CLIP_STD,
+) -> np.ndarray:
+    """Qwen-VL's image transform: direct (aspect-destroying) bicubic resize to
+    image_size x image_size + CLIP normalize (reference Qwen_VL/visual.py:352-361).
+    Returns CHW float32."""
+    from PIL import Image
+
+    img = pil_img.convert("RGB").resize((image_size, image_size), resample=Image.BICUBIC)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return arr.transpose(2, 0, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("image_size",))
 def clip_normalize(
     image_01: jax.Array,

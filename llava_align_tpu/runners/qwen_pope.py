@@ -1,0 +1,157 @@
+"""Qwen-VL POPE runner.
+
+Capability parity: experiments/eval/calibrate/qwen_calibrate.py — prompt
+format '<img>{path}</img>{question} Answer:' (:41,100), content-free variants
+'none' = '{q} Answer:' and 'unk' = 'None {q} Answer:' (:34-39), eod stopping,
+max_new_tokens=20 (:47,115), VCD via diffusion-noised images.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from llava_align_tpu.calibrate.posthoc import calibrate_label_dict, get_prob_from_logits
+from llava_align_tpu.decoding.adapters import QwenVLAdapter
+from llava_align_tpu.decoding.engine import DecodeEngine
+from llava_align_tpu.models import qwen_vl as qwen_vl_model
+from llava_align_tpu.models.qwen_vl import QwenVLConfig
+from llava_align_tpu.runners.common import (
+    AnswerFile,
+    MockTokenizer,
+    load_questions,
+    make_generation_config,
+)
+
+
+class QwenMockTokenizer(MockTokenizer):
+    eod_id = 2
+
+
+def load_qwen_model(model_path: str):
+    import jax.numpy as jnp
+
+    if model_path.startswith("random:"):
+        cfg = QwenVLConfig.tiny()
+        # not jitted: init interpolates pos embeds with host numpy
+        params = qwen_vl_model.init(jax.random.PRNGKey(0), cfg)
+        return QwenMockTokenizer(), params, cfg, "random-qwen-vl"
+    from transformers import AutoTokenizer
+
+    from llava_align_tpu.utils.hf_convert import load_qwen_vl_checkpoint
+
+    params, cfg = load_qwen_vl_checkpoint(os.path.expanduser(model_path))
+    tok = AutoTokenizer.from_pretrained(model_path, trust_remote_code=True)
+    name = "qwen-vl" if "Chat" not in model_path else "qwen-vl-chat"
+    return tok, params, cfg, name
+
+
+def _text_ids(tokenizer, text: str):
+    return list(tokenizer(text).input_ids)
+
+
+def run(args) -> str:
+    tokenizer, params, cfg, model_name = load_qwen_model(args.model_path)
+    eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
+
+    questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    if args.max_questions:
+        questions = questions[: args.max_questions]
+    ans = AnswerFile(args.answers_file, resume=args.resume)
+
+    gen = make_generation_config(args, eos_token_id=eod, max_new_tokens=args.max_new_tokens)
+    adapter = QwenVLAdapter(cfg)
+    engine = DecodeEngine(params, cfg, gen, adapter=adapter, bucket=64)
+    score_engine = None
+    if args.calibrate:
+        score_gen = make_generation_config(
+            args, eos_token_id=eod, use_cd=False, use_dd=False, use_dd_unk=False,
+            max_new_tokens=1,
+        )
+        score_engine = DecodeEngine(params, cfg, score_gen, adapter=adapter, bucket=64)
+
+    span = qwen_vl_model.make_image_span_ids(cfg)
+
+    for line in questions:
+        idx = line["question_id"]
+        if ans.is_done(idx):
+            continue
+        q = line["text"]
+        image_file = line.get("image", "")
+
+        # main prompt: '<img>{path}</img>{q} Answer:' — span first, then text
+        text_ids = _text_ids(tokenizer, f"{q} Answer:")
+        raw_ids = span + text_ids
+        sent_ids, _ = qwen_vl_model.sentinelize_span(raw_ids, cfg)
+
+        # 'unk' branch = 'None {q} Answer:' — needs tokenizer text, passed as
+        # an explicit branch override (qwen_calibrate.py:37)
+        branch_ids = {}
+        if gen.use_dd_unk:
+            branch_ids["unk"] = _text_ids(tokenizer, f"None {q} Answer:")
+
+        image = _load_image(args, image_file, cfg)
+        rng = jax.random.PRNGKey(args.seed + (hash(str(idx)) % 65536))
+        out = engine.generate(sent_ids, image, rng=rng, branch_ids=branch_ids)
+        text = tokenizer.decode(out.token_ids, skip_special_tokens=True).strip()
+        tokens_naive = calibrate_label_dict(
+            out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
+        )
+        record = {
+            "question_id": idx,
+            "prompt": q,
+            "text": text,
+            "model_id": model_name,
+            "image": image_file,
+            "logits_score": get_prob_from_logits(tokens_naive),
+            "naive": tokens_naive,
+            "metadata": {},
+        }
+        if score_engine is not None:
+            out_none = score_engine.generate(
+                _text_ids(tokenizer, f"{q} Answer:"), None, rng=rng
+            )
+            record["none"] = calibrate_label_dict(
+                out_none.first_scores_top_probs, out_none.first_scores_top_ids, tokenizer
+            )
+            out_unk = score_engine.generate(
+                _text_ids(tokenizer, f"None {q} Answer:"), None, rng=rng
+            )
+            record["unk"] = calibrate_label_dict(
+                out_unk.first_scores_top_probs, out_unk.first_scores_top_ids, tokenizer
+            )
+        ans.write(record)
+    ans.close()
+    return args.answers_file
+
+
+def _load_image(args, image_file: str, cfg) -> np.ndarray:
+    from llava_align_tpu.ops.image import qwen_preprocess_pil
+
+    path = os.path.join(args.image_folder, image_file) if args.image_folder else image_file
+    if os.path.exists(path):
+        from PIL import Image
+
+        return qwen_preprocess_pil(Image.open(path), cfg.vision.image_size)
+    if not args.synthetic_images:
+        raise FileNotFoundError(path)
+    rng = np.random.default_rng(abs(hash(image_file)) % (2**31))
+    raw = rng.integers(0, 256, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8)
+    from PIL import Image
+
+    return qwen_preprocess_pil(Image.fromarray(raw), cfg.vision.image_size)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from llava_align_tpu.runners.pope import build_parser as base
+
+    p = base()
+    p.set_defaults(max_new_tokens=20)  # qwen_calibrate.py:47
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())
