@@ -95,6 +95,81 @@ class LlavaAdapter:
         return llama.logits_from_hidden(params["llama"], hidden)
 
 
+class InstructBlipAdapter:
+    """InstructBLIP: the 32 projected Q-Former query embeddings act as the
+    "image features"; prompts are [sentinel] + Vicuna token ids. Because the
+    Q-Former is text-conditioned (instruction tokens), feature encoding
+    happens OUTSIDE the engine (models/instructblip.encode) and is passed via
+    generate(..., precomputed_feats=...) — mirroring the reference, which
+    computes inputs_llm/inputs_llm_cd once per question before llm.generate
+    (blip2_vicuna_instruct.py:330-410)."""
+
+    name = "instructblip"
+
+    def __init__(self, cfg):
+        self.cfg = cfg  # models.instructblip.InstructBlipConfig
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.cfg.num_query_tokens
+
+    @property
+    def image_size(self) -> int:
+        return self.cfg.vision.image_size
+
+    @property
+    def vision_dtype(self):
+        return self.cfg.vision.dtype
+
+    def branch_token_ids(self, input_ids: Sequence[int], kind: str) -> List[int]:
+        ids = [int(t) for t in input_ids]
+        if kind in ("main", "cd"):
+            return ids
+        if kind == "none":
+            # use_image=False: text-only stream, no query embeddings
+            return [t for t in ids if t != IMAGE_TOKEN_INDEX]
+        raise ValueError(f"instructblip does not define branch '{kind}'")
+
+    def encode_images(self, params, images):
+        raise NotImplementedError(
+            "InstructBLIP features are text-conditioned; encode with "
+            "models.instructblip.encode and pass precomputed_feats to generate()"
+        )
+
+    def splice_embeds(self, params, tokens, tok_g, img_g, is_img, feats):
+        from llava_align_tpu.models import llama
+
+        text_emb = llama.embed_tokens(params["llama"], tokens)
+        gathered_text = jnp.take_along_axis(text_emb, tok_g[..., None], axis=1)
+        gathered_img = jnp.take_along_axis(feats, img_g[..., None], axis=1).astype(
+            gathered_text.dtype
+        )
+        return jnp.where(is_img[..., None], gathered_img, gathered_text)
+
+    def embed_tokens(self, params, ids):
+        from llava_align_tpu.models import llama
+
+        return llama.embed_tokens(params["llama"], ids)
+
+    def init_cache(self, batch: int, max_len: int):
+        from llava_align_tpu.models import llama
+
+        return llama.init_cache(self.cfg.text, batch, max_len)
+
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+        from llava_align_tpu.models import llama
+
+        return llama.forward(
+            params["llama"], self.cfg.text, embeds, positions, cache, offsets,
+            attn_impl=attn_impl,
+        )
+
+    def logits(self, params, hidden):
+        from llava_align_tpu.models import llama
+
+        return llama.logits_from_hidden(params["llama"], hidden)
+
+
 class QwenVLAdapter:
     """Qwen-VL: in-band image spans. Callers mark the 256-token image span
     with a single IMAGE_TOKEN_INDEX sentinel (models/qwen_vl.sentinelize_span);

@@ -159,9 +159,10 @@ class DecodeEngine:
     # jitted generate
     # ------------------------------------------------------------------
 
-    def _get_fn(self, pad_to: int):
-        if pad_to in self._compiled:
-            return self._compiled[pad_to]
+    def _get_fn(self, pad_to: int, precomputed_feats: bool = False):
+        key = (pad_to, precomputed_feats)
+        if key in self._compiled:
+            return self._compiled[key]
 
         adapter, gen = self.adapter, self.gen
         nb = len(self.kinds)
@@ -193,13 +194,16 @@ class DecodeEngine:
 
         def generate_fn(params, tokens, tok_g, img_g, is_img, lengths, feats_src, images, rng):
             # ---- vision encode (main + optional noised copy, one tower call)
-            if gen.use_cd:
-                rng, rng_noise = jax.random.split(rng)
-                noised = add_diffusion_noise(images, rng_noise, gen.noise_step)
-                imgs = jnp.concatenate([images, noised], axis=0)
+            if precomputed_feats:
+                feats = images  # already [n_srcs, N, D]
             else:
-                imgs = images
-            feats = adapter.encode_images(params, imgs)  # [n_imgs, N, D]
+                if gen.use_cd:
+                    rng, rng_noise = jax.random.split(rng)
+                    noised = add_diffusion_noise(images, rng_noise, gen.noise_step)
+                    imgs = jnp.concatenate([images, noised], axis=0)
+                else:
+                    imgs = images
+                feats = adapter.encode_images(params, imgs)  # [n_imgs, N, D]
             N, D = feats.shape[1], feats.shape[2]
             feats_ext = jnp.concatenate(
                 [jnp.zeros((1, N, D), feats.dtype), feats], axis=0
@@ -266,7 +270,7 @@ class DecodeEngine:
             return final["out_buf"], final["n"], top_probs, top_ids
 
         fn = jax.jit(generate_fn)
-        self._compiled[pad_to] = fn
+        self._compiled[key] = fn
         return fn
 
     # ------------------------------------------------------------------
@@ -278,24 +282,30 @@ class DecodeEngine:
         *,
         rng: Optional[jax.Array] = None,
         branch_ids: Optional[Mapping[str, Sequence[int]]] = None,
+        precomputed_feats: Optional[np.ndarray] = None,
     ) -> GenerationOutput:
         """image: normalized pixels [3, H, W] (CLIP-preprocessed) or None.
         branch_ids: optional explicit token ids per branch kind (models whose
-        degraded prompts need the tokenizer, e.g. qwen 'unk')."""
-        has_image = image is not None and any(
+        degraded prompts need the tokenizer, e.g. qwen 'unk').
+        precomputed_feats: [n_srcs, N, D] image features computed outside the
+        engine (row 0 = main, row 1 = cd); replaces on-engine vision encode
+        (InstructBLIP's text-conditioned Q-Former path)."""
+        has_image = (image is not None or precomputed_feats is not None) and any(
             t == IMAGE_TOKEN_INDEX for t in input_ids
         )
         pad_to, tokens, tok_g, img_g, is_img, lengths, feats_src = self._pack(
             input_ids, has_image, branch_ids
         )
-        if image is not None:
+        if precomputed_feats is not None:
+            images = jnp.asarray(precomputed_feats)
+        elif image is not None:
             images = jnp.asarray(image, self.adapter.vision_dtype)[None]
         else:
             H = self.adapter.image_size
             images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
-        fn = self._get_fn(pad_to)
+        fn = self._get_fn(pad_to, precomputed_feats is not None)
         out_buf, n, top_probs, top_ids = fn(
             self.params,
             jnp.asarray(tokens),

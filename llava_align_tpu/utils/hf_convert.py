@@ -307,6 +307,111 @@ def load_qwen_vl_checkpoint(model_path: str, dtype=jnp.bfloat16):
 
 
 # ---------------------------------------------------------------------------
+# InstructBLIP (EVA-ViT + Q-Former + Vicuna)
+# ---------------------------------------------------------------------------
+
+
+def convert_eva_vit(sd: StateDict, cfg, prefix: str = "visual_encoder.") -> Dict[str, Any]:
+    """lavis eva_vit state dict → models/eva_vit params."""
+    p = prefix
+    t = _to(cfg.dtype)
+    L = cfg.num_layers
+
+    def st(template):
+        return t(_stack(sd, p + template, L, lambda w: w))
+
+    conv = _np(sd[p + "patch_embed.proj.weight"])
+    return {
+        "patch_embed": {
+            "w": t(conv.reshape(conv.shape[0], -1)),
+            "b": t(_np(sd[p + "patch_embed.proj.bias"])),
+        },
+        "cls": t(_np(sd[p + "cls_token"]).reshape(-1)),
+        "pos_embed": t(_np(sd[p + "pos_embed"]).reshape(-1, cfg.width)),
+        "layers": {
+            "norm1": {"scale": st("blocks.{i}.norm1.weight"), "bias": st("blocks.{i}.norm1.bias")},
+            "qkv_w": st("blocks.{i}.attn.qkv.weight"),
+            "q_bias": st("blocks.{i}.attn.q_bias"),
+            "v_bias": st("blocks.{i}.attn.v_bias"),
+            "proj": {"w": st("blocks.{i}.attn.proj.weight"), "b": st("blocks.{i}.attn.proj.bias")},
+            "norm2": {"scale": st("blocks.{i}.norm2.weight"), "bias": st("blocks.{i}.norm2.bias")},
+            "fc1": {"w": st("blocks.{i}.mlp.fc1.weight"), "b": st("blocks.{i}.mlp.fc1.bias")},
+            "fc2": {"w": st("blocks.{i}.mlp.fc2.weight"), "b": st("blocks.{i}.mlp.fc2.bias")},
+        },
+    }
+
+
+def convert_qformer(sd: StateDict, cfg, prefix: str = "Qformer.bert.") -> Dict[str, Any]:
+    """lavis Qformer BertModel state dict → models/qformer params."""
+    from llava_align_tpu.models.qformer import has_cross_attention
+
+    p = prefix
+    t = _to(cfg.dtype)
+
+    def dense(key):
+        return {"w": t(_np(sd[p + key + ".weight"])), "b": t(_np(sd[p + key + ".bias"]))}
+
+    def lnorm(key):
+        return {"scale": t(_np(sd[p + key + ".weight"])), "bias": t(_np(sd[p + key + ".bias"]))}
+
+    def attn(base):
+        return {
+            "query": dense(base + ".self.query"),
+            "key": dense(base + ".self.key"),
+            "value": dense(base + ".self.value"),
+            "out": dense(base + ".output.dense"),
+            "ln": lnorm(base + ".output.LayerNorm"),
+        }
+
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"encoder.layer.{i}"
+        lp = {
+            "self_attn": attn(b + ".attention"),
+            "intermediate": dense(b + ".intermediate.dense"),
+            "output": dense(b + ".output.dense"),
+            "output_ln": lnorm(b + ".output.LayerNorm"),
+            "intermediate_query": dense(b + ".intermediate_query.dense"),
+            "output_query": dense(b + ".output_query.dense"),
+            "output_query_ln": lnorm(b + ".output_query.LayerNorm"),
+        }
+        if has_cross_attention(cfg, i):
+            lp["cross_attn"] = attn(b + ".crossattention")
+        layers.append(lp)
+
+    return {
+        "embeddings": {
+            "word": t(_np(sd[p + "embeddings.word_embeddings.weight"])),
+            "position": t(_np(sd[p + "embeddings.position_embeddings.weight"])),
+            "ln": lnorm("embeddings.LayerNorm"),
+        },
+        "layers": layers,
+    }
+
+
+def convert_instructblip(sd: StateDict, cfg) -> Dict[str, Any]:
+    """Full blip2_vicuna_instruct state dict → models/instructblip params."""
+    t_vis = _to(cfg.vision.dtype)
+    t_txt = _to(cfg.text.dtype)
+    return {
+        "visual": convert_eva_vit(sd, cfg.vision),
+        "ln_vision": {
+            "scale": t_vis(_np(sd["ln_vision.weight"])),
+            "bias": t_vis(_np(sd["ln_vision.bias"])),
+        },
+        "query_tokens": _to(cfg.qformer.dtype)(
+            _np(sd["query_tokens"]).reshape(cfg.num_query_tokens, -1)
+        ),
+        "qformer": convert_qformer(sd, cfg.qformer),
+        "llm_proj": {
+            "w": t_txt(_np(sd["llm_proj.weight"])),
+            "b": t_txt(_np(sd["llm_proj.bias"])),
+        },
+        "llama": convert_llama(sd, cfg.text, prefix="llm_model."),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Full-checkpoint loading
 # ---------------------------------------------------------------------------
 
