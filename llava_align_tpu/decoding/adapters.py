@@ -95,6 +95,51 @@ class LlavaAdapter:
         return llama.logits_from_hidden(params["llama"], hidden)
 
 
+class LlavaMptAdapter(LlavaAdapter):
+    """LLaVA with the MPT backbone (reference llava/model/language_model/
+    llava_mpt.py). Same vision/splice path; the LM is models/mpt (alibi).
+    cfg is models.llava_mpt.LlavaMptConfig; params keys: mpt/vision/projector."""
+
+    name = "llava_mpt"
+
+    def embed_tokens(self, params: Params, ids: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import mpt
+
+        return mpt.embed_tokens(params["mpt"], ids)
+
+    def splice_embeds(self, params, tokens, tok_g, img_g, is_img, feats):
+        text_emb = self.embed_tokens(params, tokens)
+        gathered_text = jnp.take_along_axis(text_emb, tok_g[..., None], axis=1)
+        gathered_img = jnp.take_along_axis(feats, img_g[..., None], axis=1).astype(
+            gathered_text.dtype
+        )
+        return jnp.where(is_img[..., None], gathered_img, gathered_text)
+
+    def encode_images(self, params: Params, images: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import clip_vit, projector
+
+        feats = clip_vit.forward_features(params["vision"], self.cfg.vision, images)
+        return projector.forward(params["projector"], feats.astype(self.cfg.text.dtype))
+
+    def init_cache(self, batch: int, max_len: int):
+        from llava_align_tpu.models import mpt
+
+        return mpt.init_cache(self.cfg.text, batch, max_len)
+
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+        from llava_align_tpu.models import mpt
+
+        return mpt.forward(
+            params["mpt"], self.cfg.text, embeds, positions, cache, offsets,
+            attn_impl=attn_impl,
+        )
+
+    def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
+        from llava_align_tpu.models import mpt
+
+        return mpt.logits_from_hidden(params["mpt"], hidden)
+
+
 class InstructBlipAdapter:
     """InstructBLIP: the 32 projected Q-Former query embeddings act as the
     "image features"; prompts are [sentinel] + Vicuna token ids. Because the

@@ -159,6 +159,53 @@ def convert_projector(
 
 
 # ---------------------------------------------------------------------------
+# MPT
+# ---------------------------------------------------------------------------
+
+
+def convert_mpt(sd: StateDict, cfg, prefix: str = "") -> Dict[str, Any]:
+    """MPT state dict (transformer.blocks.{i}.*) → models/mpt params.
+    Norm biases default to zeros when absent (no_bias checkpoints)."""
+    p = prefix
+    t = _to(cfg.dtype)
+    L, D = cfg.n_layers, cfg.d_model
+
+    def st(template):
+        return t(_stack(sd, p + template, L, lambda w: w))
+
+    def st_or_zero(template, shape):
+        if p + template.format(i=0) in sd:
+            return st(template)
+        return jnp.zeros(shape, cfg.dtype)
+
+    return {
+        "wte": t(_np(sd[p + "transformer.wte.weight"])),
+        "layers": {
+            "norm_1": {
+                "scale": st("transformer.blocks.{i}.norm_1.weight"),
+                "bias": st_or_zero("transformer.blocks.{i}.norm_1.bias", (L, D)),
+            },
+            "wqkv": st("transformer.blocks.{i}.attn.Wqkv.weight"),
+            "out_proj": st("transformer.blocks.{i}.attn.out_proj.weight"),
+            "norm_2": {
+                "scale": st("transformer.blocks.{i}.norm_2.weight"),
+                "bias": st_or_zero("transformer.blocks.{i}.norm_2.bias", (L, D)),
+            },
+            "up_proj": st("transformer.blocks.{i}.ffn.up_proj.weight"),
+            "down_proj": st("transformer.blocks.{i}.ffn.down_proj.weight"),
+        },
+        "norm_f": {
+            "scale": t(_np(sd[p + "transformer.norm_f.weight"])),
+            "bias": (
+                t(_np(sd[p + "transformer.norm_f.bias"]))
+                if p + "transformer.norm_f.bias" in sd
+                else jnp.zeros((D,), cfg.dtype)
+            ),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # Qwen-VL
 # ---------------------------------------------------------------------------
 
