@@ -1,0 +1,125 @@
+"""Training runner: epoch loop with eval, best-metric checkpointing, resume.
+
+Capability parity: reference lavis/runners/runner_base.py —
+train (:348-411: per-epoch train + eval + best-ckpt save + resume),
+train_epoch (:424-438), eval_epoch (:440-473), _save/_load_checkpoint
+(:356-357,390,398). DDP wrapping is replaced by mesh sharding (the train_step
+is GSPMD-sharded; no process-group management).
+
+Checkpointing uses orbax (SURVEY §5: "orbax for any trainer state").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from llava_align_tpu.framework.logger import MetricLogger
+from llava_align_tpu.framework.registry import registry
+
+
+@dataclasses.dataclass
+class RunnerConfig:
+    max_epoch: int = 1
+    output_dir: str = "output/train"
+    evaluate_every: int = 1
+    log_freq: int = 50
+    resume_ckpt_path: Optional[str] = None
+    best_metric_key: str = "agg_metrics"
+    save_last: bool = True
+
+
+@registry.register_runner("runner_base")
+class Runner:
+    """Drives a jitted train_step over epochs of batches.
+
+    train_step: (params, opt_state, batch) -> (params, opt_state, loss)
+    train_loader_fn: epoch -> iterable of device-ready batches
+    eval_fn: params -> dict of metrics (higher best_metric_key = better)
+    """
+
+    def __init__(
+        self,
+        cfg: RunnerConfig,
+        train_step: Callable,
+        params: Any,
+        opt_state: Any,
+        train_loader_fn: Callable[[int], Iterable],
+        eval_fn: Optional[Callable[[Any], Dict[str, float]]] = None,
+    ):
+        self.cfg = cfg
+        self.train_step = train_step
+        self.params = params
+        self.opt_state = opt_state
+        self.train_loader_fn = train_loader_fn
+        self.eval_fn = eval_fn
+        self.start_epoch = 0
+        self.best_metric = -np.inf
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        self._ckptr = None
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _checkpointer(self):
+        if self._ckptr is None:
+            import orbax.checkpoint as ocp
+
+            self._ckptr = ocp.PyTreeCheckpointer()
+        return self._ckptr
+
+    def save_checkpoint(self, name: str, epoch: int) -> str:
+        path = os.path.abspath(os.path.join(self.cfg.output_dir, f"checkpoint_{name}"))
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": epoch,
+            "best_metric": float(self.best_metric),
+        }
+        self._checkpointer().save(path, state, force=True)
+        logging.info("saved checkpoint %s", path)
+        return path
+
+    def load_checkpoint(self, path: str) -> None:
+        state = self._checkpointer().restore(os.path.abspath(path))
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.start_epoch = int(state["epoch"]) + 1
+        self.best_metric = float(state.get("best_metric", -np.inf))
+        logging.info("resumed from %s at epoch %d", path, self.start_epoch)
+
+    # -- loops ---------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        metrics = MetricLogger()
+        for batch in metrics.log_every(
+            self.train_loader_fn(epoch), self.cfg.log_freq, header=f"Train epoch {epoch}"
+        ):
+            self.params, self.opt_state, loss = self.train_step(
+                self.params, self.opt_state, batch
+            )
+            metrics.update(loss=float(loss))
+        return metrics.global_avg()
+
+    def train(self) -> Dict[str, float]:
+        if self.cfg.resume_ckpt_path:
+            self.load_checkpoint(self.cfg.resume_ckpt_path)
+        stats: Dict[str, float] = {}
+        for epoch in range(self.start_epoch, self.cfg.max_epoch):
+            stats = self.train_epoch(epoch)
+            logging.info("epoch %d train stats: %s", epoch, stats)
+            if self.eval_fn is not None and (epoch + 1) % self.cfg.evaluate_every == 0:
+                eval_stats = self.eval_fn(self.params)
+                logging.info("epoch %d eval stats: %s", epoch, eval_stats)
+                metric = eval_stats.get(self.cfg.best_metric_key, -np.inf)
+                if metric > self.best_metric:
+                    self.best_metric = metric
+                    self.save_checkpoint("best", epoch)
+                stats.update({f"eval_{k}": v for k, v in eval_stats.items()})
+            if self.cfg.save_last:
+                self.save_checkpoint("last", epoch)
+        return stats
