@@ -1,0 +1,88 @@
+"""LoRA merge / delta weights / anyres preprocessing tests."""
+
+import numpy as np
+from PIL import Image
+
+from llava_align_tpu.ops.anyres import (
+    divide_to_patches,
+    get_anyres_image_grid_shape,
+    process_anyres_image,
+    resize_and_pad_image,
+    select_best_resolution,
+)
+from llava_align_tpu.utils.checkpoint_tools import (
+    apply_delta,
+    apply_projector_only,
+    make_delta,
+    merge_lora,
+)
+
+
+def test_lora_merge_math():
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(8, 6)).astype(np.float32)
+    A = rng.normal(size=(2, 6)).astype(np.float32)  # [r, in]
+    B = rng.normal(size=(8, 2)).astype(np.float32)  # [out, r]
+    base = {"model.layers.0.self_attn.q_proj.weight": W}
+    lora = {
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight": A,
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": B,
+    }
+    merged = merge_lora(base, lora, lora_alpha=16.0)
+    np.testing.assert_allclose(
+        merged["model.layers.0.self_attn.q_proj.weight"], W + (16.0 / 2) * (B @ A), rtol=1e-6
+    )
+
+
+def test_lora_merge_extra_tensors_pass_through():
+    base = {"a.weight": np.zeros((2, 2), np.float32)}
+    lora = {"base_model.model.mm_projector.0.weight": np.ones((3, 3), np.float32)}
+    merged = merge_lora(base, lora)
+    assert "mm_projector.0.weight" in merged
+
+
+def test_delta_roundtrip():
+    rng = np.random.default_rng(1)
+    base = {"w": rng.normal(size=(4, 4)).astype(np.float32)}
+    target = {
+        "w": rng.normal(size=(4, 4)).astype(np.float32),
+        "resized": rng.normal(size=(6, 4)).astype(np.float32),  # not in base
+    }
+    delta = make_delta(base, target)
+    restored = apply_delta(base, delta)
+    np.testing.assert_allclose(restored["w"], target["w"], atol=1e-6)
+    np.testing.assert_allclose(restored["resized"], target["resized"])
+
+
+def test_projector_overlay():
+    base = {"w": np.zeros((2,), np.float32)}
+    proj = {"model.mm_projector.0.weight": np.ones((3,), np.float32)}
+    out = apply_projector_only(base, proj)
+    assert out["model.mm_projector.0.weight"].sum() == 3
+
+
+def test_select_best_resolution():
+    # reference semantics: maximize effective pixels, then minimize waste
+    res = select_best_resolution((1000, 500), [(672, 672), (1344, 336), (336, 1344)])
+    assert res == (1344, 336)
+    res2 = select_best_resolution((300, 300), [(336, 336), (672, 672)])
+    assert res2 == (336, 336)
+
+
+def test_resize_pad_and_patches():
+    img = Image.fromarray(np.full((100, 200, 3), 128, np.uint8))
+    padded = resize_and_pad_image(img, (672, 336))
+    assert padded.size == (672, 336)
+    patches = divide_to_patches(padded, 336)
+    assert len(patches) == 2
+    assert all(p.size == (336, 336) for p in patches)
+
+
+def test_anyres_stack_shape():
+    img = Image.fromarray(
+        np.random.default_rng(2).integers(0, 255, (300, 500, 3), dtype=np.uint8)
+    )
+    pinpoints = [(672, 336), (336, 672), (672, 672)]
+    assert get_anyres_image_grid_shape(img.size, pinpoints, 336) == (2, 1)
+    out = process_anyres_image(img, pinpoints, base_size=336, crop_size=336)
+    assert out.shape == (3, 3, 336, 336)  # base + 2 grid patches
