@@ -61,12 +61,32 @@ def test_projector_overlay():
     assert out["model.mm_projector.0.weight"].sum() == 3
 
 
-def test_select_best_resolution():
-    # reference semantics: maximize effective pixels, then minimize waste
-    res = select_best_resolution((1000, 500), [(672, 672), (1344, 336), (336, 1344)])
-    assert res == (1344, 336)
-    res2 = select_best_resolution((300, 300), [(336, 336), (672, 672)])
-    assert res2 == (336, 336)
+def _ref_select_best_resolution(original_size, possible_resolutions):
+    """Direct transcription of reference mm_utils.py:12-39 as oracle."""
+    original_width, original_height = original_size
+    best_fit = None
+    max_effective_resolution = 0
+    min_wasted_resolution = float("inf")
+    for width, height in possible_resolutions:
+        scale = min(width / original_width, height / original_height)
+        dw, dh = int(original_width * scale), int(original_height * scale)
+        effective = min(dw * dh, original_width * original_height)
+        wasted = (width * height) - effective
+        if effective > max_effective_resolution or (
+            effective == max_effective_resolution and wasted < min_wasted_resolution
+        ):
+            max_effective_resolution = effective
+            min_wasted_resolution = wasted
+            best_fit = (width, height)
+    return best_fit
+
+
+def test_select_best_resolution_matches_reference():
+    rng = np.random.default_rng(5)
+    grids = [(672, 672), (1344, 336), (336, 1344), (336, 672), (672, 336)]
+    for _ in range(30):
+        size = (int(rng.integers(50, 2000)), int(rng.integers(50, 2000)))
+        assert select_best_resolution(size, grids) == _ref_select_best_resolution(size, grids)
 
 
 def test_resize_pad_and_patches():
