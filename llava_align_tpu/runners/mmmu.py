@@ -1,0 +1,174 @@
+"""MMMU benchmark runner (LLaVA engine) + calibrated N-way Post-Hoc scoring.
+
+Capability parity: experiments/eval/MMMU/run_llava.py (generation over val
+samples), run_llava_calibrate.py (per-question dynamic choice LABEL_DICT,
+content-free none/unk dumps, N-way affine calibration :82-135),
+main_eval_only.py (parse + evaluate + instruction-level accuracy).
+
+Input format: jsonl samples with
+    {id, subject?, question_type, answer, final_input_prompt,
+     all_choices?, index2ans?, image}
+(the reference's dataset-prep step produces equivalent dicts from the HF
+MMMU parquet; this runner is dataset-source agnostic).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from llava_align_tpu.calibrate.posthoc import calibrate_label_dict, get_prob_from_logits
+from llava_align_tpu.decoding.engine import DecodeEngine
+from llava_align_tpu.evals.mmmu import (
+    calculate_ins_level_acc,
+    calibrate_choice_probs,
+    choice_label_dict,
+    evaluate,
+    parse_multi_choice_response,
+    parse_open_response,
+)
+from llava_align_tpu.runners.common import (
+    AnswerFile,
+    build_prompt,
+    load_image_tensor,
+    load_model,
+    load_questions,
+    make_generation_config,
+    postprocess_answer,
+)
+from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_token
+
+
+def run(args) -> str:
+    model = load_model(args.model_path)
+    tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
+    samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    if args.max_questions:
+        samples = samples[: args.max_questions]
+    ans = AnswerFile(args.answers_file, resume=args.resume)
+
+    gen = make_generation_config(args)
+    _, stop_str = build_prompt("x", args.conv_mode)
+    stop_ids = keyword_token_ids([stop_str], tokenizer)
+    engine = DecodeEngine(params, cfg, gen, stop_keyword_ids=stop_ids)
+    score_engine = None
+    if args.calibrate:
+        score_gen = make_generation_config(
+            args, use_cd=False, use_dd=False, use_dd_unk=False, max_new_tokens=1
+        )
+        score_engine = DecodeEngine(params, cfg, score_gen, stop_keyword_ids=stop_ids)
+
+    for s in samples:
+        sid = s.get("id", s.get("question_id"))
+        if ans.is_done(sid):
+            continue
+        q = s["final_input_prompt"]
+        prompt, stop_str = build_prompt(
+            q, args.conv_mode, with_image=True,
+            mm_use_im_start_end=cfg.mm_use_im_start_end,
+        )
+        input_ids = tokenizer_image_token(prompt, tokenizer)
+        image = load_image_tensor(
+            args.image_folder, s.get("image", ""),
+            image_size=cfg.vision.image_size,
+            image_aspect_ratio=args.image_aspect_ratio,
+            synthetic_ok=args.synthetic_images,
+        )
+        rng = jax.random.PRNGKey(args.seed + (hash(str(sid)) % 65536))
+        out = engine.generate(input_ids, image, rng=rng)
+        text = postprocess_answer(
+            tokenizer.decode(out.token_ids, skip_special_tokens=True), stop_str
+        )
+        record = {
+            "question_id": sid,
+            "subject": s.get("subject", "all"),
+            "question_type": s.get("question_type", "multiple-choice"),
+            "answer": s.get("answer"),
+            "all_choices": s.get("all_choices"),
+            "index2ans": s.get("index2ans"),
+            "text": text,
+            "naive": calibrate_label_dict(
+                out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
+            ),
+        }
+        if score_engine is not None and s.get("all_choices"):
+            p_none, _ = build_prompt(q, args.conv_mode, with_image=False)
+            o = score_engine.generate(tokenizer_image_token(p_none, tokenizer), None, rng=rng)
+            record["none"] = calibrate_label_dict(
+                o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
+            )
+            ids_unk = [
+                getattr(tokenizer, "unk_token_id", 0) if t == -200 else t
+                for t in input_ids
+            ]
+            o = score_engine.generate(ids_unk, None, rng=rng)
+            record["unk"] = calibrate_label_dict(
+                o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
+            )
+        ans.write(record)
+    ans.close()
+    return args.answers_file
+
+
+def score(answers_file: str, setting: str = "naive") -> dict:
+    """Parse + evaluate per subject (reference main_eval_only.py), optionally
+    calibrating multiple-choice probabilities with a content-free setting
+    ('none' | 'unk' | 'none_unk')."""
+    with open(os.path.expanduser(answers_file)) as f:
+        records = [json.loads(line) for line in f]
+
+    by_subject = defaultdict(list)
+    for r in records:
+        parsed = None
+        if r["question_type"] == "multiple-choice" and r.get("all_choices"):
+            choices = r["all_choices"]
+            if setting != "naive" and r.get("naive"):
+                label_dict = choice_label_dict(choices)
+                naive_p = get_prob_from_logits(r["naive"], label_dict)
+                cf = []
+                for part in setting.split("_"):
+                    if part in r:
+                        cf.append(get_prob_from_logits(r[part], label_dict))
+                if cf and np.sum(naive_p) > 0 and np.sum(cf) > 0:
+                    cal = calibrate_choice_probs(naive_p, cf)
+                    parsed = choices[int(np.argmax(cal))]
+            if parsed is None:
+                parsed = parse_multi_choice_response(
+                    r["text"], choices, r.get("index2ans", {})
+                )
+        else:
+            parsed = parse_open_response(r["text"])
+        by_subject[r.get("subject", "all")].append(
+            {
+                "id": r["question_id"],
+                "question_type": r["question_type"],
+                "answer": r["answer"],
+                "parsed_pred": parsed,
+            }
+        )
+
+    results = {}
+    for subject, samples in by_subject.items():
+        _, m = evaluate(samples)
+        results[subject] = {"acc": m["acc"], "num_example": len(samples)}
+    overall = calculate_ins_level_acc(results)
+    return {"subjects": results, "overall_acc": overall, "setting": setting}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from llava_align_tpu.runners.pope import build_parser as base
+
+    p = base()
+    p.add_argument("--score-setting", type=str, default="naive")
+    return p
+
+
+if __name__ == "__main__":
+    a = build_parser().parse_args()
+    path = run(a)
+    print(json.dumps(score(path, a.score_setting), indent=2))
