@@ -274,6 +274,186 @@ class DecodeEngine:
         return fn
 
     # ------------------------------------------------------------------
+    # batched multi-question generation (throughput path)
+    # ------------------------------------------------------------------
+
+    def _get_batch_fn(self, pad_to: int, Q: int):
+        key = ("batch", pad_to, Q)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        adapter, gen = self.adapter, self.gen
+        nb = len(self.kinds)
+        R = Q * nb
+        n_contrast = nb - 1
+        T = gen.max_new_tokens
+        cache_len = pad_to + T
+        kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if 0 < len(k) <= T]
+        attn_impl = self.attn_impl
+        topk = self.top_scores_k
+
+        def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
+            # branch_logits [Q, nb, V] → warped [Q, V]
+            main = branch_logits[:, 0]
+            if n_contrast:
+                contrast = jnp.mean(branch_logits[:, 1 : 1 + n_contrast], axis=1)
+                fused = S.fuse_contrastive_logits(main, contrast, gen.cd_alpha, gen.cd_beta)
+            else:
+                fused = main
+            return S.warp_logits(fused, gen.temperature, gen.top_k, gen.top_p)
+
+        def stop_hit(out_buf: jax.Array, n: jax.Array) -> jax.Array:
+            done = jnp.zeros((Q,), bool)
+            for kw in kws:
+                m = len(kw)
+                start = jnp.maximum(n - m, 0)
+                window = jax.lax.dynamic_slice_in_dim(out_buf, start, m, axis=1)
+                done |= jnp.all(window == jnp.asarray(kw), axis=1) & (n >= m)
+            return done
+
+        def batch_fn(params, tokens, tok_g, img_g, is_img, lengths, feats_src, images, rng):
+            if gen.use_cd:
+                rng, rng_noise = jax.random.split(rng)
+                noised = add_diffusion_noise(images, rng_noise, gen.noise_step)
+                imgs = jnp.concatenate([images, noised], axis=0)
+            else:
+                imgs = images
+            feats = adapter.encode_images(params, imgs)
+            N, D = feats.shape[1], feats.shape[2]
+            feats_ext = jnp.concatenate([jnp.zeros((1, N, D), feats.dtype), feats], axis=0)
+            branch_feats = feats_ext[feats_src + 1]
+
+            embeds = adapter.splice_embeds(params, tokens, tok_g, img_g, is_img, branch_feats)
+            positions = jnp.broadcast_to(jnp.arange(pad_to, dtype=jnp.int32), (R, pad_to))
+            cache = adapter.init_cache(R, cache_len)
+            hidden, cache = adapter.forward(
+                params, embeds, positions, cache, jnp.zeros((R,), jnp.int32),
+                attn_impl=attn_impl, max_seq_len=cache_len,
+            )
+            last_hidden = hidden[jnp.arange(R), lengths - 1]
+            logits = adapter.logits(params, last_hidden)  # [R, V]
+            V = logits.shape[-1]
+
+            init = dict(
+                cache=cache,
+                lengths=lengths,
+                logits=logits,
+                out_buf=jnp.zeros((Q, T), jnp.int32),
+                first_scores=jnp.zeros((Q, V), jnp.float32),
+                n=jnp.asarray(0, jnp.int32),
+                done=jnp.zeros((Q,), bool),
+                n_done=jnp.full((Q,), T, jnp.int32),
+                rng=rng,
+            )
+
+            def cond(c):
+                return (~jnp.all(c["done"])) & (c["n"] < T)
+
+            def body(c):
+                warped = fuse_and_warp(c["logits"].reshape(Q, nb, V))
+                first_scores = jnp.where(c["n"] == 0, warped, c["first_scores"])
+                rng, sub = jax.random.split(c["rng"])
+                toks = S.sample_token(sub, warped, gen.do_sample).astype(jnp.int32)  # [Q]
+                toks = jnp.where(c["done"], gen.pad_token_id, toks)
+                out_buf = jax.lax.dynamic_update_slice(c["out_buf"], toks[:, None], (0, c["n"]))
+                n = c["n"] + 1
+                done_now = (toks == gen.eos_token_id) | stop_hit(out_buf, n)
+                newly = done_now & (~c["done"])
+                done = c["done"] | done_now | (n >= T)
+                n_done = jnp.where(newly, n, c["n_done"])
+
+                tok_rows = jnp.repeat(toks, nb)  # [R], same token for all branches
+                emb = adapter.embed_tokens(params, tok_rows[:, None])
+                hidden, cache = adapter.forward(
+                    params, emb, c["lengths"][:, None], c["cache"], c["lengths"],
+                    attn_impl=attn_impl, max_seq_len=cache_len,
+                )
+                logits = adapter.logits(params, hidden[:, 0])
+                return dict(
+                    cache=cache, lengths=c["lengths"] + 1, logits=logits,
+                    out_buf=out_buf, first_scores=first_scores, n=n, done=done,
+                    n_done=n_done, rng=rng,
+                )
+
+            final = jax.lax.while_loop(cond, body, init)
+            probs = jax.nn.softmax(final["first_scores"], axis=-1)
+            top_probs, top_ids = jax.lax.top_k(probs, min(topk, V))
+            return final["out_buf"], final["n_done"], top_probs, top_ids
+
+        fn = jax.jit(batch_fn)
+        self._compiled[key] = fn
+        return fn
+
+    def generate_batch(
+        self,
+        batch: Sequence[tuple],
+        *,
+        rng: Optional[jax.Array] = None,
+    ) -> List[GenerationOutput]:
+        """batch: list of (input_ids, image) — image may be None. All
+        questions decode in lockstep on a [Q*nb] packed batch axis; per-
+        question done flags stop each answer independently (the reference's
+        unfinished_sequences/pad semantics, vcd_sample.py:256-291)."""
+        Q = len(batch)
+        nb = len(self.kinds)
+        packs = []
+        pad_to = self.bucket
+        for input_ids, image in batch:
+            has_image = image is not None and any(t == IMAGE_TOKEN_INDEX for t in input_ids)
+            packs.append((self._pack(input_ids, has_image), has_image))
+            pad_to = max(pad_to, packs[-1][0][0])
+
+        # repack everything at the common bucket
+        tokens = np.zeros((Q * nb, pad_to), np.int32)
+        tok_g = np.zeros((Q * nb, pad_to), np.int32)
+        img_g = np.zeros((Q * nb, pad_to), np.int32)
+        is_img = np.zeros((Q * nb, pad_to), bool)
+        lengths = np.zeros((Q * nb,), np.int32)
+        feats_src = np.full((Q * nb,), -1, np.int32)
+        H = self.adapter.image_size
+        images = np.zeros((Q, 3, H, H), np.float32)
+        for qi, ((pack, has_image), (input_ids, image)) in enumerate(zip(packs, batch)):
+            _, t, tg, ig, ii, ln, _ = pack
+            w = t.shape[1]
+            rows = slice(qi * nb, (qi + 1) * nb)
+            tokens[rows, :w] = t
+            tok_g[rows, :w] = tg
+            img_g[rows, :w] = ig
+            is_img[rows, :w] = ii
+            lengths[rows] = ln
+            if image is not None:
+                images[qi] = np.asarray(image, np.float32)
+            for b, kind in enumerate(self.kinds):
+                if kind == "main" and has_image:
+                    feats_src[qi * nb + b] = qi
+                elif kind == "cd":
+                    feats_src[qi * nb + b] = Q + qi  # noised copies appended
+        if rng is None:
+            rng = jax.random.PRNGKey(self.gen.seed)
+        fn = self._get_batch_fn(pad_to, Q)
+        out_buf, n_done, top_probs, top_ids = fn(
+            self.params,
+            jnp.asarray(tokens), jnp.asarray(tok_g), jnp.asarray(img_g),
+            jnp.asarray(is_img), jnp.asarray(lengths), jnp.asarray(feats_src),
+            jnp.asarray(images, self.adapter.vision_dtype), rng,
+        )
+        out_buf = np.asarray(out_buf)
+        n_done = np.asarray(n_done)
+        outs = []
+        for qi in range(Q):
+            n = int(n_done[qi])
+            outs.append(
+                GenerationOutput(
+                    token_ids=[int(t) for t in out_buf[qi, :n]],
+                    num_generated=n,
+                    first_scores_top_probs=np.asarray(top_probs[qi]),
+                    first_scores_top_ids=np.asarray(top_ids[qi]),
+                    prompt_length=int(lengths[qi * nb]),
+                )
+            )
+        return outs
+
+    # ------------------------------------------------------------------
 
     def generate(
         self,
