@@ -27,11 +27,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _build_params(cfg, seed=0):
+def _build_params(cfg, seed=0, quant: str = "none"):
     from llava_align_tpu.models import llava
 
-    init = jax.jit(lambda k: llava.init(k, cfg))
-    return jax.block_until_ready(init(jax.random.PRNGKey(seed)))
+    if quant == "int8":
+        from llava_align_tpu.ops.quant import quantize_llama_params
+
+        def build(k):
+            p = llava.init(k, cfg)
+            # quantize inside the same jit: XLA frees each bf16 leaf right
+            # after its int8 copy is produced (peak ≈ int8 total + 1 leaf)
+            p["llama"] = quantize_llama_params(p["llama"])
+            return p
+
+    else:
+        def build(k):
+            return llava.init(k, cfg)
+
+    return jax.block_until_ready(jax.jit(build)(jax.random.PRNGKey(seed)))
 
 
 def _prompt_ids(text_len: int):
@@ -63,6 +76,7 @@ def main():
     ap.add_argument("--answer-new", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch-questions", type=int, default=8)
+    ap.add_argument("--quant", default="none", choices=["none", "int8"])
     args = ap.parse_args()
 
     from llava_align_tpu.config import GenerationConfig, LlavaConfig
@@ -76,7 +90,7 @@ def main():
         cfg = LlavaConfig.tiny(vocab_size=1024)
 
     dev = jax.devices()[0]
-    params = _build_params(cfg)
+    params = _build_params(cfg, quant=args.quant)
     ids = _prompt_ids(args.text_len)
     H = cfg.vision.image_size
     image = np.asarray(
@@ -151,6 +165,7 @@ def main():
         "batch_questions": results["batch_questions_used"],
         "p50_answer_latency_s": round(p50, 4),
         "model": args.model,
+        "quant": args.quant,
         "device": str(dev),
         "branches": 3,
     }

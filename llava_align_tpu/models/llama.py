@@ -139,6 +139,10 @@ def forward(
     is_decode = cache is not None and S == 1
 
     def _lin(h, w):  # h [B,S,in] x w [out,in] -> [B,S,out]
+        if isinstance(w, dict):  # int8 weight-only quantized (ops/quant.py)
+            from llava_align_tpu.ops.quant import int8_matmul
+
+            return int8_matmul(h, w)
         return jax.lax.dot_general(
             h, w, (((2,), (1,)), ((), ())), preferred_element_type=h.dtype
         )
@@ -198,6 +202,10 @@ def logits_from_hidden(params: Params, hidden: jax.Array) -> jax.Array:
     part 1). Inputs stay in the weight dtype (bf16 on TPU) so no fp32 copy of
     the [D, V] matrix is ever materialized."""
     w = params["lm_head"]  # [V, D]
+    if isinstance(w, dict):  # int8 quantized
+        from llava_align_tpu.ops.quant import int8_matmul
+
+        return int8_matmul(hidden, w).astype(jnp.float32)
     return jnp.einsum(
         "...d,vd->...v",
         hidden.astype(w.dtype),

@@ -1,0 +1,155 @@
+"""Weight-only int8 quantization for serving.
+
+Not present in the reference (it serves fp16 via HF bitsandbytes 4/8-bit,
+builder.py:29-38 — capability analog). TPU-native design: weights are stored
+int8 with per-output-channel absmax scales; the hot matmuls read int8 from HBM
+(halving the decode-time weight traffic that bounds tokens/sec) and dequantize
+in VMEM right before the MXU via a Pallas kernel. Accumulation fp32, scales
+applied once per output channel after the D-reduction.
+
+The XLA fallback (CPU/tests) dequantizes then matmuls — numerically identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
+    """[..., O, D] float → {'q': int8 [..., O, D], 's': f32 [..., O]}."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-1)
+    s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(wf / s[..., None]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s.astype(jnp.float32)}
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "q" in w and "s" in w
+
+
+def dequantize(wq: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    return (wq["q"].astype(jnp.float32) * wq["s"][..., None]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# XLA path
+# ---------------------------------------------------------------------------
+
+
+def int8_matmul_xla(h: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """h [..., D] x int8 [O, D] (scales [O]) → [..., O] in h.dtype."""
+    w = (q.astype(jnp.float32) * s[:, None]).astype(h.dtype)
+    return jax.lax.dot_general(
+        h, w,
+        (((h.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=h.dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: int8 weights stay int8 through HBM→VMEM; dequant on the VPU
+# feeds the MXU in the compute dtype.
+# ---------------------------------------------------------------------------
+
+
+def _int8_mm_kernel(h_ref, q_ref, s_ref, o_ref, acc_ref):
+    iD = pl.program_id(2)
+    nD = pl.num_programs(2)
+
+    @pl.when(iD == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    h = h_ref[:]  # [bB, bD] compute dtype
+    w = q_ref[:].astype(h.dtype)  # [bO, bD] int8 → dequant-scale deferred
+    acc_ref[:] += jax.lax.dot_general(
+        h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(iD == nD - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_matmul_tpu(
+    h: jax.Array, q: jax.Array, s: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """h [B, D] x q int8 [O, D], s [O] → [B, O] (h.dtype).
+
+    Requires D % 256 == 0 and O % 256 == 0 (true for all llama/qwen dims).
+    """
+    B, D = h.shape
+    O = q.shape[0]
+    bB = min(_round_up(B, 16), 256)
+    bO = 256
+    bD = 512 if D % 512 == 0 else 256
+    assert D % bD == 0 and O % bO == 0, (D, O)
+    Bp = _round_up(B, bB)
+    if Bp != B:
+        h = jnp.pad(h, ((0, Bp - B), (0, 0)))
+    s2 = s.reshape(1, O).astype(jnp.float32)
+
+    grid = (Bp // bB, O // bO, D // bD)
+    out = pl.pallas_call(
+        _int8_mm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bB, bD), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bO, bD), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bO), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bB, bO), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, O), h.dtype),
+        scratch_shapes=[pltpu.VMEM((bB, bO), jnp.float32)],
+        interpret=interpret,
+    )(h, q, s2)
+    return out[:B] if Bp != B else out
+
+
+def int8_matmul(h: jax.Array, wq: Dict[str, jax.Array], *, impl: str = "auto") -> jax.Array:
+    """Dispatcher: h [..., D] x quantized [O, D] → [..., O]."""
+    q, s = wq["q"], wq["s"]
+    if impl == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            on_tpu = False
+        D, O = q.shape[1], q.shape[0]
+        impl = "pallas" if on_tpu and D % 256 == 0 and O % 256 == 0 else "xla"
+    if impl in ("pallas", "pallas_interpret"):
+        lead = h.shape[:-1]
+        h2 = h.reshape(-1, h.shape[-1])
+        out = int8_matmul_tpu(h2, q, s, interpret=(impl == "pallas_interpret"))
+        return out.reshape(*lead, q.shape[0])
+    return int8_matmul_xla(h, q, s)
+
+
+# ---------------------------------------------------------------------------
+# llama param-tree quantization
+# ---------------------------------------------------------------------------
+
+_LLAMA_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def quantize_llama_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the hot llama linears (stacked [L, O, D]) + lm_head; the
+    embedding table stays as-is (it is gathered, not matmul'd)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _LLAMA_QUANT_KEYS:
+        layers[k] = quantize_weight(params["layers"][k])
+    out["layers"] = layers
+    out["lm_head"] = quantize_weight(params["lm_head"])
+    return out

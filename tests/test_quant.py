@@ -1,0 +1,80 @@
+"""int8 weight-only quantization: kernel correctness and end-to-end decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llava_align_tpu.config import GenerationConfig, LlavaConfig
+from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+from llava_align_tpu.decoding.engine import DecodeEngine
+from llava_align_tpu.models import llava
+from llava_align_tpu.ops.quant import (
+    dequantize,
+    int8_matmul_tpu,
+    int8_matmul_xla,
+    quantize_llama_params,
+    quantize_weight,
+)
+
+
+def test_quantize_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, 128)).astype(np.float32)
+    wq = quantize_weight(jnp.asarray(w))
+    w2 = np.asarray(dequantize(wq, jnp.float32))
+    rel = np.abs(w2 - w).max() / np.abs(w).max()
+    assert rel < 1.2 / 127  # per-channel absmax bound
+
+
+def test_quantize_handles_zero_rows():
+    w = jnp.zeros((4, 8), jnp.float32)
+    wq = quantize_weight(w)
+    assert np.all(np.asarray(dequantize(wq)) == 0)
+
+
+def test_pallas_kernel_matches_xla():
+    rng = np.random.default_rng(1)
+    B, D, O = 24, 512, 256
+    h = rng.normal(size=(B, D)).astype(np.float32)
+    w = rng.normal(size=(O, D)).astype(np.float32)
+    wq = quantize_weight(jnp.asarray(w))
+    ref = np.asarray(int8_matmul_xla(jnp.asarray(h), wq["q"], wq["s"]))
+    out = np.asarray(int8_matmul_tpu(jnp.asarray(h), wq["q"], wq["s"], interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+
+def test_pallas_kernel_pads_ragged_batch():
+    rng = np.random.default_rng(2)
+    B, D, O = 3, 256, 256  # B not a multiple of the block
+    h = rng.normal(size=(B, D)).astype(np.float32)
+    w = rng.normal(size=(O, D)).astype(np.float32)
+    wq = quantize_weight(jnp.asarray(w))
+    ref = np.asarray(int8_matmul_xla(jnp.asarray(h), wq["q"], wq["s"]))
+    out = np.asarray(int8_matmul_tpu(jnp.asarray(h), wq["q"], wq["s"], interpret=True))
+    assert out.shape == (B, O)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+
+def test_quantized_llava_decode_close_to_fp():
+    cfg = LlavaConfig.tiny(vocab_size=97)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    qparams = dict(params)
+    qparams["llama"] = quantize_llama_params(params["llama"])
+
+    H = cfg.vision.image_size
+    image = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (3, H, H), jnp.float32))
+    ids = [1, 40, 50, IMAGE_TOKEN_INDEX, 60, 70]
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False, eos_token_id=2,
+                           use_dd=True, use_dd_unk=True)
+    fp = DecodeEngine(params, cfg, gen, attn_impl="xla", bucket=8).generate(ids, image)
+    q8 = DecodeEngine(qparams, cfg, gen, attn_impl="xla", bucket=8).generate(ids, image)
+    # random tiny weights are noise-sensitive: require the machinery to run
+    # and the first-token distributions to be close
+    assert len(q8.token_ids) >= 1
+    fp_top = dict(zip(fp.first_scores_top_ids[:5].tolist(), fp.first_scores_top_probs[:5]))
+    q8_top = dict(zip(q8.first_scores_top_ids[:5].tolist(), q8.first_scores_top_probs[:5]))
+    common = set(fp_top) & set(q8_top)
+    assert len(common) >= 3  # top-5 mostly agree
+    for t in common:
+        assert abs(fp_top[t] - q8_top[t]) < 0.05
