@@ -61,31 +61,33 @@ def run(args) -> str:
 
     one_word = args.one_word or "POPE" in args.question_file
 
-    t0 = time.time()
-    n_done = 0
-    for line in questions:
-        idx = line["question_id"]
-        if ans.is_done(idx):
-            continue
+    def prep(line):
         qs = line["text"]
-        image_file = line.get("image", "")
-
-        prompt, stop_str = build_prompt(
-            qs, args.conv_mode,
-            with_image=True,
-            mm_use_im_start_end=cfg.mm_use_im_start_end,
-            one_word=one_word,
+        prompt, stop = build_prompt(
+            qs, args.conv_mode, with_image=True,
+            mm_use_im_start_end=cfg.mm_use_im_start_end, one_word=one_word,
         )
         input_ids = tokenizer_image_token(prompt, tokenizer)
         image = load_image_tensor(
-            args.image_folder, image_file,
+            args.image_folder, line.get("image", ""),
             image_size=cfg.vision.image_size,
             image_aspect_ratio=args.image_aspect_ratio,
             synthetic_ok=args.synthetic_images,
         )
+        return input_ids, image, stop
 
-        rng = jax.random.PRNGKey(args.seed + (hash(str(idx)) % 65536))
-        out = engine.generate(input_ids, image, rng=rng)
+    def none_unk_ids(line):
+        qs = line["text"]
+        p_none, _ = build_prompt(qs, args.conv_mode, with_image=False, one_word=one_word)
+        ids_none = tokenizer_image_token(p_none, tokenizer)
+        p_unk, _ = build_prompt(qs, args.conv_mode, with_image=True, one_word=one_word)
+        ids_unk = [
+            tokenizer.unk_token_id if t == -200 else t
+            for t in tokenizer_image_token(p_unk, tokenizer)
+        ]
+        return ids_none, ids_unk
+
+    def finalize(line, out, stop_str, out_none=None, out_unk=None):
         text = postprocess_answer(
             tokenizer.decode(out.token_ids, skip_special_tokens=True), stop_str
         )
@@ -93,41 +95,63 @@ def run(args) -> str:
             out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
         )
         record = {
-            "question_id": idx,
-            "prompt": qs,
+            "question_id": line["question_id"],
+            "prompt": line["text"],
             "text": text,
             "model_id": model.model_name,
-            "image": image_file,
+            "image": line.get("image", ""),
             "logits_score": get_prob_from_logits(tokens_naive),
             "naive": tokens_naive,
             "metadata": {},
         }
-
-        if score_engine is not None:
-            # 'none': prompt without the image token, no image
-            # (llava_calibrate.py:192 via calibrate_label_sapce images=None)
-            p_none, _ = build_prompt(qs, args.conv_mode, with_image=False, one_word=one_word)
-            out_none = score_engine.generate(
-                tokenizer_image_token(p_none, tokenizer), None, rng=rng
-            )
+        if out_none is not None:
             record["none"] = calibrate_label_dict(
                 out_none.first_scores_top_probs, out_none.first_scores_top_ids, tokenizer
             )
-            # 'unk': image token positions → unk id, no image encoding
-            # (llava_calibrate.py:59-61)
-            p_unk, _ = build_prompt(qs, args.conv_mode, with_image=True, one_word=one_word)
-            ids_unk = [
-                tokenizer.unk_token_id if t == -200 else t
-                for t in tokenizer_image_token(p_unk, tokenizer)
-            ]
-            out_unk = score_engine.generate(ids_unk, None, rng=rng)
+        if out_unk is not None:
             record["unk"] = calibrate_label_dict(
                 out_unk.first_scores_top_probs, out_unk.first_scores_top_ids, tokenizer
             )
-
         ans.write(record)
-        n_done += 1
-        if args.verbose and n_done % 20 == 0:
+
+    t0 = time.time()
+    n_done = 0
+    pending = [l for l in questions if not ans.is_done(l["question_id"])]
+    B = max(1, args.batch_size)
+    for start in range(0, len(pending), B):
+        chunk = pending[start : start + B]
+        prepped = [prep(l) for l in chunk]
+        stop_str = prepped[0][2]
+        rng = jax.random.PRNGKey(args.seed + start)
+
+        if len(chunk) == 1:
+            outs = [engine.generate(prepped[0][0], prepped[0][1], rng=rng)]
+        else:
+            outs = engine.generate_batch(
+                [(ids, img) for ids, img, _ in prepped], rng=rng
+            )
+
+        outs_none = outs_unk = [None] * len(chunk)
+        if score_engine is not None:
+            # content-free scoring runs, batched the same way
+            # (reference calibrate_label_sapce, llava_calibrate.py:41-89:
+            # 'none' = prompt w/o image token; 'unk' = sentinel→unk id)
+            nu = [none_unk_ids(l) for l in chunk]
+            if len(chunk) == 1:
+                outs_none = [score_engine.generate(nu[0][0], None, rng=rng)]
+                outs_unk = [score_engine.generate(nu[0][1], None, rng=rng)]
+            else:
+                outs_none = score_engine.generate_batch(
+                    [(n_ids, None) for n_ids, _ in nu], rng=rng
+                )
+                outs_unk = score_engine.generate_batch(
+                    [(u_ids, None) for _, u_ids in nu], rng=rng
+                )
+
+        for line, out, o_n, o_u in zip(chunk, outs, outs_none, outs_unk):
+            finalize(line, out, stop_str, o_n, o_u)
+        n_done += len(chunk)
+        if args.verbose and n_done % 20 < len(chunk):
             rate = n_done / (time.time() - t0)
             print(f"{n_done} done, {rate:.2f} samples/s")
 
@@ -164,6 +188,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-images", action="store_true", default=False)
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--max-questions", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="questions decoded in lockstep (packed Q*branches batch)")
     p.add_argument("--verbose", action="store_true", default=True)
     return p
 
