@@ -1,0 +1,115 @@
+"""Datasets and a prefetching loader.
+
+Capability parity: reference lavis/datasets/ builders+datasets (jsonl/json
+annotation datasets) and the torch DataLoader workers used by the eval
+harness (MME/run_llava.py:45-92 CustomDataset/create_data_loader). TPU-side
+the loader is a thread-pool prefetcher that overlaps host image decode /
+tokenize with device compute — the host-side analog of double buffering.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator, List, Optional, Sequence
+
+
+class JsonlDataset:
+    """Annotation dataset over a jsonl (or json-list) file."""
+
+    def __init__(self, path: str, transform: Optional[Callable[[dict], Any]] = None):
+        path = os.path.expanduser(path)
+        with open(path) as f:
+            head = f.read(1)
+            f.seek(0)
+            if head == "[":
+                self.rows: List[dict] = json.load(f)
+            else:
+                self.rows = [json.loads(line) for line in f if line.strip()]
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __getitem__(self, i: int):
+        row = self.rows[i]
+        return self.transform(row) if self.transform else row
+
+
+class PrefetchLoader:
+    """Iterate a dataset with worker threads preparing samples ahead of the
+    consumer; order-preserving. `collate` groups `batch_size` prepared samples.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        num_workers: int = 2,
+        prefetch: int = 4,
+        collate: Optional[Callable[[List[Any]], Any]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.collate = collate or (lambda x: x)
+
+    def __len__(self) -> int:
+        return -(-len(self.dataset) // self.batch_size)
+
+    def __iter__(self) -> Iterator[Any]:
+        n = len(self.dataset)
+        results: dict = {}
+        lock = threading.Lock()
+        cond = threading.Condition(lock)
+        next_to_fetch = [0]
+        error: List[BaseException] = []
+
+        def worker():
+            while True:
+                with lock:
+                    i = next_to_fetch[0]
+                    if i >= n or error:
+                        return
+                    # bounded prefetch window
+                    while len(results) >= self.prefetch * self.batch_size and not error:
+                        cond.wait(timeout=0.1)
+                        if error:
+                            return
+                    i = next_to_fetch[0]
+                    if i >= n:
+                        return
+                    next_to_fetch[0] = i + 1
+                try:
+                    item = self.dataset[i]
+                except BaseException as e:  # surface in consumer
+                    with lock:
+                        error.append(e)
+                        cond.notify_all()
+                    return
+                with lock:
+                    results[i] = item
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        batch: List[Any] = []
+        for i in range(n):
+            with lock:
+                while i not in results and not error:
+                    cond.wait(timeout=0.1)
+                if error:
+                    raise error[0]
+                item = results.pop(i)
+                cond.notify_all()
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                yield self.collate(batch)
+                batch = []
+        if batch:
+            yield self.collate(batch)

@@ -1,0 +1,99 @@
+"""Dataset/prefetch loader, processors, dist helpers."""
+
+import json
+
+import numpy as np
+from PIL import Image
+
+from llava_align_tpu.framework.data import JsonlDataset, PrefetchLoader
+from llava_align_tpu.framework.processors import (
+    BlipCaptionProcessor,
+    BlipImageEvalProcessor,
+    BlipImageTrainProcessor,
+)
+from llava_align_tpu.framework.registry import registry
+from llava_align_tpu.parallel.dist import (
+    get_rank,
+    get_world_size,
+    is_main_process,
+    main_process,
+    shard_questions,
+)
+
+
+def test_jsonl_dataset(tmp_path):
+    p = tmp_path / "d.jsonl"
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"i": i}) + "\n")
+    ds = JsonlDataset(str(p), transform=lambda r: r["i"] * 2)
+    assert len(ds) == 5 and ds[2] == 4
+
+
+def test_json_list_dataset(tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text(json.dumps([{"i": 1}, {"i": 2}]))
+    ds = JsonlDataset(str(p))
+    assert len(ds) == 2 and ds[1]["i"] == 2
+
+
+def test_prefetch_loader_order_and_batching(tmp_path):
+    p = tmp_path / "d.jsonl"
+    with open(p, "w") as f:
+        for i in range(23):
+            f.write(json.dumps({"i": i}) + "\n")
+    ds = JsonlDataset(str(p), transform=lambda r: r["i"])
+    loader = PrefetchLoader(ds, batch_size=4, num_workers=3, prefetch=2)
+    flat = [x for b in loader for x in b]
+    assert flat == list(range(23))
+    assert len(loader) == 6
+
+
+def test_prefetch_loader_propagates_errors(tmp_path):
+    p = tmp_path / "d.jsonl"
+    with open(p, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"i": i}) + "\n")
+
+    def boom(r):
+        if r["i"] == 2:
+            raise ValueError("bad sample")
+        return r["i"]
+
+    ds = JsonlDataset(str(p), transform=boom)
+    loader = PrefetchLoader(ds, batch_size=1, num_workers=2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        list(loader)
+
+
+def test_processors_shapes_and_registry():
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (100, 150, 3), dtype=np.uint8)
+    )
+    ev = BlipImageEvalProcessor(image_size=32)
+    assert ev(img).shape == (3, 32, 32)
+    tr = BlipImageTrainProcessor(image_size=32, seed=0)
+    assert tr(img).shape == (3, 32, 32)
+    cap = BlipCaptionProcessor(prompt="a photo of ", max_words=3)
+    assert cap("one two three four five") == "a photo of one two three"
+    assert registry.get_processor_class("blip_image_eval") is BlipImageEvalProcessor
+
+
+def test_dist_helpers_single_process():
+    assert get_world_size() == 1
+    assert get_rank() == 0
+    assert is_main_process()
+
+    calls = []
+
+    @main_process
+    def record(x):
+        calls.append(x)
+        return x
+
+    assert record(1) == 1 and calls == [1]
+    qs = list(range(10))
+    assert shard_questions(qs) == qs
+    assert shard_questions(qs, 3, 1) == [4, 5, 6, 7]
