@@ -128,11 +128,22 @@ def main():
     results["pope_samples_per_sec_single"] = 1.0 / p50
 
     # batched throughput: Q questions in lockstep (packed Q*branches batch).
-    # KV cache scales with Q*branches; step down on HBM exhaustion.
-    Q = args.batch_questions
+    # Pick Q analytically from the HBM budget (a failed compile costs minutes
+    # on the remote compiler — never discover OOM by trying).
+    HBM_BUDGET = 15.0e9
+    params_bytes = sum(int(x.nbytes) for x in jax.tree_util.tree_leaves(params))
+    tcfg = cfg.text
+    pad_to = -(-(args.text_len + 1 + cfg.num_image_tokens) // 128) * 128
+    cache_row_bytes = (
+        tcfg.num_layers * (pad_to + args.answer_new) * tcfg.num_kv_heads
+        * tcfg.head_dim * 2 * 2
+    )
+    overhead = 1.2e9
+    q_fit = int((HBM_BUDGET - params_bytes - overhead) // (3 * cache_row_bytes))
+    Q = max(1, min(args.batch_questions, q_fit))
     results["pope_samples_per_sec"] = results["pope_samples_per_sec_single"]
     results["batch_questions_used"] = 1
-    while Q >= 2:
+    if Q >= 2:
         try:
             beng = make_engine(args.answer_new, True)
             batch = [(ids, image)] * Q
@@ -144,10 +155,8 @@ def main():
                 tb.append(time.perf_counter() - t0)
             results["pope_samples_per_sec"] = Q / min(tb)
             results["batch_questions_used"] = Q
-            break
-        except Exception as e:  # HBM OOM at this Q — halve and retry
-            sys.stderr.write(f"batched Q={Q} failed ({type(e).__name__}); halving\n")
-            Q //= 2
+        except Exception as e:
+            sys.stderr.write(f"batched Q={Q} failed ({type(e).__name__}); using single\n")
 
     dual_tps = results["dual_decode_tps"]
     single_tps = results["single_decode_tps"]
