@@ -159,6 +159,46 @@ def convert_projector(
 
 
 # ---------------------------------------------------------------------------
+# OPT
+# ---------------------------------------------------------------------------
+
+
+def convert_opt(sd: StateDict, cfg, prefix: str = "") -> Dict[str, Any]:
+    """HF/lavis OPT state dict (model.decoder.*) → models/opt params."""
+    p = prefix + "model.decoder."
+    t = _to(cfg.dtype)
+    L = cfg.num_layers
+
+    def st(template):
+        return t(_stack(sd, p + template, L, lambda w: w))
+
+    def dense(name):
+        return {"w": st(f"layers.{{i}}.{name}.weight"), "b": st(f"layers.{{i}}.{name}.bias")}
+
+    def lnorm(name):
+        return {"scale": st(f"layers.{{i}}.{name}.weight"), "bias": st(f"layers.{{i}}.{name}.bias")}
+
+    return {
+        "embed_tokens": t(_np(sd[p + "embed_tokens.weight"])),
+        "embed_positions": t(_np(sd[p + "embed_positions.weight"])),
+        "layers": {
+            "attn_ln": lnorm("self_attn_layer_norm"),
+            "q": dense("self_attn.q_proj"),
+            "k": dense("self_attn.k_proj"),
+            "v": dense("self_attn.v_proj"),
+            "out": dense("self_attn.out_proj"),
+            "ffn_ln": lnorm("final_layer_norm"),
+            "fc1": dense("fc1"),
+            "fc2": dense("fc2"),
+        },
+        "final_ln": {
+            "scale": t(_np(sd[p + "final_layer_norm.weight"])),
+            "bias": t(_np(sd[p + "final_layer_norm.bias"])),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # MPT
 # ---------------------------------------------------------------------------
 
