@@ -138,20 +138,32 @@ def forward(
 
     is_decode = cache is not None and S == 1
 
-    def _lin(h, w):  # h [B,S,in] x w [out,in] -> [B,S,out]
-        if isinstance(w, dict):  # int8 weight-only quantized (ops/quant.py)
-            from llava_align_tpu.ops.quant import int8_matmul
+    # int8-quantized stacks ([L,O,D] dicts) must NOT ride the scan xs — the
+    # sliced pallas operand would materialize a per-layer weight copy every
+    # step. They stay whole; the kernel indexes the layer via scalar prefetch.
+    all_layers = params["layers"]
+    quant_names = {
+        k for k, v in all_layers.items() if isinstance(v, dict) and "q" in v and "s" in v
+    }
+    scan_layers = {k: v for k, v in all_layers.items() if k not in quant_names}
 
-            return int8_matmul(h, w)
+    def _lin(h, lp, name, li):  # h [B,S,in] -> [B,S,out]
+        if name in quant_names:
+            from llava_align_tpu.ops.quant import int8_matmul_stacked_dispatch
+
+            return int8_matmul_stacked_dispatch(
+                h, all_layers[name], li if li is not None else 0
+            )
+        w = lp[name]
         return jax.lax.dot_general(
             h, w, (((2,), (1,)), ((), ())), preferred_element_type=h.dtype
         )
 
     def layer_fn(x, lp, k_full, v_full, li):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q = _lin(h, lp["q"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = _lin(h, lp["k"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        v = _lin(h, lp["v"]).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q = _lin(h, lp, "q", li).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = _lin(h, lp, "k", li).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = _lin(h, lp, "v", li).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -166,10 +178,12 @@ def forward(
         else:
             attn = causal_attention(q, k, v, impl=attn_impl)
 
-        x = x + _lin(attn.reshape(B, S, cfg.q_dim), lp["o"])
+        x = x + _lin(attn.reshape(B, S, cfg.q_dim), lp, "o", li)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + _lin(silu(_lin(h, lp["gate"])) * _lin(h, lp["up"]), lp["down"])
+        x = x + _lin(
+            silu(_lin(h, lp, "gate", li)) * _lin(h, lp, "up", li), lp, "down", li
+        )
         return x, k_full, v_full
 
     if cache is not None:
@@ -183,14 +197,17 @@ def forward(
             return (x, kf, vf, li + 1), None
 
         init = (embeds, cache["k"], cache["v"], jnp.asarray(0, jnp.int32))
-        (x, kf, vf, _), _ = jax.lax.scan(scan_body, init, params["layers"])
+        (x, kf, vf, _), _ = jax.lax.scan(scan_body, init, scan_layers)
         new_cache = {"k": kf, "v": vf}
     else:
-        def scan_body(x, lp):
-            x, _, _ = layer_fn(x, lp, None, None, None)
-            return x, None
+        def scan_body(carry, lp):
+            x, li = carry
+            x, _, _ = layer_fn(x, lp, None, None, li)
+            return (x, li + 1), None
 
-        x, _ = jax.lax.scan(scan_body, embeds, params["layers"])
+        (x, _), _ = jax.lax.scan(
+            scan_body, (embeds, jnp.asarray(0, jnp.int32)), scan_layers
+        )
         new_cache = None
 
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

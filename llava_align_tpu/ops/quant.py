@@ -118,6 +118,97 @@ def int8_matmul_tpu(
     return out[:B] if Bp != B else out
 
 
+# ---------------------------------------------------------------------------
+# Stacked-layer variant: the whole [L, O, D] int8 stack stays in HBM and the
+# kernel DMAs only layer `li`'s blocks (scalar-prefetch indexing). Inside a
+# lax.scan, passing the slice as a pallas operand would materialize a copy of
+# the layer's weights every step — tripling HBM traffic; this avoids it.
+# ---------------------------------------------------------------------------
+
+
+def _int8_mm_stacked_kernel(li_ref, h_ref, q_ref, s_ref, o_ref, acc_ref):
+    iD = pl.program_id(2)
+    nD = pl.num_programs(2)
+
+    @pl.when(iD == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    h = h_ref[:]
+    w = q_ref[0].astype(h.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(iD == nD - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_matmul_stacked(
+    h: jax.Array,
+    q: jax.Array,      # [L, O, D] int8
+    s: jax.Array,      # [L, O] f32
+    layer_idx: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    B, D = h.shape
+    L, O = q.shape[0], q.shape[1]
+    bB = min(_round_up(B, 16), 256)
+    bO = 256
+    bD = 512 if D % 512 == 0 else 256
+    assert D % bD == 0 and O % bO == 0, (D, O)
+    Bp = _round_up(B, bB)
+    if Bp != B:
+        h = jnp.pad(h, ((0, Bp - B), (0, 0)))
+    s3 = s.reshape(L, 1, O).astype(jnp.float32)
+    li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // bB, O // bO, D // bD),
+        in_specs=[
+            pl.BlockSpec((bB, bD), lambda i, j, k, li_ref: (i, k)),
+            pl.BlockSpec((1, bO, bD), lambda i, j, k, li_ref: (li_ref[0], j, k)),
+            pl.BlockSpec((1, 1, bO), lambda i, j, k, li_ref: (li_ref[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bB, bO), lambda i, j, k, li_ref: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bB, bO), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _int8_mm_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, O), h.dtype),
+        interpret=interpret,
+    )(li, h, q, s3)
+    return out[:B] if Bp != B else out
+
+
+def int8_matmul_stacked_dispatch(
+    h: jax.Array, wq: Dict[str, jax.Array], layer_idx: jax.Array, *, impl: str = "auto"
+) -> jax.Array:
+    """h [..., D] x stacked quantized [L, O, D] at layer_idx → [..., O]."""
+    q, s = wq["q"], wq["s"]
+    if impl == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            on_tpu = False
+        impl = "pallas" if on_tpu and q.shape[2] % 256 == 0 and q.shape[1] % 256 == 0 else "xla"
+    lead = h.shape[:-1]
+    if impl in ("pallas", "pallas_interpret"):
+        out = int8_matmul_stacked(
+            h.reshape(-1, h.shape[-1]), q, s, layer_idx,
+            interpret=(impl == "pallas_interpret"),
+        )
+        return out.reshape(*lead, q.shape[1])
+    qi = jax.lax.dynamic_index_in_dim(q, layer_idx, 0, keepdims=False)
+    si = jax.lax.dynamic_index_in_dim(s, layer_idx, 0, keepdims=False)
+    return int8_matmul_xla(h, qi, si)
+
+
 def int8_matmul(h: jax.Array, wq: Dict[str, jax.Array], *, impl: str = "auto") -> jax.Array:
     """Dispatcher: h [..., D] x quantized [O, D] → [..., O]."""
     q, s = wq["q"], wq["s"]
