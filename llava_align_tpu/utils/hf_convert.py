@@ -159,6 +159,73 @@ def convert_projector(
 
 
 # ---------------------------------------------------------------------------
+# T5 / Flan-T5
+# ---------------------------------------------------------------------------
+
+
+def convert_t5(sd: StateDict, cfg, prefix: str = "") -> Dict[str, Any]:
+    """HF/lavis T5ForConditionalGeneration state dict → models/t5 params."""
+    p = prefix
+    t = _to(cfg.dtype)
+
+    def dense(key):
+        return t(_np(sd[p + key + ".weight"]))
+
+    def ffn(base):
+        if cfg.gated_act:
+            return {
+                "wi_0": dense(base + ".DenseReluDense.wi_0"),
+                "wi_1": dense(base + ".DenseReluDense.wi_1"),
+                "wo": dense(base + ".DenseReluDense.wo"),
+            }
+        return {"wi": dense(base + ".DenseReluDense.wi"), "wo": dense(base + ".DenseReluDense.wo")}
+
+    def attn(base):
+        return {
+            "q": dense(base + ".q"), "k": dense(base + ".k"),
+            "v": dense(base + ".v"), "o": dense(base + ".o"),
+        }
+
+    def enc_layer(i):
+        b = f"encoder.block.{i}"
+        return {
+            "ln1": dense(b + ".layer.0.layer_norm"),
+            "attn": attn(b + ".layer.0.SelfAttention"),
+            "ln2": dense(b + ".layer.1.layer_norm"),
+            "ffn": ffn(b + ".layer.1"),
+        }
+
+    def dec_layer(i):
+        b = f"decoder.block.{i}"
+        return {
+            "ln1": dense(b + ".layer.0.layer_norm"),
+            "attn": attn(b + ".layer.0.SelfAttention"),
+            "ln_x": dense(b + ".layer.1.layer_norm"),
+            "xattn": attn(b + ".layer.1.EncDecAttention"),
+            "ln2": dense(b + ".layer.2.layer_norm"),
+            "ffn": ffn(b + ".layer.2"),
+        }
+
+    shared = t(_np(sd[p + "shared.weight"]))
+    return {
+        "shared": shared,
+        "encoder": {
+            "rel_bias": dense("encoder.block.0.layer.0.SelfAttention.relative_attention_bias"),
+            "layers": [enc_layer(i) for i in range(cfg.num_layers)],
+            "final_ln": dense("encoder.final_layer_norm"),
+        },
+        "decoder": {
+            "rel_bias": dense("decoder.block.0.layer.0.SelfAttention.relative_attention_bias"),
+            "layers": [dec_layer(i) for i in range(cfg.num_decoder_layers)],
+            "final_ln": dense("decoder.final_layer_norm"),
+        },
+        "lm_head": (
+            t(_np(sd[p + "lm_head.weight"])) if p + "lm_head.weight" in sd else None
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
 # OPT
 # ---------------------------------------------------------------------------
 
