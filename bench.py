@@ -30,21 +30,79 @@ import numpy as np
 def _build_params(cfg, seed=0, quant: str = "none"):
     from llava_align_tpu.models import llava
 
-    if quant == "int8":
-        from llava_align_tpu.ops.quant import quantize_llama_params
+    if quant != "int8":
+        return jax.block_until_ready(
+            jax.jit(lambda k: llava.init(k, cfg))(jax.random.PRNGKey(seed))
+        )
 
-        def build(k):
-            p = llava.init(k, cfg)
-            # quantize inside the same jit: XLA frees each bf16 leaf right
-            # after its int8 copy is produced (peak ≈ int8 total + 1 leaf)
-            p["llama"] = quantize_llama_params(p["llama"])
-            return p
+    # int8: quantize the llama linears LEAF BY LEAF with explicit frees so the
+    # peak is int8-total + one bf16 leaf (a whole-tree bf16 init of 13B would
+    # itself exceed HBM). Real checkpoints quantize host-side per tensor.
+    from llava_align_tpu.models import llama
+    from llava_align_tpu.ops.quant import _LLAMA_QUANT_KEYS, quantize_weight
 
-    else:
-        def build(k):
-            return llava.init(k, cfg)
+    params = jax.block_until_ready(
+        jax.jit(lambda k: llava.init(k, cfg))(jax.random.PRNGKey(seed))
+    ) if cfg.text.num_layers <= 32 else None
 
-    return jax.block_until_ready(jax.jit(build)(jax.random.PRNGKey(seed)))
+    if params is not None:
+        qlayers = dict(params["llama"]["layers"])
+        for name in _LLAMA_QUANT_KEYS:
+            w = qlayers[name]
+            qlayers[name] = jax.block_until_ready(jax.jit(quantize_weight)(w))
+            w.delete()
+        params["llama"]["layers"] = qlayers
+        lm = params["llama"]["lm_head"]
+        params["llama"]["lm_head"] = jax.block_until_ready(jax.jit(quantize_weight)(lm))
+        lm.delete()
+        return params
+
+    # 13B+: even the bf16 init does not fit; generate each quantized leaf
+    # directly (random int8 + unit-ish scales — shapes are what the bench
+    # measures) and the rest of the tree normally.
+    tcfg = cfg.text
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def rand_q(k, shape):
+        q = jax.random.randint(k, shape, -127, 128, jnp.int8)
+        s = jnp.full(shape[:-1], 0.01, jnp.float32) / (shape[-1] ** 0.5)
+        return {"q": q, "s": s}
+
+    L, D, F, V, QD, KD = (
+        tcfg.num_layers, tcfg.hidden_size, tcfg.intermediate_size,
+        tcfg.vocab_size, tcfg.q_dim, tcfg.kv_dim,
+    )
+    shapes = {
+        "q": (L, QD, D), "k": (L, KD, D), "v": (L, KD, D), "o": (L, D, QD),
+        "gate": (L, F, D), "up": (L, F, D), "down": (L, D, F),
+    }
+    keys = jax.random.split(key, len(shapes) + 4)
+    layers = {
+        name: jax.block_until_ready(rand_q(keys[i], shape))
+        for i, (name, shape) in enumerate(shapes.items())
+    }
+    layers["attn_norm"] = jnp.ones((L, D), tcfg.dtype)
+    layers["mlp_norm"] = jnp.ones((L, D), tcfg.dtype)
+    n = len(shapes)
+    llama_params = {
+        "embed": (jax.random.normal(keys[n], (V, D), jnp.float32) * 0.02).astype(tcfg.dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), tcfg.dtype),
+        "lm_head": jax.block_until_ready(rand_q(keys[n + 1], (V, D))),
+    }
+    from llava_align_tpu.models import clip_vit, projector
+
+    return {
+        "llama": llama_params,
+        "vision": jax.jit(lambda k: clip_vit.init(k, cfg.vision))(keys[n + 2]),
+        "projector": jax.jit(
+            lambda k: projector.init(
+                k, cfg.mm_projector_type, cfg.vision.hidden_size,
+                cfg.text.hidden_size, cfg.text.dtype,
+            )
+        )(keys[n + 3]),
+    }
 
 
 def _prompt_ids(text_len: int):
