@@ -63,11 +63,13 @@ def _build_params(cfg, seed=0, quant: str = "none"):
     tcfg = cfg.text
     key = jax.random.PRNGKey(seed)
 
-    @jax.jit
     def rand_q(k, shape):
-        q = jax.random.randint(k, shape, -127, 128, jnp.int8)
-        s = jnp.full(shape[:-1], 0.01, jnp.float32) / (shape[-1] ** 0.5)
-        return {"q": q, "s": s}
+        def gen(kk):
+            q = jax.random.randint(kk, shape, -127, 128, jnp.int8)
+            s = jnp.full(shape[:-1], 0.01, jnp.float32) / (shape[-1] ** 0.5)
+            return {"q": q, "s": s}
+
+        return jax.jit(gen)(k)
 
     L, D, F, V, QD, KD = (
         tcfg.num_layers, tcfg.hidden_size, tcfg.intermediate_size,
