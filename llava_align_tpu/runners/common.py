@@ -216,7 +216,10 @@ def load_model(model_path: str, dtype=None) -> LoadedModel:
     from llava_align_tpu.utils.hf_convert import load_llava_checkpoint
 
     params, cfg = load_llava_checkpoint(os.path.expanduser(model_path), dtype)
-    tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=False)
+    try:  # slow (sentencepiece) tokenizer when available, fast otherwise
+        tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=False)
+    except Exception:
+        tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=True)
     return LoadedModel(tokenizer, params, cfg, get_model_name_from_path(model_path))
 
 
