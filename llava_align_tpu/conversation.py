@@ -49,6 +49,35 @@ class Conversation:
     # -- rendering ---------------------------------------------------------
 
     def get_prompt(self) -> str:
+        # tuple first message = (text, image, image_process_mode): strip the
+        # inline "<image>" and re-insert per version (reference
+        # conversation.py:31-40, incl. the mmtag wrapping)
+        messages = self.messages
+        if messages and isinstance(messages[0][1], tuple):
+            messages = [list(m) for m in self.messages]
+            init_role, init_msg = messages[0]
+            init_text = init_msg[0].replace("<image>", "").strip()
+            if "mmtag" in self.version:
+                messages[0] = [init_role, init_text]
+                messages.insert(0, [self.roles[0], "<Image><image></Image>"])
+                messages.insert(1, [self.roles[1], "Received."])
+            else:
+                messages[0] = [init_role, "<image>\n" + init_text]
+            rendered = Conversation(
+                system=self.system, roles=self.roles, messages=messages,
+                offset=self.offset, sep_style=self.sep_style, sep=self.sep,
+                sep2=self.sep2, version=self.version,
+            )
+            return rendered.get_prompt()
+
+        # any remaining tuple messages render as their text part (reference
+        # unpacks `message, _, _ = message` inside each style loop)
+        if any(isinstance(m, tuple) for _, m in messages):
+            self = self.copy()
+            self.messages = [
+                [r, (m[0] if isinstance(m, tuple) else m)] for r, m in messages
+            ]
+
         style = self.sep_style
         if style == SeparatorStyle.SINGLE:
             out = [self.system, self.sep]

@@ -72,3 +72,24 @@ def test_copy_is_deep_for_messages():
     conv2.append_message(conv.roles[1], "y")
     assert len(conv.messages) == 1
     assert len(conv2.messages) == 2
+
+
+def test_tuple_message_image_rewrite():
+    # reference conversation.py:31-40: tuple first message gets "<image>\n"+text
+    conv = conv_templates["llava_v1"].copy()
+    conv.append_message(conv.roles[0], ("What is this? <image>", "IMG", "Default"))
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    assert "USER: <image>\nWhat is this? ASSISTANT:" in p
+    # original conversation untouched
+    assert isinstance(conv.messages[0][1], tuple)
+
+
+def test_tuple_message_mmtag():
+    conv = conv_templates["v1_mmtag"].copy()
+    conv.append_message(conv.roles[0], ("Describe <image>", "IMG", "Default"))
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    assert "<Image><image></Image>" in p
+    assert "Received." in p
+    assert "Describe" in p
