@@ -1,9 +1,10 @@
 """Decoding-configuration sweep runner.
 
-Capability parity: experiments/eval/sampling/llava_sampling.py:150-194 —
-run the default config, then sweep temperature 0.05..1.0 (step .05), top-p
-0..1 (step .05), and top-k {1,2,5,10,20,50,100,200,500}; answers-file name is
-templated on the literal 'setting'.
+Capability parity: experiments/eval/sampling/llava_sampling.py:150-194 (and
+qwenvl_sampling.py via --model-family qwen) — run the default config, then
+sweep temperature 0.05..1.0 (step .05), top-p 0..1 (step .05), and top-k
+{1,2,5,10,20,50,100,200,500}; answers-file name is templated on the literal
+'setting'.
 """
 
 from __future__ import annotations
@@ -15,14 +16,28 @@ import numpy as np
 from llava_align_tpu.runners import pope
 
 
+def _run_fn(args):
+    family = getattr(args, "model_family", "llava")
+    if family == "qwen":
+        from llava_align_tpu.runners import qwen_pope
+
+        return qwen_pope.run
+    if family == "blip":
+        from llava_align_tpu.runners import blip_pope
+
+        return blip_pope.run
+    return pope.run
+
+
 def run_sweep(args) -> list:
     assert "setting" in args.answers_file, "--answers-file must contain 'setting'"
     answers_template = args.answers_file
     produced = []
+    run = _run_fn(args)
 
     def run_one(a, name):
         a.answers_file = answers_template.replace("setting", name)
-        pope.run(a)
+        run(a)
         produced.append(a.answers_file)
 
     base = copy.deepcopy(args)
@@ -50,5 +65,11 @@ def run_sweep(args) -> list:
     return produced
 
 
+def build_parser():
+    p = pope.build_parser()
+    p.add_argument("--model-family", default="llava", choices=["llava", "qwen", "blip"])
+    return p
+
+
 if __name__ == "__main__":
-    run_sweep(pope.build_parser().parse_args())
+    run_sweep(build_parser().parse_args())
