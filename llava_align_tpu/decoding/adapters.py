@@ -215,6 +215,47 @@ class InstructBlipAdapter:
         return llama.logits_from_hidden(params["llama"], hidden)
 
 
+class Blip2OptAdapter(InstructBlipAdapter):
+    """BLIP-2 with the OPT backbone (reference blip2_opt): query-only Q-Former
+    features as the prompt prefix, OPT decoding. Uses precomputed feats like
+    InstructBLIP (models/blip2.encode_image_queries)."""
+
+    name = "blip2_opt"
+
+    def splice_embeds(self, params, tokens, tok_g, img_g, is_img, feats):
+        from llava_align_tpu.models import opt
+
+        text_emb = opt.embed_tokens(params["lm"], tokens)
+        gathered_text = jnp.take_along_axis(text_emb, tok_g[..., None], axis=1)
+        gathered_img = jnp.take_along_axis(feats, img_g[..., None], axis=1).astype(
+            gathered_text.dtype
+        )
+        return jnp.where(is_img[..., None], gathered_img, gathered_text)
+
+    def embed_tokens(self, params, ids):
+        from llava_align_tpu.models import opt
+
+        return opt.embed_tokens(params["lm"], ids)
+
+    def init_cache(self, batch: int, max_len: int):
+        from llava_align_tpu.models import opt
+
+        return opt.init_cache(self.cfg.text, batch, max_len)
+
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+        from llava_align_tpu.models import opt
+
+        return opt.forward(
+            params["lm"], self.cfg.text, embeds, positions, cache, offsets,
+            attn_impl=attn_impl,
+        )
+
+    def logits(self, params, hidden):
+        from llava_align_tpu.models import opt
+
+        return opt.logits_from_hidden(params["lm"], hidden)
+
+
 class QwenVLAdapter:
     """Qwen-VL: in-band image spans. Callers mark the 256-token image span
     with a single IMAGE_TOKEN_INDEX sentinel (models/qwen_vl.sentinelize_span);
