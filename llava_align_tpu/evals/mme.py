@@ -115,6 +115,64 @@ def score_results_dir(results_dir: str) -> Dict[str, Dict]:
     return report
 
 
+def calibrated_predictions(
+    answers: Sequence[dict],
+    setting: str = "none_unk",
+    calibrate_mode: str = "individual",
+) -> List[str]:
+    """Post-Hoc-calibrated yes/no predictions from dumped top-k dicts
+    (reference convert_answer_to_mme_calibrate.py:80-140): the naive class
+    probs are corrected with the content-free distribution of `setting`
+    ('none' | 'unk' | 'none_unk' | ...), per-sample or globally."""
+    import numpy as np
+
+    from llava_align_tpu.calibrate.posthoc import calibrate_weight, get_prob_from_logits
+    from llava_align_tpu.evals.pope import COMBO_SETTINGS
+
+    if setting == "naive":
+        return [a["text"] for a in answers]
+
+    parts = COMBO_SETTINGS.get(setting, [setting])
+    naive = [get_prob_from_logits(a["naive"]) for a in answers]
+    cf = {p: [get_prob_from_logits(a[p]) for a in answers] for p in parts}
+
+    W = np.identity(2)
+    b = np.zeros([2, 1])
+    if calibrate_mode == "all":
+        all_p_y = np.sum([np.asarray(cf[p], np.float64) for p in parts], axis=0)
+        p_cf = np.mean(all_p_y, axis=0)
+        p_cf = p_cf / np.sum(p_cf)
+        W, b = calibrate_weight(p_cf)
+
+    preds = []
+    label = {0: "yes", 1: "no"}
+    for i in range(len(answers)):
+        if calibrate_mode == "individual":
+            p_cf = np.sum([np.asarray(cf[p][i], np.float64) for p in parts], axis=0)
+            p_cf = p_cf / np.sum(p_cf) + 1e-4
+            W, b = calibrate_weight(p_cf)
+        gen = np.asarray(naive[i], np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cal = np.matmul(W, gen[:, None]) + b
+            cal = cal / np.sum(cal)
+        preds.append(label[int(np.argmax(cal))].capitalize())
+    return preds
+
+
+def convert_calibrated_answers_to_category_txt(
+    answers: Sequence[dict],
+    gt: Mapping[Tuple[str, str, str], str],
+    out_dir: str,
+    setting: str = "none_unk",
+    calibrate_mode: str = "individual",
+) -> List[str]:
+    """Calibrated variant of the converter: predictions come from the affine
+    correction instead of the generated text."""
+    preds = calibrated_predictions(answers, setting, calibrate_mode)
+    rewritten = [dict(a, text=p) for a, p in zip(answers, preds)]
+    return convert_answers_to_category_txt(rewritten, gt, out_dir)
+
+
 def convert_answers_to_category_txt(
     answers: Iterable[dict],
     gt: Mapping[Tuple[str, str, str], str],

@@ -58,3 +58,54 @@ def test_convert_and_score_dir(tmp_path):
     ex = report["Perception"]["tasks"]["existence"]
     assert ex["acc"] == 1.0 and ex["acc_plus"] == 1.0
     assert report["Perception"]["total_score"] == 200.0
+
+
+def test_calibrated_predictions_flip_bias():
+    from llava_align_tpu.evals.mme import calibrated_predictions
+
+    answers = [
+        {
+            "question_id": "existence/img1.png",
+            "prompt": "Is there a dog? Please answer yes or no.",
+            "text": "Yes",
+            "naive": {"yes": 0.6, "no": 0.4},
+            "none": {"yes": 0.8, "no": 0.2},
+            "unk": {"yes": 0.8, "no": 0.2},
+        }
+    ]
+    assert calibrated_predictions(answers, "naive") == ["Yes"]
+    # [.6,.4] / [.8,.2] ∝ [.75, 2.0] → No
+    assert calibrated_predictions(answers, "none_unk") == ["No"]
+    assert calibrated_predictions(answers, "none") == ["No"]
+
+
+def test_convert_calibrated(tmp_path):
+    from llava_align_tpu.evals.mme import convert_calibrated_answers_to_category_txt
+
+    answers = [
+        {
+            "question_id": "existence/img1.png",
+            "prompt": "Is there a dog? Please answer yes or no.",
+            "text": "Yes",
+            "naive": {"yes": 0.6, "no": 0.4},
+            "none": {"yes": 0.8, "no": 0.2},
+            "unk": {"yes": 0.8, "no": 0.2},
+        },
+        {
+            "question_id": "existence/img1.png",
+            "prompt": "Is there a cat? Please answer yes or no.",
+            "text": "No",
+            "naive": {"yes": 0.2, "no": 0.7},
+            "none": {"yes": 0.5, "no": 0.5},
+            "unk": {"yes": 0.5, "no": 0.5},
+        },
+    ]
+    gt = {
+        ("existence", "img1.txt", "Is there a dog? Please answer yes or no."): "no",
+        ("existence", "img1.txt", "Is there a cat? Please answer yes or no."): "no",
+    }
+    out = tmp_path / "cal"
+    written = convert_calibrated_answers_to_category_txt(answers, gt, str(out))
+    lines = open(written[0]).readlines()
+    assert lines[0].rstrip("\n").endswith("No")
+    assert lines[1].rstrip("\n").endswith("No")
