@@ -10,7 +10,7 @@ HF model configs. Public knob names (`use_cd`, `use_dd`, `use_dd_unk`,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ import json
 import os
 import time
 from collections import defaultdict
-from typing import Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Callable, Dict, Iterable, List, Sequence
 
 Judge = Callable[[str, int], str]
 

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import json
 import os
-import queue
 import threading
-from typing import Any, Callable, Iterable, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Iterator, List, Optional
 
 
 class JsonlDataset:

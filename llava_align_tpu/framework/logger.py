@@ -17,7 +17,7 @@ import logging.handlers
 import os
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Iterator, Optional
+from typing import Dict, Iterable, Iterator
 
 
 class SmoothedValue:

@@ -8,7 +8,7 @@ blip_caption text processor (prompt prefix + word-count truncation).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ generic get/list). Fresh minimal implementation.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Dict, List
 
 
 class Registry:

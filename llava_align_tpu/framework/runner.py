@@ -16,7 +16,6 @@ import logging
 import os
 from typing import Any, Callable, Dict, Iterable, Optional
 
-import jax
 import numpy as np
 
 from llava_align_tpu.framework.logger import MetricLogger

@@ -11,7 +11,7 @@ plain BLIP-2 Q-Former is NOT text-conditioned — queries only.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

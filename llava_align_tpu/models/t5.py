@@ -15,13 +15,13 @@ caller as inputs_embeds, matching BLIP-2's usage), `decode_step` with
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llava_align_tpu.ops.layers import gelu_exact, rms_norm
+from llava_align_tpu.ops.layers import rms_norm
 
 Params = Dict[str, Any]
 NEG = -1e30

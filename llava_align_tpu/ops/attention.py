@@ -241,9 +241,19 @@ def flash_attention_tpu(
 def causal_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, *, impl: str = "auto"
 ) -> jax.Array:
-    """Causal self-attention dispatcher: 'pallas' | 'xla' | 'auto'."""
+    """Causal self-attention dispatcher: 'pallas' | 'xla' | 'auto'.
+
+    auto: XLA below 1536 tokens (measured faster on v5e — the S² score
+    materialization is cheap there and XLA fuses better), the blockwise
+    Pallas flash kernel beyond (where S² memory/traffic dominates)."""
     if impl == "auto":
-        impl = "pallas" if (_on_tpu() and q.shape[1] % 128 == 0 and q.shape[3] in (64, 128, 256)) else "xla"
+        use_pallas = (
+            _on_tpu()
+            and q.shape[1] > 1536
+            and q.shape[1] % 128 == 0
+            and q.shape[3] in (64, 128, 256)
+        )
+        impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         return flash_attention_tpu(q, k, v)
     if impl == "pallas_interpret":

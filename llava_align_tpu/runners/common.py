@@ -21,10 +21,8 @@ from llava_align_tpu.constants import (
     DEFAULT_IM_END_TOKEN,
     DEFAULT_IM_START_TOKEN,
     DEFAULT_IMAGE_TOKEN,
-    IMAGE_TOKEN_INDEX,
 )
-from llava_align_tpu.conversation import SeparatorStyle, conv_templates
-from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_token
+from llava_align_tpu.conversation import conv_templates
 
 
 def split_list(lst: Sequence, n: int) -> List[Sequence]:

@@ -20,7 +20,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 from llava_align_tpu.calibrate.posthoc import calibrate_label_dict, get_prob_from_logits
 from llava_align_tpu.decoding.engine import DecodeEngine

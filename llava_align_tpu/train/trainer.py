@@ -12,7 +12,7 @@ the 'data' mesh axis by GSPMD — no DDP wrapper, no NCCL init
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
