@@ -31,6 +31,10 @@ class RunnerConfig:
     resume_ckpt_path: Optional[str] = None
     best_metric_key: str = "agg_metrics"
     save_last: bool = True
+    # iteration-based mode (reference runner_iter.py capability): when set,
+    # each "epoch" is `iters_per_inner_epoch` steps drawn from a (possibly
+    # infinite) loader and max_epoch counts inner epochs.
+    iters_per_inner_epoch: Optional[int] = None
 
 
 @registry.register_runner("runner_base")
@@ -95,8 +99,13 @@ class Runner:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         metrics = MetricLogger()
+        loader = self.train_loader_fn(epoch)
+        if self.cfg.iters_per_inner_epoch:
+            import itertools
+
+            loader = itertools.islice(iter(loader), self.cfg.iters_per_inner_epoch)
         for batch in metrics.log_every(
-            self.train_loader_fn(epoch), self.cfg.log_freq, header=f"Train epoch {epoch}"
+            loader, self.cfg.log_freq, header=f"Train epoch {epoch}"
         ):
             self.params, self.opt_state, loss = self.train_step(
                 self.params, self.opt_state, batch

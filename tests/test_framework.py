@@ -112,3 +112,30 @@ def test_runner_train_eval_resume(tmp_path):
     runner2.train()
     assert runner2.start_epoch == 3
     assert abs(float(runner2.params) - 3.0) < 1e-2
+
+
+def test_runner_iteration_mode(tmp_path):
+    """runner_iter.py capability: fixed iters per inner epoch from an
+    (endless) loader."""
+    import itertools
+    import optax
+    from llava_align_tpu.framework.runner import Runner, RunnerConfig
+
+    opt = optax.sgd(0.2)
+
+    @jax.jit
+    def step(w, opt_state, batch):
+        loss, g = jax.value_and_grad(lambda w: (w - batch) ** 2)(w)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(w, updates), opt_state, loss
+
+    def endless(epoch):
+        return itertools.repeat(jnp.asarray(5.0))
+
+    cfg = RunnerConfig(
+        max_epoch=2, iters_per_inner_epoch=15,
+        output_dir=str(tmp_path / "it"), log_freq=100,
+    )
+    r = Runner(cfg, step, jnp.asarray(0.0), opt.init(jnp.asarray(0.0)), endless, None)
+    r.train()
+    assert abs(float(r.params) - 5.0) < 1e-2
