@@ -16,24 +16,44 @@ from typing import Any, Callable, Iterator, List, Optional
 
 
 class JsonlDataset:
-    """Annotation dataset over a jsonl (or json-list) file."""
+    """Annotation dataset over a jsonl (or json-list) file.
 
-    def __init__(self, path: str, transform: Optional[Callable[[dict], Any]] = None):
+    With use_native=True (default), jsonl files are served by the C++ mmap
+    line index (framework/native.py) — O(1) random access, no Python
+    materialization; falls back to in-memory rows when the toolchain is
+    absent or the file is a json list."""
+
+    def __init__(
+        self,
+        path: str,
+        transform: Optional[Callable[[dict], Any]] = None,
+        use_native: bool = True,
+    ):
         path = os.path.expanduser(path)
+        self.transform = transform
+        self.rows: Optional[List[dict]] = None
+        self._native = None
         with open(path) as f:
             head = f.read(1)
-            f.seek(0)
-            if head == "[":
-                self.rows: List[dict] = json.load(f)
-            else:
-                self.rows = [json.loads(line) for line in f if line.strip()]
-        self.transform = transform
+        if head != "[" and use_native:
+            try:
+                from llava_align_tpu.framework.native import NativeJsonl
+
+                self._native = NativeJsonl(path)
+            except Exception:
+                self._native = None
+        if self._native is None:
+            with open(path) as f:
+                if head == "[":
+                    self.rows = json.load(f)
+                else:
+                    self.rows = [json.loads(line) for line in f if line.strip()]
 
     def __len__(self) -> int:
-        return len(self.rows)
+        return len(self._native) if self._native is not None else len(self.rows)
 
     def __getitem__(self, i: int):
-        row = self.rows[i]
+        row = self._native[i] if self._native is not None else self.rows[i]
         return self.transform(row) if self.transform else row
 
 
