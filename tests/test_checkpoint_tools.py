@@ -106,3 +106,23 @@ def test_anyres_stack_shape():
     assert get_anyres_image_grid_shape(img.size, pinpoints, 336) == (2, 1)
     out = process_anyres_image(img, pinpoints, base_size=336, crop_size=336)
     assert out.shape == (3, 3, 336, 336)  # base + 2 grid patches
+
+
+def test_orbax_params_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from llava_align_tpu.models import llava
+    from llava_align_tpu.config import LlavaConfig
+    from llava_align_tpu.utils.checkpoint_io import load_params, save_params
+
+    cfg = LlavaConfig.tiny(vocab_size=64)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    p = save_params(str(tmp_path / "ckpt"), params, meta={"model": "tiny"})
+    restored, meta = load_params(p)
+    assert meta == {"model": "tiny"}
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
