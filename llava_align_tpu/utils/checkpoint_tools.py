@@ -27,6 +27,30 @@ def _np(x) -> Array:
     return x.float().cpu().numpy()
 
 
+def resize_token_embeddings(
+    llama_params: Dict[str, "object"], new_vocab_size: int
+) -> Dict[str, "object"]:
+    """Grow embed/lm_head to a larger vocab, initializing new rows with the
+    mean of the existing ones (reference llava_arch.initialize_vision_tokenizer
+    :206-226: add <im_patch>/<im_start>/<im_end>, resize, mean-init)."""
+    import jax.numpy as jnp
+
+    out = dict(llama_params)
+    for key in ("embed", "lm_head"):
+        w = llama_params[key]
+        if isinstance(w, dict):  # quantized — resize before quantization
+            raise ValueError("resize before quantizing the embeddings/lm_head")
+        old_v = w.shape[0]
+        if new_vocab_size < old_v:
+            raise ValueError(f"cannot shrink vocab {old_v} -> {new_vocab_size}")
+        if new_vocab_size == old_v:
+            continue
+        mean_row = jnp.mean(w.astype(jnp.float32), axis=0, keepdims=True)
+        new_rows = jnp.broadcast_to(mean_row, (new_vocab_size - old_v, w.shape[1]))
+        out[key] = jnp.concatenate([w, new_rows.astype(w.dtype)], axis=0)
+    return out
+
+
 def merge_lora(
     base_sd: Mapping[str, Array],
     lora_sd: Mapping[str, Array],

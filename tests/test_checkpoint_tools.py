@@ -126,3 +126,22 @@ def test_orbax_params_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resize_token_embeddings():
+    import jax
+    import jax.numpy as jnp
+
+    from llava_align_tpu.config import LlamaConfig
+    from llava_align_tpu.models import llama
+    from llava_align_tpu.utils.checkpoint_tools import resize_token_embeddings
+
+    cfg = LlamaConfig.tiny(vocab_size=32)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    new = resize_token_embeddings(params, 35)
+    assert new["embed"].shape == (35, cfg.hidden_size)
+    assert new["lm_head"].shape == (35, cfg.hidden_size)
+    mean = np.asarray(jnp.mean(params["embed"].astype(jnp.float32), axis=0))
+    np.testing.assert_allclose(np.asarray(new["embed"][33], np.float32), mean, atol=1e-5)
+    # existing rows untouched
+    np.testing.assert_array_equal(np.asarray(new["embed"][:32]), np.asarray(params["embed"]))
