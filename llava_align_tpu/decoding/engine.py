@@ -18,6 +18,12 @@ Contrast logits = the primary branch, or the mean of (primary, 'none') when
 both use_dd and use_dd_unk are set.
 
 The engine is model-family-agnostic via `decoding.adapters`.
+
+Deliberate divergence: the reference's monkey-patch only replaces HF `sample`,
+so `do_sample=False` silently falls through to un-patched greedy_search and
+LOSES the contrastive correction; here CD applies under greedy decoding too
+(a strict superset — greedy+CD is the temperature→0 limit of the patched
+sampler).
 """
 
 from __future__ import annotations
