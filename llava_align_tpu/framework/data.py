@@ -57,6 +57,21 @@ class JsonlDataset:
         return self.transform(row) if self.transform else row
 
 
+class ListDataset:
+    """In-memory rows + transform (collate partner for PrefetchLoader)."""
+
+    def __init__(self, rows: List[Any], transform: Optional[Callable[[Any], Any]] = None):
+        self.rows = rows
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __getitem__(self, i: int):
+        row = self.rows[i]
+        return self.transform(row) if self.transform else row
+
+
 class PrefetchLoader:
     """Iterate a dataset with worker threads preparing samples ahead of the
     consumer; order-preserving. `collate` groups `batch_size` prepared samples.

@@ -117,9 +117,17 @@ def run(args) -> str:
     n_done = 0
     pending = [l for l in questions if not ans.is_done(l["question_id"])]
     B = max(1, args.batch_size)
-    for start in range(0, len(pending), B):
-        chunk = pending[start : start + B]
-        prepped = [prep(l) for l in chunk]
+    # worker threads tokenize + decode images ahead of the device
+    # (host-side analog of double buffering; torch-DataLoader capability)
+    from llava_align_tpu.framework.data import ListDataset, PrefetchLoader
+
+    loader = PrefetchLoader(
+        ListDataset(pending, transform=lambda l: (l, prep(l))),
+        batch_size=B, num_workers=2, prefetch=4,
+    )
+    for start, batch_rows in zip(range(0, len(pending), B), loader):
+        chunk = [l for l, _ in batch_rows]
+        prepped = [p for _, p in batch_rows]
         stop_str = prepped[0][2]
         rng = jax.random.PRNGKey(args.seed + start)
 
