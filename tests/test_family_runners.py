@@ -1,0 +1,103 @@
+"""Offline end-to-end smokes for the qwen and blip runners (tiny random
+models, mock tokenizers, synthetic images) — regression protection for the
+full CLI paths."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def questions(tmp_path):
+    qf = tmp_path / "q.json"
+    with open(qf, "w") as f:
+        for i in range(2):
+            f.write(
+                json.dumps(
+                    {"question_id": i, "image": f"i{i}.jpg",
+                     "text": f"Is there a cat #{i}?", "label": "no"}
+                ) + "\n"
+            )
+    return str(qf)
+
+
+def test_qwen_runner_end_to_end(questions, tmp_path):
+    from llava_align_tpu.runners import qwen_pope
+
+    out = str(tmp_path / "ans.jsonl")
+    args = qwen_pope.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", questions,
+         "--answers-file", out, "--use_dd_unk", "--calibrate"]
+    )
+    args.synthetic_images = True
+    args.temperature = 0.0
+    args.max_new_tokens = 3
+    qwen_pope.run(args)
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2
+    assert {"naive", "none", "unk", "text"} <= set(recs[0])
+
+
+def test_blip_runner_end_to_end(questions, tmp_path):
+    from llava_align_tpu.runners import blip_pope
+
+    out = str(tmp_path / "ans.jsonl")
+    args = blip_pope.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", questions,
+         "--answers-file", out, "--use_cd", "--calibrate"]
+    )
+    args.synthetic_images = True
+    args.temperature = 0.0
+    args.max_new_tokens = 3
+    blip_pope.run(args)
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2
+    assert {"naive", "none", "noise", "text"} <= set(recs[0])
+
+
+def test_bias_probe_runner(questions, tmp_path):
+    from llava_align_tpu.runners import bias_probe
+
+    out = str(tmp_path / "probe.jsonl")
+    args = bias_probe.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", questions,
+         "--answers-file", out]
+    )
+    args.synthetic_images = True
+    args.temperature = 0.0
+    bias_probe.run(args)
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2
+    assert {"none", "unk", "noise", "zero", "one", "naive"} <= set(recs[0])
+
+
+def test_mmmu_runner_and_scoring(tmp_path):
+    from llava_align_tpu.runners import mmmu
+
+    qf = tmp_path / "mmmu.jsonl"
+    with open(qf, "w") as f:
+        for i in range(2):
+            f.write(
+                json.dumps(
+                    {"id": f"val_art_{i}", "subject": "art",
+                     "question_type": "multiple-choice", "answer": "B",
+                     "all_choices": ["A", "B", "C", "D"],
+                     "index2ans": {"A": "w", "B": "x", "C": "y", "D": "z"},
+                     "final_input_prompt": f"Pick one (A) w (B) x (C) y (D) z #{i}",
+                     "image": f"m{i}.jpg"}
+                ) + "\n"
+            )
+    out = str(tmp_path / "ans.jsonl")
+    args = mmmu.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", str(qf),
+         "--answers-file", out, "--calibrate"]
+    )
+    args.synthetic_images = True
+    args.temperature = 0.0
+    args.max_new_tokens = 3
+    mmmu.run(args)
+    for setting in ("naive", "none_unk"):
+        rep = mmmu.score(out, setting)
+        assert "art" in rep["subjects"]
+        assert 0.0 <= rep["overall_acc"] <= 1.0
