@@ -88,6 +88,75 @@ def llava_param_shardings(
     }
 
 
+def qwen_param_shardings(mesh: Mesh) -> Dict[str, Any]:
+    """models/qwen params ([L, out, in] torch layout). The packed c_attn
+    output dim is [q|k|v] blocks of equal size, each divisible by the mesh —
+    sharding dim 1 keeps whole heads per shard within each block."""
+    rep = _ns(mesh)
+    return {
+        "wte": _ns(mesh, None, "model"),
+        "layers": {
+            "ln_1": rep,
+            "c_attn_w": _ns(mesh, None, "model", None),
+            "c_attn_b": _ns(mesh, None, "model"),
+            "attn_proj": _ns(mesh, None, None, "model"),
+            "ln_2": rep,
+            "w1": _ns(mesh, None, "model", None),
+            "w2": _ns(mesh, None, "model", None),
+            "mlp_proj": _ns(mesh, None, None, "model"),
+        },
+        "ln_f": rep,
+        "lm_head": _ns(mesh, "model", None),
+    }
+
+
+def mpt_param_shardings(mesh: Mesh) -> Dict[str, Any]:
+    """models/mpt params. NOTE: the packed wqkv output dim is [D | KV | KV];
+    with multiquery (KV = head_dim) the kv blocks are not shardable, so wqkv
+    is sharded on the INPUT dim (row-parallel) instead — one extra all-reduce
+    per attention, correct for both MHA and MQA."""
+    rep = _ns(mesh)
+    return {
+        "wte": _ns(mesh, "model", None),
+        "layers": {
+            "norm_1": rep,
+            "wqkv": _ns(mesh, None, None, "model"),
+            "out_proj": _ns(mesh, None, None, "model"),
+            "norm_2": rep,
+            "up_proj": _ns(mesh, None, "model", None),
+            "down_proj": _ns(mesh, None, None, "model"),
+        },
+        "norm_f": rep,
+    }
+
+
+def opt_param_shardings(mesh: Mesh) -> Dict[str, Any]:
+    rep = _ns(mesh)
+
+    def dense(col: bool):
+        return {
+            "w": _ns(mesh, None, "model", None) if col else _ns(mesh, None, None, "model"),
+            "b": rep,
+        }
+
+    ln = {"scale": rep, "bias": rep}
+    return {
+        "embed_tokens": _ns(mesh, "model", None),
+        "embed_positions": rep,
+        "layers": {
+            "attn_ln": dict(ln),
+            "q": dense(True),
+            "k": dense(True),
+            "v": dense(True),
+            "out": dense(False),
+            "ffn_ln": dict(ln),
+            "fc1": dense(True),
+            "fc2": dense(False),
+        },
+        "final_ln": dict(ln),
+    }
+
+
 def cache_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
     """KV cache [L, B, Smax, K, Dh]: shard kv heads over 'model'."""
     s = _ns(mesh, None, None, None, "model", None)

@@ -108,3 +108,73 @@ def test_graft_entry_and_dryrun():
     assert out.shape[-1] == 32000
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(4)
+
+
+def test_qwen_tp_matches_single_device():
+    from llava_align_tpu.models import qwen
+    from llava_align_tpu.models.qwen import QwenConfig
+    from llava_align_tpu.parallel.sharding import qwen_param_shardings
+
+    cfg = QwenConfig(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4, head_dim=16,
+        intermediate_size=128, seq_length=64, use_logn_attn=False,
+        use_dynamic_ntk=False, dtype=jnp.float32,
+    )
+    params = qwen.init(jax.random.PRNGKey(0), cfg)
+    ids = np.random.default_rng(0).integers(0, 128, (1, 9))
+    emb = qwen.embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.arange(9, dtype=jnp.int32)[None]
+    ref_h, _ = qwen.forward(params, cfg, emb, pos, attn_impl="xla")
+    ref = np.asarray(qwen.logits_from_hidden(params, ref_h))
+
+    mesh = make_mesh(model=4, data=2)
+    sharded = shard_params(params, qwen_param_shardings(mesh))
+    with mesh:
+        emb2 = qwen.embed_tokens(sharded, jnp.asarray(ids))
+        h, _ = qwen.forward(sharded, cfg, emb2, pos, attn_impl="xla")
+        tp = np.asarray(qwen.logits_from_hidden(sharded, h))
+    np.testing.assert_allclose(tp, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_mpt_tp_matches_single_device():
+    from llava_align_tpu.models import mpt
+    from llava_align_tpu.models.mpt import MptConfig
+    from llava_align_tpu.parallel.sharding import mpt_param_shardings
+
+    cfg = MptConfig.tiny(vocab_size=128, multiquery=True)
+    params = mpt.init(jax.random.PRNGKey(1), cfg)
+    ids = np.random.default_rng(1).integers(0, 128, (1, 7))
+    emb = mpt.embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.arange(7, dtype=jnp.int32)[None]
+    ref_h, _ = mpt.forward(params, cfg, emb, pos)
+    ref = np.asarray(mpt.logits_from_hidden(params, ref_h))
+
+    mesh = make_mesh(model=2, data=4)
+    sharded = shard_params(params, mpt_param_shardings(mesh))
+    with mesh:
+        emb2 = mpt.embed_tokens(sharded, jnp.asarray(ids))
+        h, _ = mpt.forward(sharded, cfg, emb2, pos)
+        tp = np.asarray(mpt.logits_from_hidden(sharded, h))
+    np.testing.assert_allclose(tp, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_opt_tp_matches_single_device():
+    from llava_align_tpu.models import opt
+    from llava_align_tpu.models.opt import OptConfig
+    from llava_align_tpu.parallel.sharding import opt_param_shardings
+
+    cfg = OptConfig.tiny(vocab_size=128)
+    params = opt.init(jax.random.PRNGKey(2), cfg)
+    ids = np.random.default_rng(2).integers(0, 128, (1, 8))
+    emb = opt.embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    ref_h, _ = opt.forward(params, cfg, emb, pos)
+    ref = np.asarray(opt.logits_from_hidden(params, ref_h))
+
+    mesh = make_mesh(model=4, data=2)
+    sharded = shard_params(params, opt_param_shardings(mesh))
+    with mesh:
+        emb2 = opt.embed_tokens(sharded, jnp.asarray(ids))
+        h, _ = opt.forward(sharded, cfg, emb2, pos)
+        tp = np.asarray(opt.logits_from_hidden(sharded, h))
+    np.testing.assert_allclose(tp, ref, atol=2e-4, rtol=1e-4)
