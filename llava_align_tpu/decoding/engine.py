@@ -122,8 +122,11 @@ class DecodeEngine:
         input_ids: Sequence[int],
         has_image: bool,
         branch_ids: Optional[Mapping[str, Sequence[int]]] = None,
+        num_image_tokens: Optional[int] = None,
     ):
-        n_img = self.adapter.num_image_tokens if has_image else 0
+        n_img = (
+            (num_image_tokens or self.adapter.num_image_tokens) if has_image else 0
+        )
         branch_ids = branch_ids or {}
         per_branch = []
         for kind in self.kinds:
@@ -203,13 +206,21 @@ class DecodeEngine:
             if precomputed_feats:
                 feats = images  # already [n_srcs, N, D]
             else:
+                # images [G, 3, H, W]: G > 1 = anyres grid stack whose
+                # features concatenate into one long image-token run
+                G = images.shape[0]
                 if gen.use_cd:
                     rng, rng_noise = jax.random.split(rng)
                     noised = add_diffusion_noise(images, rng_noise, gen.noise_step)
                     imgs = jnp.concatenate([images, noised], axis=0)
                 else:
                     imgs = images
-                feats = adapter.encode_images(params, imgs)  # [n_imgs, N, D]
+                grid_feats = adapter.encode_images(params, imgs)  # [G(2G), N0, D]
+                D = grid_feats.shape[2]
+                rows = [grid_feats[:G].reshape(1, -1, D)]
+                if gen.use_cd:
+                    rows.append(grid_feats[G:].reshape(1, -1, D))
+                feats = jnp.concatenate(rows, axis=0)  # [n_srcs, G*N0, D]
             N, D = feats.shape[1], feats.shape[2]
             feats_ext = jnp.concatenate(
                 [jnp.zeros((1, N, D), feats.dtype), feats], axis=0
@@ -470,7 +481,9 @@ class DecodeEngine:
         branch_ids: Optional[Mapping[str, Sequence[int]]] = None,
         precomputed_feats: Optional[np.ndarray] = None,
     ) -> GenerationOutput:
-        """image: normalized pixels [3, H, W] (CLIP-preprocessed) or None.
+        """image: normalized pixels [3, H, W], an anyres grid stack
+        [G, 3, H, W] (each grid contributes num_image_tokens features,
+        concatenated — reference mm_utils process_anyres_image), or None.
         branch_ids: optional explicit token ids per branch kind (models whose
         degraded prompts need the tokenizer, e.g. qwen 'unk').
         precomputed_feats: [n_srcs, N, D] image features computed outside the
@@ -479,13 +492,21 @@ class DecodeEngine:
         has_image = (image is not None or precomputed_feats is not None) and any(
             t == IMAGE_TOKEN_INDEX for t in input_ids
         )
+        n_tok = None
+        if precomputed_feats is not None:
+            n_tok = int(np.asarray(precomputed_feats).shape[1])
+        elif image is not None and np.asarray(image).ndim == 4:
+            n_tok = self.adapter.num_image_tokens * int(np.asarray(image).shape[0])
         pad_to, tokens, tok_g, img_g, is_img, lengths, feats_src = self._pack(
-            input_ids, has_image, branch_ids
+            input_ids, has_image, branch_ids, num_image_tokens=n_tok
         )
         if precomputed_feats is not None:
             images = jnp.asarray(precomputed_feats)
         elif image is not None:
-            images = jnp.asarray(image, self.adapter.vision_dtype)[None]
+            img = np.asarray(image)
+            if img.ndim == 3:
+                img = img[None]
+            images = jnp.asarray(img, self.adapter.vision_dtype)
         else:
             H = self.adapter.image_size
             images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)

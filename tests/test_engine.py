@@ -159,3 +159,33 @@ def test_branch_kinds_priority():
     assert branch_kinds(GenerationConfig(use_dd=True, use_dd_unk=True)) == ["main", "unk", "none"]
     assert branch_kinds(GenerationConfig(use_dd_unk=True)) == ["main", "unk"]
     assert branch_kinds(GenerationConfig()) == ["main"]
+
+
+def test_anyres_grid_stack(setup):
+    """[G,3,H,W] grid stacks contribute G*num_patches concatenated features
+    (llava-1.6 anyres capability)."""
+    params, image, ids = setup
+    H = CFG.vision.image_size
+    stack = np.stack([image, image * 0.5, image * 0.1])  # G=3
+    gen = GenerationConfig(max_new_tokens=3, do_sample=False, eos_token_id=EOS)
+    eng = _engine(params, gen)
+    out = eng.generate(ids, stack)
+    n_text = len([t for t in ids if t != IMAGE_TOKEN_INDEX])
+    assert out.prompt_length == n_text + 3 * CFG.num_image_tokens
+    assert len(out.token_ids) >= 1
+
+    # oracle: same features via forward_multimodal with a flattened splice
+    feats = llava.encode_images(params, CFG, jnp.asarray(stack, jnp.float32))
+    flat = np.asarray(feats).reshape(1, -1, CFG.text.hidden_size)
+    plan = llava.plan_splice(ids, 3 * CFG.num_image_tokens, pad_to=out.prompt_length + 8)
+    embeds = llava.splice_embeds(
+        params, CFG,
+        jnp.asarray(plan.tokens)[None], jnp.asarray(plan.tok_gather)[None],
+        jnp.asarray(plan.img_gather)[None], jnp.asarray(plan.is_image)[None],
+        jnp.asarray(flat),
+    )
+    from llava_align_tpu.models import llama
+    positions = jnp.arange(embeds.shape[1], dtype=jnp.int32)[None]
+    hidden, _ = llama.forward(params["llama"], CFG.text, embeds, positions, attn_impl="xla")
+    logits = np.asarray(llama.logits_from_hidden(params["llama"], hidden[0, plan.length - 1]))
+    assert out.token_ids[0] == int(np.argmax(logits))
