@@ -125,6 +125,8 @@ class LlavaConfig:
     # 'pad' (expand2square) | 'anyres' | None (plain processor)
     # (reference mm_utils.py:166-182)
     image_aspect_ratio: Optional[str] = "pad"
+    # anyres grid resolutions (reference mm_utils.py:99-145)
+    image_grid_pinpoints: Optional[str] = None
     mm_use_im_start_end: bool = False
     mm_use_im_patch_token: bool = False
 

@@ -122,6 +122,7 @@ def load_image_tensor(
     image_size: int = 336,
     image_aspect_ratio: Optional[str] = None,
     synthetic_ok: bool = False,
+    grid_pinpoints=None,
 ) -> np.ndarray:
     """CLIP-preprocessed [3, H, W] float32. With synthetic_ok, a deterministic
     noise image replaces missing files (offline smoke runs)."""
@@ -131,9 +132,16 @@ def load_image_tensor(
     if os.path.exists(path):
         from PIL import Image
 
-        return clip_preprocess_pil(
-            Image.open(path), image_size, image_aspect_ratio
-        )
+        img = Image.open(path)
+        if image_aspect_ratio == "anyres":
+            from llava_align_tpu.ops.anyres import process_anyres_image
+
+            pinpoints = grid_pinpoints or [
+                (image_size, image_size * 2), (image_size * 2, image_size),
+                (image_size * 2, image_size * 2),
+            ]
+            return process_anyres_image(img, pinpoints, image_size, image_size)
+        return clip_preprocess_pil(img, image_size, image_aspect_ratio)
     if not synthetic_ok:
         raise FileNotFoundError(path)
     rng = np.random.default_rng(abs(hash(image_file)) % (2**31))

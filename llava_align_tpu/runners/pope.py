@@ -72,6 +72,7 @@ def run(args) -> str:
             image_size=cfg.vision.image_size,
             image_aspect_ratio=args.image_aspect_ratio,
             synthetic_ok=args.synthetic_images,
+            grid_pinpoints=cfg.image_grid_pinpoints,
         )
         return input_ids, image, stop
 

@@ -625,6 +625,7 @@ def config_from_hf(hf_cfg: dict, dtype=jnp.bfloat16) -> LlavaConfig:
         vision=vision,
         mm_projector_type=hf_cfg.get("mm_projector_type", "linear"),
         image_aspect_ratio=hf_cfg.get("image_aspect_ratio", "pad"),
+        image_grid_pinpoints=hf_cfg.get("image_grid_pinpoints"),
         mm_use_im_start_end=hf_cfg.get("mm_use_im_start_end", False),
         mm_use_im_patch_token=hf_cfg.get("mm_use_im_patch_token", False),
     )
