@@ -22,3 +22,22 @@ Design (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from llava_align_tpu import constants  # noqa: F401
+from llava_align_tpu.config import (  # noqa: F401
+    ClipVisionConfig,
+    GenerationConfig,
+    LlamaConfig,
+    LlavaConfig,
+)
+
+
+def __getattr__(name):
+    # lazy: importing the package should not pull in jax-heavy modules
+    if name == "DecodeEngine":
+        from llava_align_tpu.decoding.engine import DecodeEngine
+
+        return DecodeEngine
+    if name == "conv_templates":
+        from llava_align_tpu.conversation import conv_templates
+
+        return conv_templates
+    raise AttributeError(name)
