@@ -81,12 +81,13 @@ class LlavaAdapter:
 
         return llama.init_cache(self.cfg.text, batch, max_len)
 
-    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
+                max_seq_len, cache_row_offset=0):
         from llava_align_tpu.models import llama
 
         return llama.forward(
             params["llama"], self.cfg.text, embeds, positions, cache, offsets,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, cache_row_offset=cache_row_offset,
         )
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
@@ -126,12 +127,13 @@ class LlavaMptAdapter(LlavaAdapter):
 
         return mpt.init_cache(self.cfg.text, batch, max_len)
 
-    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
+                max_seq_len, cache_row_offset=0):
         from llava_align_tpu.models import mpt
 
         return mpt.forward(
             params["mpt"], self.cfg.text, embeds, positions, cache, offsets,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, cache_row_offset=cache_row_offset,
         )
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
@@ -201,12 +203,13 @@ class InstructBlipAdapter:
 
         return llama.init_cache(self.cfg.text, batch, max_len)
 
-    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
+                max_seq_len, cache_row_offset=0):
         from llava_align_tpu.models import llama
 
         return llama.forward(
             params["llama"], self.cfg.text, embeds, positions, cache, offsets,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, cache_row_offset=cache_row_offset,
         )
 
     def logits(self, params, hidden):
@@ -242,12 +245,13 @@ class Blip2OptAdapter(InstructBlipAdapter):
 
         return opt.init_cache(self.cfg.text, batch, max_len)
 
-    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
+                max_seq_len, cache_row_offset=0):
         from llava_align_tpu.models import opt
 
         return opt.forward(
             params["lm"], self.cfg.text, embeds, positions, cache, offsets,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, cache_row_offset=cache_row_offset,
         )
 
     def logits(self, params, hidden):
@@ -325,13 +329,14 @@ class QwenVLAdapter:
 
         return qwen.init_cache(self.cfg.text, batch, max_len)
 
-    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl, max_seq_len):
+    def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
+                max_seq_len, cache_row_offset=0):
         from llava_align_tpu.models import qwen
 
         return qwen.forward(
             params["qwen"], self.cfg.text, embeds, positions, cache, offsets,
             ntk_alpha=qwen.ntk_alpha_for_len(self.cfg.text, max_seq_len),
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, cache_row_offset=cache_row_offset,
         )
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:

@@ -123,13 +123,14 @@ class DecodeEngine:
         has_image: bool,
         branch_ids: Optional[Mapping[str, Sequence[int]]] = None,
         num_image_tokens: Optional[int] = None,
+        kinds: Optional[Sequence[str]] = None,
     ):
         n_img = (
             (num_image_tokens or self.adapter.num_image_tokens) if has_image else 0
         )
         branch_ids = branch_ids or {}
         per_branch = []
-        for kind in self.kinds:
+        for kind in (kinds if kinds is not None else self.kinds):
             if kind in branch_ids:
                 ids = [int(t) for t in branch_ids[kind]]
             else:
@@ -144,7 +145,7 @@ class DecodeEngine:
         )
         pad_to = _round_up(max(max_len, self.bucket), self.bucket)
 
-        nb = len(self.kinds)
+        nb = len(per_branch)
         tokens = np.zeros((nb, pad_to), np.int32)
         tok_g = np.zeros((nb, pad_to), np.int32)
         img_g = np.zeros((nb, pad_to), np.int32)
@@ -168,16 +169,32 @@ class DecodeEngine:
     # jitted generate
     # ------------------------------------------------------------------
 
-    def _get_fn(self, pad_to: int, precomputed_feats: bool = False):
-        key = (pad_to, precomputed_feats)
+    @property
+    def img_kinds(self) -> List[str]:
+        """Image-bearing branches — always a prefix of self.kinds."""
+        return [k for k in self.kinds if k in ("main", "cd")]
+
+    @property
+    def txt_kinds(self) -> List[str]:
+        return [k for k in self.kinds if k not in ("main", "cd")]
+
+    def _get_fn(self, pad_img: int, pad_txt: int, precomputed_feats: bool = False):
+        """Split-bucket prefill: the image-bearing branches (≥576 image tokens)
+        and the text-only degraded branches (~10% the length) prefill as two
+        forwards at their own buckets into disjoint rows of one cache —
+        uniform padding would waste ~60% of prefill FLOPs on the padded text
+        rows. Decode then runs on the packed rows as usual."""
+        key = (pad_img, pad_txt, precomputed_feats)
         if key in self._compiled:
             return self._compiled[key]
 
         adapter, gen = self.adapter, self.gen
         nb = len(self.kinds)
+        n_img_rows = len(self.img_kinds)
+        n_txt_rows = len(self.txt_kinds)
         n_contrast = nb - 1
         T = gen.max_new_tokens
-        cache_len = pad_to + T
+        cache_len = max(pad_img, pad_txt) + T
         kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if len(k) > 0]
         attn_impl = self.attn_impl
         topk = self.top_scores_k
@@ -201,7 +218,8 @@ class DecodeEngine:
                 done |= jnp.all(window == jnp.asarray(kw)) & (n >= m)
             return done
 
-        def generate_fn(params, tokens, tok_g, img_g, is_img, lengths, feats_src, images, rng):
+        def generate_fn(params, pack_img, pack_txt, images, rng):
+            tokens, tok_g, img_g, is_img, len_img, feats_src = pack_img
             # ---- vision encode (main + optional noised copy, one tower call)
             if precomputed_feats:
                 feats = images  # already [n_srcs, N, D]
@@ -225,21 +243,43 @@ class DecodeEngine:
             feats_ext = jnp.concatenate(
                 [jnp.zeros((1, N, D), feats.dtype), feats], axis=0
             )
-            branch_feats = feats_ext[feats_src + 1]  # [nb, N, D]
+            branch_feats = feats_ext[feats_src + 1]  # [n_img_rows, N, D]
 
-            # ---- prefill (all branches, one forward)
+            # ---- prefill: image rows at their bucket...
+            cache = adapter.init_cache(nb, cache_len)
             embeds = adapter.splice_embeds(params, tokens, tok_g, img_g, is_img, branch_feats)
             positions = jnp.broadcast_to(
-                jnp.arange(pad_to, dtype=jnp.int32), (nb, pad_to)
+                jnp.arange(pad_img, dtype=jnp.int32), (n_img_rows, pad_img)
             )
-            cache = adapter.init_cache(nb, cache_len)
             hidden, cache = adapter.forward(
                 params, embeds, positions, cache,
-                jnp.zeros((nb,), jnp.int32), attn_impl=attn_impl,
+                jnp.zeros((n_img_rows,), jnp.int32), attn_impl=attn_impl,
                 max_seq_len=cache_len,
             )
-            last_hidden = hidden[jnp.arange(nb), lengths - 1]
+            last_hidden = hidden[jnp.arange(n_img_rows), len_img - 1]
             logits = adapter.logits(params, last_hidden)
+            lengths = len_img
+
+            # ---- ...and text-only degraded rows at theirs (much shorter)
+            if n_txt_rows:
+                t_tokens, t_tok_g, t_img_g, t_is_img, len_txt, _ = pack_txt
+                zero_feats = jnp.zeros((n_txt_rows, 1, D), feats.dtype)
+                t_embeds = adapter.splice_embeds(
+                    params, t_tokens, t_tok_g, t_img_g, t_is_img, zero_feats
+                )
+                t_positions = jnp.broadcast_to(
+                    jnp.arange(pad_txt, dtype=jnp.int32), (n_txt_rows, pad_txt)
+                )
+                t_hidden, cache = adapter.forward(
+                    params, t_embeds, t_positions, cache,
+                    jnp.zeros((n_txt_rows,), jnp.int32), attn_impl=attn_impl,
+                    max_seq_len=cache_len, cache_row_offset=n_img_rows,
+                )
+                t_last = t_hidden[jnp.arange(n_txt_rows), len_txt - 1]
+                logits = jnp.concatenate(
+                    [logits, adapter.logits(params, t_last)], axis=0
+                )
+                lengths = jnp.concatenate([len_img, len_txt], axis=0)
 
             # ---- on-device decode loop
             V = logits.shape[-1]
@@ -497,9 +537,23 @@ class DecodeEngine:
             n_tok = int(np.asarray(precomputed_feats).shape[1])
         elif image is not None and np.asarray(image).ndim == 4:
             n_tok = self.adapter.num_image_tokens * int(np.asarray(image).shape[0])
-        pad_to, tokens, tok_g, img_g, is_img, lengths, feats_src = self._pack(
-            input_ids, has_image, branch_ids, num_image_tokens=n_tok
+
+        pad_img, *pi = self._pack(
+            input_ids, has_image, branch_ids, num_image_tokens=n_tok,
+            kinds=self.img_kinds,
         )
+        pack_img = tuple(jnp.asarray(a) for a in pi)
+        if self.txt_kinds:
+            pad_txt, *pt = self._pack(
+                input_ids, has_image, branch_ids, num_image_tokens=n_tok,
+                kinds=self.txt_kinds,
+            )
+            pack_txt = tuple(jnp.asarray(a) for a in pt)
+        else:
+            pad_txt = 0
+            pack_txt = tuple(jnp.zeros((0,), jnp.int32) for _ in range(6))
+        main_len = int(pi[4][0])
+
         if precomputed_feats is not None:
             images = jnp.asarray(precomputed_feats)
         elif image is not None:
@@ -512,23 +566,13 @@ class DecodeEngine:
             images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
-        fn = self._get_fn(pad_to, precomputed_feats is not None)
-        out_buf, n, top_probs, top_ids = fn(
-            self.params,
-            jnp.asarray(tokens),
-            jnp.asarray(tok_g),
-            jnp.asarray(img_g),
-            jnp.asarray(is_img),
-            jnp.asarray(lengths),
-            jnp.asarray(feats_src),
-            images,
-            rng,
-        )
+        fn = self._get_fn(pad_img, pad_txt, precomputed_feats is not None)
+        out_buf, n, top_probs, top_ids = fn(self.params, pack_img, pack_txt, images, rng)
         n = int(n)
         return GenerationOutput(
             token_ids=[int(t) for t in np.asarray(out_buf)[:n]],
             num_generated=n,
             first_scores_top_probs=np.asarray(top_probs),
             first_scores_top_ids=np.asarray(top_ids),
-            prompt_length=int(lengths[0]),
+            prompt_length=main_len,
         )

@@ -94,6 +94,7 @@ def _write_cache_full(
     layer_idx: jax.Array,
     offsets: jax.Array,
     is_decode: bool,
+    row_offset: int = 0,
 ) -> jax.Array:
     """Write new [B, S, K, Dh] into cache_full [L, B, Smax, K, Dh] at layer
     `layer_idx`, per-row sequence offsets `offsets` [B].
@@ -104,9 +105,9 @@ def _write_cache_full(
     """
     B, S = new.shape[0], new.shape[1]
     if is_decode:
-        return cache_full.at[layer_idx, jnp.arange(B), offsets].set(new[:, 0])
+        return cache_full.at[layer_idx, row_offset + jnp.arange(B), offsets].set(new[:, 0])
     return jax.lax.dynamic_update_slice(
-        cache_full, new[None], (layer_idx, 0, 0, 0, 0)
+        cache_full, new[None], (layer_idx, row_offset, 0, 0, 0)
     )
 
 
@@ -119,6 +120,7 @@ def forward(
     cache_offset: Optional[jax.Array] = None,
     *,
     attn_impl: str = "auto",
+    cache_row_offset: int = 0,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -168,8 +170,8 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         if cache is not None:
-            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode)
-            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode)
+            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode, cache_row_offset)
+            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode, cache_row_offset)
 
         if is_decode:
             k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)

@@ -116,11 +116,13 @@ def embed_tokens(params: Params, ids: jax.Array) -> jax.Array:
     return params["wte"][jnp.clip(ids, 0, V - 1)]
 
 
-def _write_cache_full(cache_full, new, layer_idx, offsets, is_decode):
+def _write_cache_full(cache_full, new, layer_idx, offsets, is_decode, row_offset=0):
     B = new.shape[0]
     if is_decode:
-        return cache_full.at[layer_idx, jnp.arange(B), offsets].set(new[:, 0])
-    return jax.lax.dynamic_update_slice(cache_full, new[None], (layer_idx, 0, 0, 0, 0))
+        return cache_full.at[layer_idx, row_offset + jnp.arange(B), offsets].set(new[:, 0])
+    return jax.lax.dynamic_update_slice(
+        cache_full, new[None], (layer_idx, row_offset, 0, 0, 0)
+    )
 
 
 def _alibi_attention(q, k, v, slopes, key_positions, mask):
@@ -160,6 +162,7 @@ def forward(
     cache_offset: Optional[jax.Array] = None,
     *,
     attn_impl: str = "xla",
+    cache_row_offset: int = 0,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     B, S, D = embeds.shape
     H, Dh, KV = cfg.n_heads, cfg.head_dim, cfg.kv_heads
@@ -184,8 +187,8 @@ def forward(
         v = qkv[..., D + KV * Dh :].reshape(B, S, KV, Dh)
 
         if cache is not None:
-            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode)
-            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode)
+            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode, cache_row_offset)
+            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode, cache_row_offset)
 
         if is_decode:
             k_att = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)

@@ -118,11 +118,13 @@ def _logn_scale(cfg: QwenConfig, positions: jax.Array) -> jax.Array:
     return jnp.where(i > cfg.seq_length, factor, 1.0)
 
 
-def _write_cache_full(cache_full, new, layer_idx, offsets, is_decode):
+def _write_cache_full(cache_full, new, layer_idx, offsets, is_decode, row_offset=0):
     B = new.shape[0]
     if is_decode:
-        return cache_full.at[layer_idx, jnp.arange(B), offsets].set(new[:, 0])
-    return jax.lax.dynamic_update_slice(cache_full, new[None], (layer_idx, 0, 0, 0, 0))
+        return cache_full.at[layer_idx, row_offset + jnp.arange(B), offsets].set(new[:, 0])
+    return jax.lax.dynamic_update_slice(
+        cache_full, new[None], (layer_idx, row_offset, 0, 0, 0)
+    )
 
 
 def forward(
@@ -135,6 +137,7 @@ def forward(
     *,
     ntk_alpha: float = 1.0,
     attn_impl: str = "auto",
+    cache_row_offset: int = 0,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     B, S, D = embeds.shape
     H, Dh = cfg.num_heads, cfg.head_dim
@@ -164,8 +167,8 @@ def forward(
             q = (q.astype(jnp.float32) * logn).astype(q.dtype)
 
         if cache is not None:
-            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode)
-            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode)
+            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode, cache_row_offset)
+            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode, cache_row_offset)
 
         if is_decode:
             k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
