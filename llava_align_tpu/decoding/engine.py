@@ -450,7 +450,11 @@ class DecodeEngine:
         """batch: list of (input_ids, image) — image may be None. All
         questions decode in lockstep on a [Q*nb] packed batch axis; per-
         question done flags stop each answer independently (the reference's
-        unfinished_sequences/pad semantics, vcd_sample.py:256-291)."""
+        unfinished_sequences/pad semantics, vcd_sample.py:256-291).
+
+        Uses uniform padding across branches (the single-question path uses
+        split-bucket prefill; doing the same here is a future optimization).
+        """
         Q = len(batch)
         nb = len(self.kinds)
         packs = []
