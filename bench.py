@@ -137,6 +137,11 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch-questions", type=int, default=8)
     ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument(
+        "--mesh", default=None,
+        help="shard the engine over a mesh: 'auto' (all devices on the model "
+        "axis) or 'DATA,MODEL' (e.g. '2,4'); default single-device",
+    )
     args = ap.parse_args()
 
     from llava_align_tpu.config import GenerationConfig, LlavaConfig
@@ -150,6 +155,15 @@ def main():
         cfg = LlavaConfig.tiny(vocab_size=1024)
 
     dev = jax.devices()[0]
+    mesh = None
+    if args.mesh:
+        from llava_align_tpu.parallel.mesh import make_mesh
+
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            d, m = (int(x) for x in args.mesh.split(","))
+            mesh = make_mesh(model=m, data=d)
     params = _build_params(cfg, quant=args.quant)
     ids = _prompt_ids(args.text_len)
     H = cfg.vision.image_size
@@ -170,7 +184,7 @@ def main():
             cd_beta=0.1,
             eos_token_id=NO_EOS,
         )
-        return DecodeEngine(params, cfg, gen, attn_impl="auto")
+        return DecodeEngine(params, cfg, gen, attn_impl="auto", mesh=mesh)
 
     results = {}
     for label, dual in [("dual", True), ("single", False)]:
@@ -239,6 +253,7 @@ def main():
         "model": args.model,
         "quant": args.quant,
         "device": str(dev),
+        "mesh": dict(mesh.shape) if mesh is not None else None,
         "branches": 3,
     }
     print(json.dumps(out))

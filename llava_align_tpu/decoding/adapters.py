@@ -49,6 +49,21 @@ class LlavaAdapter:
     def vision_dtype(self):
         return self.cfg.vision.dtype
 
+    @property
+    def num_kv_heads(self) -> int:
+        return self.cfg.text.num_kv_heads
+
+    # --- sharding (TP over the 'model' mesh axis) ---------------------------
+    def param_shardings(self, params, mesh):
+        """Megatron-style TP placement for the whole param tree (engine
+        `mesh=` support; replaces reference device_map='auto', builder.py:27).
+        Unspecified leaves replicate."""
+        from llava_align_tpu.parallel import sharding as shd
+
+        return shd.complete_shardings(
+            params, shd.llava_param_shardings(self.cfg, mesh, params), mesh
+        )
+
     # --- token-level branch degradation ------------------------------------
     def branch_token_ids(self, input_ids: Sequence[int], kind: str) -> List[int]:
         ids = [int(t) for t in input_ids]
@@ -102,6 +117,17 @@ class LlavaMptAdapter(LlavaAdapter):
     cfg is models.llava_mpt.LlavaMptConfig; params keys: mpt/vision/projector."""
 
     name = "llava_mpt"
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.cfg.text.kv_heads
+
+    def param_shardings(self, params, mesh):
+        from llava_align_tpu.parallel import sharding as shd
+
+        return shd.complete_shardings(
+            params, {"mpt": shd.mpt_param_shardings(mesh)}, mesh
+        )
 
     def embed_tokens(self, params: Params, ids: jax.Array) -> jax.Array:
         from llava_align_tpu.models import mpt
@@ -168,6 +194,18 @@ class InstructBlipAdapter:
     def vision_dtype(self):
         return self.cfg.vision.dtype
 
+    @property
+    def num_kv_heads(self) -> int:
+        return self.cfg.text.num_kv_heads
+
+    def param_shardings(self, params, mesh):
+        from llava_align_tpu.parallel import sharding as shd
+
+        partial = {}
+        if "llama" in params:
+            partial["llama"] = shd.llama_param_shardings(self.cfg.text, mesh)
+        return shd.complete_shardings(params, partial, mesh)
+
     def branch_token_ids(self, input_ids: Sequence[int], kind: str) -> List[int]:
         ids = [int(t) for t in input_ids]
         if kind in ("main", "cd"):
@@ -224,6 +262,18 @@ class Blip2OptAdapter(InstructBlipAdapter):
     InstructBLIP (models/blip2.encode_image_queries)."""
 
     name = "blip2_opt"
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.cfg.text.num_heads
+
+    def param_shardings(self, params, mesh):
+        from llava_align_tpu.parallel import sharding as shd
+
+        partial = {}
+        if "lm" in params:
+            partial["lm"] = shd.opt_param_shardings(mesh)
+        return shd.complete_shardings(params, partial, mesh)
 
     def splice_embeds(self, params, tokens, tok_g, img_g, is_img, feats):
         from llava_align_tpu.models import opt
@@ -282,6 +332,17 @@ class QwenVLAdapter:
     @property
     def vision_dtype(self):
         return self.cfg.vision.dtype
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.cfg.text.num_heads  # qwen is MHA: kv heads == heads
+
+    def param_shardings(self, params, mesh):
+        from llava_align_tpu.parallel import sharding as shd
+
+        return shd.complete_shardings(
+            params, {"qwen": shd.qwen_param_shardings(mesh)}, mesh
+        )
 
     def branch_token_ids(self, input_ids: Sequence[int], kind: str) -> List[int]:
         ids = [int(t) for t in input_ids]

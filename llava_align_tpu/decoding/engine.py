@@ -31,9 +31,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Mapping, Optional, Sequence
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from llava_align_tpu.config import GenerationConfig, LlavaConfig
 from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
@@ -43,6 +46,8 @@ from llava_align_tpu.models import llava as llava_model
 from llava_align_tpu.ops.noise import add_diffusion_noise
 
 Params = Dict[str, Any]
+
+logger = logging.getLogger("llava_align_tpu.engine")
 
 
 def branch_kinds(gen: GenerationConfig) -> List[str]:
@@ -87,7 +92,17 @@ class DecodeEngine:
     """Compiles and runs debiased generation for one (model, GenerationConfig).
 
     Prefill lengths are bucketed to multiples of `bucket` so the number of
-    compiled programs stays small across a dataset sweep.
+    compiled programs stays small across a dataset sweep; compiles are logged
+    and capped at `max_compiled` distinct programs (exceeding the cap warns —
+    it means bucketing is not holding and a sweep is silently re-jitting).
+
+    `mesh`: optional jax.sharding.Mesh with ('data', 'model') axes. When set,
+    params are placed with the adapter's Megatron TP shardings, the KV cache
+    is sharded (kv heads over 'model', batch rows over 'data' when divisible),
+    and the whole jitted generate runs SPMD over the mesh — the TPU-native
+    replacement for the reference's device_map='auto' multi-GPU placement and
+    synced_gpus lockstep (reference builder.py:27, vcd_sample.py:94-102).
+    13B-bf16 (>1 chip of HBM) decodes via TP; lockstep batches fan out via DP.
     """
 
     def __init__(
@@ -101,8 +116,9 @@ class DecodeEngine:
         attn_impl: str = "auto",
         bucket: int = 128,
         top_scores_k: int = 100,
+        mesh: Optional[Mesh] = None,
+        max_compiled: int = 16,
     ):
-        self.params = params
         self.cfg = cfg
         self.adapter = adapter if adapter is not None else LlavaAdapter(cfg)
         self.gen = gen
@@ -111,7 +127,58 @@ class DecodeEngine:
         self.attn_impl = attn_impl
         self.bucket = bucket
         self.top_scores_k = top_scores_k
-        self._compiled: Dict[int, Any] = {}
+        self.mesh = mesh
+        self.max_compiled = max_compiled
+        self._compiled: Dict[Any, Any] = {}
+        if mesh is not None:
+            shardings = self.adapter.param_shardings(params, mesh)
+            self.params = jax.device_put(params, shardings)
+            self._replicated = NamedSharding(mesh, P())
+            self._model_size = int(mesh.shape.get("model", 1))
+            self._data_size = int(mesh.shape.get("data", 1))
+            self._kv_shardable = (
+                self._model_size > 1
+                and self.adapter.num_kv_heads % self._model_size == 0
+            )
+        else:
+            self.params = params
+
+    # ------------------------------------------------------------------
+    # mesh helpers
+    # ------------------------------------------------------------------
+
+    def _put(self, x):
+        """Commit host inputs replicated over the mesh (no-op single device)."""
+        return jax.device_put(x, self._replicated) if self.mesh is not None else x
+
+    def _constrain_cache(self, cache, batch_rows: int):
+        """Anchor the KV cache layout: [L, B, Smax, K, Dh] with kv heads over
+        'model' (TP) and rows over 'data' when the packed row count divides —
+        without this GSPMD may replicate the GB-scale cache on every chip."""
+        if self.mesh is None:
+            return cache
+        kv = "model" if self._kv_shardable else None
+        rows = (
+            "data"
+            if self._data_size > 1 and batch_rows % self._data_size == 0
+            else None
+        )
+        ns = NamedSharding(self.mesh, P(None, rows, None, kv, None))
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, ns), cache
+        )
+
+    def _register(self, key, fn):
+        self._compiled[key] = fn
+        n = len(self._compiled)
+        logger.info("engine compile #%d: key=%s", n, key)
+        if n > self.max_compiled:
+            logger.warning(
+                "engine compiled %d distinct programs (cap %d) — prompt-length "
+                "bucketing is not holding; raise `bucket` or audit the sweep",
+                n, self.max_compiled,
+            )
+        return fn
 
     # ------------------------------------------------------------------
     # host-side packing
@@ -246,7 +313,7 @@ class DecodeEngine:
             branch_feats = feats_ext[feats_src + 1]  # [n_img_rows, N, D]
 
             # ---- prefill: image rows at their bucket...
-            cache = adapter.init_cache(nb, cache_len)
+            cache = self._constrain_cache(adapter.init_cache(nb, cache_len), nb)
             embeds = adapter.splice_embeds(params, tokens, tok_g, img_g, is_img, branch_feats)
             positions = jnp.broadcast_to(
                 jnp.arange(pad_img, dtype=jnp.int32), (n_img_rows, pad_img)
@@ -326,28 +393,57 @@ class DecodeEngine:
             top_probs, top_ids = jax.lax.top_k(probs, min(topk, V))
             return final["out_buf"], final["n"], top_probs, top_ids
 
-        fn = jax.jit(generate_fn)
-        self._compiled[key] = fn
-        return fn
+        return self._register(key, jax.jit(generate_fn))
 
     # ------------------------------------------------------------------
     # batched multi-question generation (throughput path)
     # ------------------------------------------------------------------
 
-    def _get_batch_fn(self, pad_to: int, Q: int):
-        key = ("batch", pad_to, Q)
+    def _get_batch_fn(self, pad_img: int, pad_txt: int, Q: int):
+        """Lockstep multi-question decode with split-bucket prefill.
+
+        Cache rows are grouped [all image-bearing rows | all text-only rows]
+        (not interleaved per question): the image group prefills at its own
+        bucket and the text group at its (≈8× smaller) bucket — the same
+        ~60% prefill-FLOPs saving the single-question path gets. A static
+        permutation restores question-major [Q, nb] order for logit fusion.
+        """
+        key = ("batch", pad_img, pad_txt, Q)
         if key in self._compiled:
             return self._compiled[key]
 
         adapter, gen = self.adapter, self.gen
         nb = len(self.kinds)
+        n_img = len(self.img_kinds)
+        n_txt = len(self.txt_kinds)
         R = Q * nb
         n_contrast = nb - 1
         T = gen.max_new_tokens
-        cache_len = pad_to + T
+        cache_len = max(pad_img, pad_txt) + T
         kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if 0 < len(k) <= T]
         attn_impl = self.attn_impl
         topk = self.top_scores_k
+
+        # cache-row layout: image rows [q * n_img + i], text rows
+        # [Q*n_img + q * n_txt + j]. perm[q*nb + b] = that branch's cache row.
+        perm = np.zeros((R,), np.int32)
+        for q in range(Q):
+            i = j = 0
+            for b, kind in enumerate(self.kinds):
+                if kind in ("main", "cd"):
+                    perm[q * nb + b] = q * n_img + i
+                    i += 1
+                else:
+                    perm[q * nb + b] = Q * n_img + q * n_txt + j
+                    j += 1
+        perm = jnp.asarray(perm)
+        # row → question, for broadcasting the sampled token to all branches
+        row_to_q = jnp.asarray(
+            np.concatenate([
+                np.repeat(np.arange(Q, dtype=np.int32), n_img),
+                np.repeat(np.arange(Q, dtype=np.int32), n_txt),
+            ])
+        )
 
         def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
             # branch_logits [Q, nb, V] → warped [Q, V]
@@ -368,7 +464,8 @@ class DecodeEngine:
                 done |= jnp.all(window == jnp.asarray(kw), axis=1) & (n >= m)
             return done
 
-        def batch_fn(params, tokens, tok_g, img_g, is_img, lengths, feats_src, images, rng):
+        def batch_fn(params, pack_img, pack_txt, images, rng):
+            tokens, tok_g, img_g, is_img, len_img, feats_src = pack_img
             if gen.use_cd:
                 rng, rng_noise = jax.random.split(rng)
                 noised = add_diffusion_noise(images, rng_noise, gen.noise_step)
@@ -380,15 +477,38 @@ class DecodeEngine:
             feats_ext = jnp.concatenate([jnp.zeros((1, N, D), feats.dtype), feats], axis=0)
             branch_feats = feats_ext[feats_src + 1]
 
+            # ---- prefill image-bearing rows at their bucket
+            cache = self._constrain_cache(adapter.init_cache(R, cache_len), R)
             embeds = adapter.splice_embeds(params, tokens, tok_g, img_g, is_img, branch_feats)
-            positions = jnp.broadcast_to(jnp.arange(pad_to, dtype=jnp.int32), (R, pad_to))
-            cache = adapter.init_cache(R, cache_len)
+            positions = jnp.broadcast_to(
+                jnp.arange(pad_img, dtype=jnp.int32), (Q * n_img, pad_img)
+            )
             hidden, cache = adapter.forward(
-                params, embeds, positions, cache, jnp.zeros((R,), jnp.int32),
+                params, embeds, positions, cache, jnp.zeros((Q * n_img,), jnp.int32),
                 attn_impl=attn_impl, max_seq_len=cache_len,
             )
-            last_hidden = hidden[jnp.arange(R), lengths - 1]
-            logits = adapter.logits(params, last_hidden)  # [R, V]
+            last_hidden = hidden[jnp.arange(Q * n_img), len_img - 1]
+            logits = adapter.logits(params, last_hidden)
+            lengths = len_img
+
+            # ---- prefill text-only rows at theirs (much shorter)
+            if n_txt:
+                t_tokens, t_tok_g, t_img_g, t_is_img, len_txt, _ = pack_txt
+                zero_feats = jnp.zeros((Q * n_txt, 1, D), feats.dtype)
+                t_embeds = adapter.splice_embeds(
+                    params, t_tokens, t_tok_g, t_img_g, t_is_img, zero_feats
+                )
+                t_positions = jnp.broadcast_to(
+                    jnp.arange(pad_txt, dtype=jnp.int32), (Q * n_txt, pad_txt)
+                )
+                t_hidden, cache = adapter.forward(
+                    params, t_embeds, t_positions, cache,
+                    jnp.zeros((Q * n_txt,), jnp.int32), attn_impl=attn_impl,
+                    max_seq_len=cache_len, cache_row_offset=Q * n_img,
+                )
+                t_last = t_hidden[jnp.arange(Q * n_txt), len_txt - 1]
+                logits = jnp.concatenate([logits, adapter.logits(params, t_last)], axis=0)
+                lengths = jnp.concatenate([len_img, len_txt], axis=0)
             V = logits.shape[-1]
 
             init = dict(
@@ -407,7 +527,7 @@ class DecodeEngine:
                 return (~jnp.all(c["done"])) & (c["n"] < T)
 
             def body(c):
-                warped = fuse_and_warp(c["logits"].reshape(Q, nb, V))
+                warped = fuse_and_warp(c["logits"][perm].reshape(Q, nb, V))
                 first_scores = jnp.where(c["n"] == 0, warped, c["first_scores"])
                 rng, sub = jax.random.split(c["rng"])
                 toks = S.sample_token(sub, warped, gen.do_sample).astype(jnp.int32)  # [Q]
@@ -419,7 +539,7 @@ class DecodeEngine:
                 done = c["done"] | done_now | (n >= T)
                 n_done = jnp.where(newly, n, c["n_done"])
 
-                tok_rows = jnp.repeat(toks, nb)  # [R], same token for all branches
+                tok_rows = toks[row_to_q]  # [R], same token for all of a question's branches
                 emb = adapter.embed_tokens(params, tok_rows[:, None])
                 hidden, cache = adapter.forward(
                     params, emb, c["lengths"][:, None], c["cache"], c["lengths"],
@@ -437,9 +557,7 @@ class DecodeEngine:
             top_probs, top_ids = jax.lax.top_k(probs, min(topk, V))
             return final["out_buf"], final["n_done"], top_probs, top_ids
 
-        fn = jax.jit(batch_fn)
-        self._compiled[key] = fn
-        return fn
+        return self._register(key, jax.jit(batch_fn))
 
     def generate_batch(
         self,
@@ -452,51 +570,78 @@ class DecodeEngine:
         question done flags stop each answer independently (the reference's
         unfinished_sequences/pad semantics, vcd_sample.py:256-291).
 
-        Uses uniform padding across branches (the single-question path uses
-        split-bucket prefill; doing the same here is a future optimization).
+        Prefill is split-bucket like the single-question path: the Q*n_img
+        image-bearing rows prefill at the image bucket, the Q*n_txt text-only
+        degraded rows at their own (≈8× smaller) bucket, into disjoint cache
+        row groups.
         """
         Q = len(batch)
-        nb = len(self.kinds)
-        packs = []
-        pad_to = self.bucket
+        n_img_k = len(self.img_kinds)
+        n_txt_k = len(self.txt_kinds)
+
+        img_packs: List[tuple] = []
+        txt_packs: List[tuple] = []
+        has_images: List[bool] = []
+        pad_img = self.bucket
+        pad_txt = self.bucket if n_txt_k else 0
         for input_ids, image in batch:
             has_image = image is not None and any(t == IMAGE_TOKEN_INDEX for t in input_ids)
-            packs.append((self._pack(input_ids, has_image), has_image))
-            pad_to = max(pad_to, packs[-1][0][0])
+            has_images.append(has_image)
+            p = self._pack(input_ids, has_image, kinds=self.img_kinds)
+            img_packs.append(p)
+            pad_img = max(pad_img, p[0])
+            if n_txt_k:
+                pt = self._pack(input_ids, has_image, kinds=self.txt_kinds)
+                txt_packs.append(pt)
+                pad_txt = max(pad_txt, pt[0])
 
-        # repack everything at the common bucket
-        tokens = np.zeros((Q * nb, pad_to), np.int32)
-        tok_g = np.zeros((Q * nb, pad_to), np.int32)
-        img_g = np.zeros((Q * nb, pad_to), np.int32)
-        is_img = np.zeros((Q * nb, pad_to), bool)
-        lengths = np.zeros((Q * nb,), np.int32)
-        feats_src = np.full((Q * nb,), -1, np.int32)
+        def assemble(packs, n_k, pad_to):
+            rows = Q * n_k
+            tokens = np.zeros((rows, pad_to), np.int32)
+            tok_g = np.zeros((rows, pad_to), np.int32)
+            img_g = np.zeros((rows, pad_to), np.int32)
+            is_img = np.zeros((rows, pad_to), bool)
+            lengths = np.zeros((rows,), np.int32)
+            feats_src = np.full((rows,), -1, np.int32)
+            for qi, pack in enumerate(packs):
+                _, t, tg, ig, ii, ln, _ = pack
+                w = t.shape[1]
+                sl = slice(qi * n_k, (qi + 1) * n_k)
+                tokens[sl, :w] = t
+                tok_g[sl, :w] = tg
+                img_g[sl, :w] = ig
+                is_img[sl, :w] = ii
+                lengths[sl] = ln
+            return tokens, tok_g, img_g, is_img, lengths, feats_src
+
+        img_arrs = assemble(img_packs, n_img_k, pad_img)
+        for qi in range(Q):
+            for i, kind in enumerate(self.img_kinds):
+                if kind == "main" and has_images[qi]:
+                    img_arrs[5][qi * n_img_k + i] = qi
+                elif kind == "cd":
+                    img_arrs[5][qi * n_img_k + i] = Q + qi  # noised copies appended
+
         H = self.adapter.image_size
         images = np.zeros((Q, 3, H, H), np.float32)
-        for qi, ((pack, has_image), (input_ids, image)) in enumerate(zip(packs, batch)):
-            _, t, tg, ig, ii, ln, _ = pack
-            w = t.shape[1]
-            rows = slice(qi * nb, (qi + 1) * nb)
-            tokens[rows, :w] = t
-            tok_g[rows, :w] = tg
-            img_g[rows, :w] = ig
-            is_img[rows, :w] = ii
-            lengths[rows] = ln
+        for qi, (_, image) in enumerate(batch):
             if image is not None:
                 images[qi] = np.asarray(image, np.float32)
-            for b, kind in enumerate(self.kinds):
-                if kind == "main" and has_image:
-                    feats_src[qi * nb + b] = qi
-                elif kind == "cd":
-                    feats_src[qi * nb + b] = Q + qi  # noised copies appended
+
+        if n_txt_k:
+            txt_arrs = assemble(txt_packs, n_txt_k, pad_txt)
+        else:
+            txt_arrs = tuple(np.zeros((0,), np.int32) for _ in range(6))
+
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
-        fn = self._get_batch_fn(pad_to, Q)
+        fn = self._get_batch_fn(pad_img, pad_txt, Q)
         out_buf, n_done, top_probs, top_ids = fn(
             self.params,
-            jnp.asarray(tokens), jnp.asarray(tok_g), jnp.asarray(img_g),
-            jnp.asarray(is_img), jnp.asarray(lengths), jnp.asarray(feats_src),
-            jnp.asarray(images, self.adapter.vision_dtype), rng,
+            self._put(tuple(jnp.asarray(a) for a in img_arrs)),
+            self._put(tuple(jnp.asarray(a) for a in txt_arrs)),
+            self._put(jnp.asarray(images, self.adapter.vision_dtype)),
+            self._put(rng),
         )
         out_buf = np.asarray(out_buf)
         n_done = np.asarray(n_done)
@@ -509,7 +654,7 @@ class DecodeEngine:
                     num_generated=n,
                     first_scores_top_probs=np.asarray(top_probs[qi]),
                     first_scores_top_ids=np.asarray(top_ids[qi]),
-                    prompt_length=int(lengths[qi * nb]),
+                    prompt_length=int(img_arrs[4][qi * n_img_k]),
                 )
             )
         return outs
@@ -571,7 +716,10 @@ class DecodeEngine:
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
         fn = self._get_fn(pad_img, pad_txt, precomputed_feats is not None)
-        out_buf, n, top_probs, top_ids = fn(self.params, pack_img, pack_txt, images, rng)
+        out_buf, n, top_probs, top_ids = fn(
+            self.params, self._put(pack_img), self._put(pack_txt),
+            self._put(images), self._put(rng),
+        )
         n = int(n)
         return GenerationOutput(
             token_ids=[int(t) for t in np.asarray(out_buf)[:n]],

@@ -35,7 +35,13 @@ COMBO_SETTINGS: Dict[str, List[str]] = {
 
 def load_jsonl(path: str) -> List[dict]:
     with open(os.path.expanduser(path)) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        # tolerate hand-edited trailing commas present in some reference
+        # splits (data/POPE/coco/test_samples.json)
+        return [
+            json.loads(line.strip().rstrip(","))
+            for line in f
+            if line.strip().rstrip(",")
+        ]
 
 
 def score_pope(gt_lines: Sequence[dict], gen_lines: Sequence[dict]) -> Dict[str, float]:
@@ -108,6 +114,18 @@ def score_pope_calibrated(
 
     scores_naive = prob["naive"]
     results: Dict[str, Dict[str, float]] = {}
+    needed = {
+        b
+        for n in settings
+        if n != "naive"
+        for b in COMBO_SETTINGS.get(n, [n])
+    }
+    missing = [n for n in needed if len(prob.get(n, [])) < len(labels)]
+    if missing:
+        raise ValueError(
+            f"answers file lacks per-sample {missing} logit dumps needed for "
+            f"calibrated scoring — rerun the runner with --calibrate"
+        )
     for name in settings:
         tp = tn = fp = fn = unknown = yes = total = 0
         confidence = 0.0

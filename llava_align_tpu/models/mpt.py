@@ -88,19 +88,25 @@ def init(rng: jax.Array, cfg: MptConfig) -> Params:
     def w(key, shape, fan_in):
         return (jax.random.normal(key, shape, jnp.float32) / (fan_in**0.5)).astype(cfg.dtype)
 
-    def ln():
-        return {"scale": jnp.ones((L, D), cfg.dtype), "bias": jnp.zeros((L, D), cfg.dtype)}
+    def ln(dim=D):
+        return {"scale": jnp.ones((L, dim), cfg.dtype), "bias": jnp.zeros((L, dim), cfg.dtype)}
 
+    layers = {
+        "norm_1": ln(),
+        "wqkv": w(ks[1], (L, D + 2 * KV, D), D),
+        "out_proj": w(ks[2], (L, D, D), D),
+        "norm_2": ln(),
+        "up_proj": w(ks[3], (L, F, D), D),
+        "down_proj": w(ks[4], (L, D, F), F),
+    }
+    if cfg.qk_ln:
+        # reference attention.py:172-175 — q_ln over d_model; k_ln over the
+        # packed kv width (d_model for MHA, head_dim for MQA, :228-229)
+        layers["q_ln"] = ln(D)
+        layers["k_ln"] = ln(KV)
     return {
         "wte": w(ks[0], (V, D), D),
-        "layers": {
-            "norm_1": ln(),
-            "wqkv": w(ks[1], (L, D + 2 * KV, D), D),
-            "out_proj": w(ks[2], (L, D, D), D),
-            "norm_2": ln(),
-            "up_proj": w(ks[3], (L, F, D), D),
-            "down_proj": w(ks[4], (L, D, F), F),
-        },
+        "layers": layers,
         "norm_f": {"scale": jnp.ones((D,), cfg.dtype), "bias": jnp.zeros((D,), cfg.dtype)},
         # lm head tied to wte (reference MPT ties output weights)
     }
@@ -125,9 +131,14 @@ def _write_cache_full(cache_full, new, layer_idx, offsets, is_decode, row_offset
     )
 
 
-def _alibi_attention(q, k, v, slopes, key_positions, mask):
+def _alibi_attention(q, k, v, slopes, key_positions, mask, query_positions=None):
     """q [B,Sq,H,Dh]; k/v [B,Sk,K,Dh]; slopes [H]; key_positions [Sk];
-    mask [B,Sq,Sk] bool (True=attend). fp32 softmax."""
+    mask [B,Sq,Sk] bool (True=attend). fp32 softmax.
+
+    query_positions None → causal alibi as the key-linear form slope*j
+    (softmax-equivalent to -slope*(i-j)). query_positions [Sq] → the FULL
+    symmetric form -slope*|i-j| required when attention is bidirectional
+    (prefix-LM; reference attention.py build_alibi_bias full=not causal)."""
     B, Sq, H, Dh = q.shape
     K = k.shape[2]
     group = H // K
@@ -139,9 +150,15 @@ def _alibi_attention(q, k, v, slopes, key_positions, mask):
         precision=jax.lax.Precision.HIGHEST,
     ) * scale  # [B,K,g,Sq,Sk]
     slopes_r = jnp.asarray(slopes, jnp.float32).reshape(K, group)
-    bias = slopes_r[None, :, :, None, None] * key_positions.astype(jnp.float32)[
-        None, None, None, None, :
-    ]
+    if query_positions is None:
+        bias = slopes_r[None, :, :, None, None] * key_positions.astype(jnp.float32)[
+            None, None, None, None, :
+        ]
+    else:
+        dist = jnp.abs(
+            key_positions[None, :] - query_positions[:, None]
+        ).astype(jnp.float32)  # [Sq, Sk]
+        bias = -slopes_r[None, :, :, None, None] * dist[None, None, None]
     logits = logits + bias
     logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -163,7 +180,12 @@ def forward(
     *,
     attn_impl: str = "xla",
     cache_row_offset: int = 0,
+    prefix_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """prefix_mask [B, S] bool: prefix-LM mode — position i may attend j if
+    j <= i (causal) OR prefix_mask[b, j] (bidirectional prefix); reference
+    modeling_mpt.py:123-139 _apply_prefix_mask. None = pure causal. Decode
+    steps are unaffected (new tokens are causal in both modes)."""
     B, S, D = embeds.shape
     H, Dh, KV = cfg.n_heads, cfg.head_dim, cfg.kv_heads
     eps = cfg.layer_norm_eps
@@ -182,14 +204,22 @@ def forward(
         qkv = _lin(h, lp["wqkv"])
         if cfg.clip_qkv:
             qkv = jnp.clip(qkv, -cfg.clip_qkv, cfg.clip_qkv)
-        q = qkv[..., :D].reshape(B, S, H, Dh)
-        k = qkv[..., D : D + KV * Dh].reshape(B, S, KV, Dh)
+        q_flat = qkv[..., :D]
+        k_flat = qkv[..., D : D + KV * Dh]
+        if cfg.qk_ln:
+            # reference attention.py:197-200 — LN on the flat q/k (pre-head
+            # split), value stream untouched
+            q_flat = layer_norm(q_flat, lp["q_ln"]["scale"], lp["q_ln"]["bias"], eps)
+            k_flat = layer_norm(k_flat, lp["k_ln"]["scale"], lp["k_ln"]["bias"], eps)
+        q = q_flat.reshape(B, S, H, Dh)
+        k = k_flat.reshape(B, S, KV, Dh)
         v = qkv[..., D + KV * Dh :].reshape(B, S, KV, Dh)
 
         if cache is not None:
             k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode, cache_row_offset)
             v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode, cache_row_offset)
 
+        qp = None
         if is_decode:
             k_att = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
             v_att = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
@@ -202,8 +232,11 @@ def forward(
             row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
             mask = jnp.broadcast_to(col <= row, (B, S, S))
+            if prefix_mask is not None:
+                mask = mask | prefix_mask.astype(bool)[:, None, :]
+                qp = kp  # bidirectional rows need the full |i-j| alibi
 
-        attn = _alibi_attention(q, k_att, v_att, slopes, kp, mask)
+        attn = _alibi_attention(q, k_att, v_att, slopes, kp, mask, qp)
         x = x + _lin(attn.reshape(B, S, D), lp["out_proj"])
 
         h = layer_norm(x, lp["norm_2"]["scale"], lp["norm_2"]["bias"], eps)

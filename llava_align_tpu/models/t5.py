@@ -237,30 +237,152 @@ def decode(
     )
 
 
+# ---------------------------------------------------------------------------
+# incremental decoding (KV cache)
+# ---------------------------------------------------------------------------
+# Parity: the reference T5 generates through past_key_values — self-attention
+# caches extended per step and cross-attention K/V computed once from the
+# encoder stream (reference lavis/models/blip2_models/modeling_t5.py,
+# T5Attention past_key_value plumbing). Here: one stacked [L, B, Smax, H, Dk]
+# self cache pair plus a one-shot cross KV pair, so per-step cost is
+# independent of the generated length (the round-1 full re-decode was O(n²)).
+
+
+def init_self_cache(
+    cfg: T5Config, batch: int, max_len: int, dtype: Optional[jnp.dtype] = None
+) -> Dict[str, jax.Array]:
+    shape = (cfg.num_decoder_layers, batch, max_len, cfg.num_heads, cfg.d_kv)
+    dtype = dtype or cfg.dtype
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def precompute_cross_kv(
+    params: Params, cfg: T5Config, encoder_hidden: jax.Array
+) -> Dict[str, jax.Array]:
+    """Cross-attention K/V for every decoder layer, computed once per prompt:
+    [L, B, S, H, Dk] pairs."""
+    B, S, _ = encoder_hidden.shape
+    H, Dk = cfg.num_heads, cfg.d_kv
+    ks, vs = [], []
+    for lp in params["decoder"]["layers"]:
+        ks.append(_lin(encoder_hidden, lp["xattn"]["k"]).reshape(B, S, H, Dk))
+        vs.append(_lin(encoder_hidden, lp["xattn"]["v"]).reshape(B, S, H, Dk))
+    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+
+
+def decode_step(
+    params: Params, cfg: T5Config,
+    token_ids: jax.Array,            # [B] int32 — current decoder input token
+    t: jax.Array,                    # scalar int32 — its position (0-based)
+    cache: Dict[str, jax.Array],     # self-attention cache, init_self_cache
+    cross_kv: Dict[str, jax.Array],  # precompute_cross_kv
+    encoder_mask: Optional[jax.Array] = None,  # [B, S]
+):
+    """One decoder step → (logits [B, V] fp32, updated cache)."""
+    B = token_ids.shape[0]
+    H, Dk = cfg.num_heads, cfg.d_kv
+    dec = params["decoder"]
+    Smax = cache["k"].shape[2]
+    S = cross_kv["k"].shape[2]
+    x = embed_tokens(params, token_ids[:, None])  # [B, 1, D]
+
+    k_pos = jnp.arange(Smax, dtype=jnp.int32)
+    bias = _rel_bias(dec, cfg, t[None], k_pos, bidirectional=False)  # [H,1,Smax]
+    self_mask = (k_pos <= t)[None, None, None, :]  # [1,1,1,Smax]
+    xmask = None
+    if encoder_mask is not None:
+        xmask = encoder_mask[:, None, None, :].astype(bool)  # [B,1,1,S]
+
+    kc, vc = cache["k"], cache["v"]
+    for li, lp in enumerate(dec["layers"]):
+        h = rms_norm(x, lp["ln1"], cfg.layer_norm_eps)
+        q = _lin(h, lp["attn"]["q"]).reshape(B, 1, H, Dk)
+        k_new = _lin(h, lp["attn"]["k"]).reshape(B, H, Dk)
+        v_new = _lin(h, lp["attn"]["v"]).reshape(B, H, Dk)
+        kc = kc.at[li, :, t].set(k_new)
+        vc = vc.at[li, :, t].set(v_new)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, kc[li],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + bias[None]  # unscaled + rel bias, T5 semantics
+        scores = jnp.where(self_mask, scores, NEG)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs.astype(vc.dtype), vc[li],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(x.dtype)
+        x = x + _lin(attn.reshape(B, 1, cfg.inner_dim), lp["attn"]["o"])
+
+        h = rms_norm(x, lp["ln_x"], cfg.layer_norm_eps)
+        q = _lin(h, lp["xattn"]["q"]).reshape(B, 1, H, Dk)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, cross_kv["k"][li],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # no bias on cross-attention
+        if xmask is not None:
+            scores = jnp.where(xmask, scores, NEG)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs.astype(cross_kv["v"].dtype), cross_kv["v"][li],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(x.dtype)
+        x = x + _lin(attn.reshape(B, 1, cfg.inner_dim), lp["xattn"]["o"])
+
+        h = rms_norm(x, lp["ln2"], cfg.layer_norm_eps)
+        x = x + _ffn(lp["ffn"], cfg, h)
+
+    x = rms_norm(x, dec["final_ln"], cfg.layer_norm_eps)
+    if cfg.tie_word_embeddings:
+        x = x * (cfg.d_model**-0.5)
+        head = params["shared"]
+    else:
+        head = params["lm_head"]
+    logits = jnp.einsum(
+        "bqd,vd->bqv", x.astype(head.dtype), head, preferred_element_type=jnp.float32
+    )[:, 0]
+    return logits, {"k": kc, "v": vc}
+
+
 def generate_greedy(
     params: Params, cfg: T5Config,
     encoder_hidden: jax.Array,
     encoder_mask: Optional[jax.Array] = None,
     *, max_new_tokens: int = 32, decoder_start_token_id: int = 0, eos_token_id: int = 1,
 ):
-    """Greedy decode (full re-decode per step; BLIP-2 answers are short).
-    Returns List[List[int]]."""
+    """Greedy decode via the incremental KV-cache path: per-step cost is
+    independent of generated length. Returns List[List[int]]."""
     B = encoder_hidden.shape[0]
-    ids = np.full((B, 1), decoder_start_token_id, np.int32)
-    done = np.zeros((B,), bool)
+    cache = init_self_cache(cfg, B, max_new_tokens)
+    cross_kv = jax.jit(
+        lambda p, e: precompute_cross_kv(p, cfg, e)
+    )(params, encoder_hidden)
     step = jax.jit(
-        lambda p, d, e, m: decode(p, cfg, d, e, m)[:, -1].argmax(-1)
+        lambda p, tok, t, c, x, m: decode_step(p, cfg, tok, t, c, x, m),
+        donate_argnums=(3,),
     )
-    for _ in range(max_new_tokens):
-        nxt = np.asarray(step(params, jnp.asarray(ids), encoder_hidden, encoder_mask))
+    token = np.full((B,), decoder_start_token_id, np.int32)
+    done = np.zeros((B,), bool)
+    rows = []
+    for t in range(max_new_tokens):
+        logits, cache = step(
+            params, jnp.asarray(token), jnp.asarray(t, jnp.int32),
+            cache, cross_kv, encoder_mask,
+        )
+        nxt = np.asarray(logits.argmax(-1)).astype(np.int32)
         nxt = np.where(done, eos_token_id, nxt)
-        ids = np.concatenate([ids, nxt[:, None].astype(np.int32)], axis=1)
+        rows.append(nxt)
         done |= nxt == eos_token_id
+        token = nxt
         if done.all():
             break
+    ids = np.stack(rows, axis=1) if rows else np.zeros((B, 0), np.int32)
     out = []
     for b in range(B):
-        row = ids[b, 1:].tolist()
+        row = ids[b].tolist()
         if eos_token_id in row:
             row = row[: row.index(eos_token_id)]
         out.append(row)

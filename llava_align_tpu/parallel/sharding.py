@@ -163,5 +163,34 @@ def cache_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
     return {"k": s, "v": s}
 
 
+def complete_shardings(
+    params: Dict[str, Any], partial: Any, mesh: Mesh
+) -> Dict[str, Any]:
+    """Fill a partial sharding tree out to the full params structure.
+
+    Walks `params`; wherever `partial` provides a NamedSharding for the same
+    path it is used, everything else is replicated. Handles the stacked-layer
+    convention (a dict of [L, ...] leaves sharing one spec subtree) and
+    int8-quantized leaves (a {'q','s'} dict standing where a dense weight spec
+    was written — the spec applies to 'q'; 's' drops the contracted dim).
+    """
+    rep = _ns(mesh)
+
+    def walk(p, s):
+        if isinstance(p, dict):
+            if set(p) == {"q", "s"} and isinstance(s, NamedSharding):
+                q_spec = s.spec
+                s_spec = P(*q_spec[:-1]) if len(q_spec) else P()
+                return {"q": _ns(mesh, *q_spec), "s": _ns(mesh, *s_spec)}
+            sub = s if isinstance(s, dict) else {}
+            return {k: walk(v, sub.get(k)) for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            sub = s if isinstance(s, (list, tuple)) else [None] * len(p)
+            return type(p)(walk(v, sv) for v, sv in zip(p, sub))
+        return s if isinstance(s, NamedSharding) else rep
+
+    return walk(params, partial or {})
+
+
 def shard_params(params: Dict[str, Any], shardings: Dict[str, Any]) -> Dict[str, Any]:
     return jax.device_put(params, shardings)

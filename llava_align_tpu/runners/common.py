@@ -37,7 +37,13 @@ def get_chunk(lst: Sequence, n: int, k: int) -> Sequence:
 
 def load_questions(path: str, num_chunks: int = 1, chunk_idx: int = 0) -> List[dict]:
     with open(os.path.expanduser(path)) as f:
-        questions = [json.loads(line) for line in f if line.strip()]
+        # some checked-in reference splits (data/POPE/coco/test_samples.json)
+        # carry hand-edited trailing commas on jsonl lines; tolerate them
+        questions = [
+            json.loads(line.strip().rstrip(","))
+            for line in f
+            if line.strip().rstrip(",")
+        ]
     if num_chunks > 1:
         questions = list(get_chunk(questions, num_chunks, chunk_idx))
     return questions

@@ -39,12 +39,20 @@ def load_qwen_model(model_path: str):
         # not jitted: init interpolates pos embeds with host numpy
         params = qwen_vl_model.init(jax.random.PRNGKey(0), cfg)
         return QwenMockTokenizer(), params, cfg, "random-qwen-vl"
-    from transformers import AutoTokenizer
-
     from llava_align_tpu.utils.hf_convert import load_qwen_vl_checkpoint
 
     params, cfg = load_qwen_vl_checkpoint(os.path.expanduser(model_path))
-    tok = AutoTokenizer.from_pretrained(model_path, trust_remote_code=True)
+    vocab_file = os.path.join(os.path.expanduser(model_path), "qwen.tiktoken")
+    if os.path.exists(vocab_file):
+        # native offline tokenizer (models/qwen_tokenizer.py) — no
+        # trust_remote_code download of the reference tokenization_qwen.py
+        from llava_align_tpu.models.qwen_tokenizer import QwenTokenizer
+
+        tok = QwenTokenizer(vocab_file)
+    else:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_path, trust_remote_code=True)
     name = "qwen-vl" if "Chat" not in model_path else "qwen-vl-chat"
     return tok, params, cfg, name
 

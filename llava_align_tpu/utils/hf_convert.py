@@ -300,6 +300,25 @@ def convert_mpt(sd: StateDict, cfg, prefix: str = "") -> Dict[str, Any]:
             },
             "up_proj": st("transformer.blocks.{i}.ffn.up_proj.weight"),
             "down_proj": st("transformer.blocks.{i}.ffn.down_proj.weight"),
+            **(
+                {
+                    "q_ln": {
+                        "scale": st("transformer.blocks.{i}.attn.q_ln.weight"),
+                        "bias": st_or_zero(
+                            "transformer.blocks.{i}.attn.q_ln.bias", (L, D)
+                        ),
+                    },
+                    "k_ln": {
+                        "scale": st("transformer.blocks.{i}.attn.k_ln.weight"),
+                        "bias": st_or_zero(
+                            "transformer.blocks.{i}.attn.k_ln.bias",
+                            (L, cfg.kv_heads * cfg.head_dim),
+                        ),
+                    },
+                }
+                if p + "transformer.blocks.0.attn.q_ln.weight" in sd
+                else {}
+            ),
         },
         "norm_f": {
             "scale": t(_np(sd[p + "transformer.norm_f.weight"])),

@@ -11,6 +11,6 @@ gt, gen = load_jsonl(sys.argv[1]), load_jsonl(sys.argv[2])
 m = score_pope(gt, gen)
 print(f"Precision: {m['precision']}\nRecall: {m['recall']}\nF1: {m['f1']}\n"
       f"Accuracy: {m['accuracy']}\nyes: {m['yes_ratio']}\nunknow: {m['unknown_ratio']}")
-if any("naive" in r for r in gen):
+if gen and all(("none" in r and "unk" in r) for r in gen):
     print(format_calibrated_report(score_pope_calibrated(gt, gen)))
 PY

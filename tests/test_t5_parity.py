@@ -75,6 +75,36 @@ def test_encoder_accepts_inputs_embeds(models):
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
 
 
+def test_incremental_decode_matches_full(models):
+    """KV-cache decode_step must reproduce the full-decoder logits at every
+    position (the reference's past_key_values path, modeling_t5.py)."""
+    _, params = models
+    rng = np.random.default_rng(3)
+    enc_ids = rng.integers(3, 120, (2, 15))
+    enc_mask = np.ones((2, 15), np.int64)
+    enc_mask[1, 10:] = 0
+    enc_hidden = t5.encode(
+        params, CFG, t5.embed_tokens(params, jnp.asarray(enc_ids)), jnp.asarray(enc_mask)
+    )
+    dec_ids = np.concatenate(
+        [np.zeros((2, 1), np.int64), rng.integers(3, 120, (2, 5))], axis=1
+    )
+    full = np.asarray(
+        t5.decode(params, CFG, jnp.asarray(dec_ids), enc_hidden, jnp.asarray(enc_mask))
+    )  # [2, 6, V]
+
+    cache = t5.init_self_cache(CFG, 2, dec_ids.shape[1])
+    cross = t5.precompute_cross_kv(params, CFG, enc_hidden)
+    for t in range(dec_ids.shape[1]):
+        logits, cache = t5.decode_step(
+            params, CFG, jnp.asarray(dec_ids[:, t], jnp.int32),
+            jnp.asarray(t, jnp.int32), cache, cross, jnp.asarray(enc_mask),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), full[:, t], atol=5e-5, rtol=1e-4
+        )
+
+
 def test_greedy_generate_matches_hf(models):
     hf, params = models
     rng = np.random.default_rng(2)
