@@ -35,11 +35,13 @@ def _build_params(cfg, seed=0, quant: str = "none"):
             jax.jit(lambda k: llava.init(k, cfg))(jax.random.PRNGKey(seed))
         )
 
-    # int8: quantize the llama linears LEAF BY LEAF with explicit frees so the
-    # peak is int8-total + one bf16 leaf (a whole-tree bf16 init of 13B would
-    # itself exceed HBM). Real checkpoints quantize host-side per tensor.
+    # int8: quantize the llama linears GROUP BY GROUP with explicit frees so
+    # the peak is int8-total + one bf16 group (a whole-tree bf16 init of 13B
+    # would itself exceed HBM). Real checkpoints quantize host-side per
+    # tensor. qkv and gate|up fuse into single stacks (one kernel launch per
+    # sublayer at decode).
     from llava_align_tpu.models import llama
-    from llava_align_tpu.ops.quant import _LLAMA_QUANT_KEYS, quantize_weight
+    from llava_align_tpu.ops.quant import quantize_weight
 
     params = jax.block_until_ready(
         jax.jit(lambda k: llava.init(k, cfg))(jax.random.PRNGKey(seed))
@@ -47,7 +49,15 @@ def _build_params(cfg, seed=0, quant: str = "none"):
 
     if params is not None:
         qlayers = dict(params["llama"]["layers"])
-        for name in _LLAMA_QUANT_KEYS:
+        qfuse = jax.jit(
+            lambda *ws: quantize_weight(jnp.concatenate(ws, axis=1))
+        )
+        for fused, names in (("qkv", ("q", "k", "v")), ("gateup", ("gate", "up"))):
+            ws = [qlayers.pop(n) for n in names]
+            qlayers[fused] = jax.block_until_ready(qfuse(*ws))
+            for w in ws:
+                w.delete()
+        for name in ("o", "down"):
             w = qlayers[name]
             qlayers[name] = jax.block_until_ready(jax.jit(quantize_weight)(w))
             w.delete()
@@ -76,8 +86,8 @@ def _build_params(cfg, seed=0, quant: str = "none"):
         tcfg.vocab_size, tcfg.q_dim, tcfg.kv_dim,
     )
     shapes = {
-        "q": (L, QD, D), "k": (L, KD, D), "v": (L, KD, D), "o": (L, D, QD),
-        "gate": (L, F, D), "up": (L, F, D), "down": (L, D, F),
+        "qkv": (L, QD + 2 * KD, D), "o": (L, D, QD),
+        "gateup": (L, 2 * F, D), "down": (L, D, F),
     }
     keys = jax.random.split(key, len(shapes) + 4)
     layers = {
@@ -136,7 +146,9 @@ def main():
     ap.add_argument("--answer-new", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch-questions", type=int, default=8)
-    ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    # int8 weight-only is the serving default: ~2x decode throughput over
+    # bf16 (Pallas weight-streaming kernel, docs/DESIGN.md) + half the HBM
+    ap.add_argument("--quant", default="int8", choices=["none", "int8"])
     ap.add_argument(
         "--mesh", default=None,
         help="shard the engine over a mesh: 'auto' (all devices on the model "

@@ -161,11 +161,21 @@ def forward(
             h, w, (((2,), (1,)), ((), ())), preferred_element_type=h.dtype
         )
 
+    QD, KD = cfg.q_dim, cfg.kv_dim
+    fused_qkv = "qkv" in all_layers
+    fused_gu = "gateup" in all_layers
+
     def layer_fn(x, lp, k_full, v_full, li):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q = _lin(h, lp, "q", li).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = _lin(h, lp, "k", li).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        v = _lin(h, lp, "v", li).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        if fused_qkv:
+            qkv = _lin(h, lp, "qkv", li)  # one launch streams q|k|v
+            q = qkv[..., :QD].reshape(B, S, cfg.num_heads, cfg.head_dim)
+            k = qkv[..., QD : QD + KD].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            v = qkv[..., QD + KD :].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        else:
+            q = _lin(h, lp, "q", li).reshape(B, S, cfg.num_heads, cfg.head_dim)
+            k = _lin(h, lp, "k", li).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            v = _lin(h, lp, "v", li).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -183,9 +193,13 @@ def forward(
         x = x + _lin(attn.reshape(B, S, cfg.q_dim), lp, "o", li)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + _lin(
-            silu(_lin(h, lp, "gate", li)) * _lin(h, lp, "up", li), lp, "down", li
-        )
+        if fused_gu:
+            F = cfg.intermediate_size
+            gu = _lin(h, lp, "gateup", li)  # one launch streams gate|up
+            act = silu(gu[..., :F]) * gu[..., F:]
+        else:
+            act = silu(_lin(h, lp, "gate", li)) * _lin(h, lp, "up", li)
+        x = x + _lin(act, lp, "down", li)
         return x, k_full, v_full
 
     if cache is not None:

@@ -56,63 +56,101 @@ def int8_matmul_xla(h: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Pallas kernel: int8 weights stay int8 through HBM→VMEM; dequant on the VPU
 # feeds the MXU in the compute dtype.
+#
+# Block recipe (measured on v5e, slope-timed device-side loops to cancel the
+# dispatch overhead of the remote runtime): fixed bO=512 (or the largest of
+# 512/256/128 dividing O), bD = D halved until the double-buffered working
+# set fits ~8MB of VMEM, grid (O/bO, D/bD) with ("parallel", "arbitrary")
+# dimension semantics and an fp32 acc scratch. This streams each weight byte
+# exactly once in ~2-5MB contiguous blocks: 700-1000 GB/s effective vs the
+# ~180-540 GB/s of the previous (B, O, D)-tiled 256x512 kernel — the decode
+# matmul stack drops from ~22.9ms to ~8ms per token at 7B shapes.
+#
+# The kernel is decode-oriented (B <= 64: weight-read-bound). Larger B
+# (prefill) is compute-bound and dispatches to the XLA dequant path instead,
+# where re-streaming weights per B-block would be pure waste.
 # ---------------------------------------------------------------------------
 
-
-def _int8_mm_kernel(h_ref, q_ref, s_ref, o_ref, acc_ref):
-    iD = pl.program_id(2)
-    nD = pl.num_programs(2)
-
-    @pl.when(iD == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    h = h_ref[:]  # [bB, bD] compute dtype
-    w = q_ref[:].astype(h.dtype)  # [bO, bD] int8 → dequant-scale deferred
-    acc_ref[:] += jax.lax.dot_general(
-        h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(iD == nD - 1)
-    def _finalize():
-        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+_DECODE_MAX_B = 64
 
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _choose_blocks(O: int, D: int, bB: int):
+    """(bO, bD) with double-buffered h/w blocks + acc within ~8MB VMEM."""
+    budget = 8 * 2**20
+
+    def fits(bO, bD):
+        return 2 * bD * (2 * bB + bO) + 4 * bB * bO <= budget
+
+    for bO in (512, 256, 128):
+        if O % bO:
+            continue
+        bD = D
+        while (
+            not fits(bO, bD)
+            and bD % 2 == 0
+            and (bD // 2) % 128 == 0
+            and D % (bD // 2) == 0
+        ):
+            bD //= 2
+        if fits(bO, bD):
+            return bO, bD
+    return None
+
+
+def _int8_mm_kernel(h_ref, q_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    h = h_ref[:]  # [bB, bD] compute dtype
+    w = q_ref[:].astype(h.dtype)  # [bO, bD] int8 → dequant on the VPU
+    acc_ref[:] += jax.lax.dot_general(
+        h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int8_matmul_tpu(
     h: jax.Array, q: jax.Array, s: jax.Array, *, interpret: bool = False
 ) -> jax.Array:
-    """h [B, D] x q int8 [O, D], s [O] → [B, O] (h.dtype).
-
-    Requires D % 256 == 0 and O % 256 == 0 (true for all llama/qwen dims).
-    """
+    """h [B, D] x q int8 [O, D], s [O] → [B, O] (h.dtype). Decode path:
+    B is padded to a multiple of 16 (bf16 sublane tile) and kept whole."""
     B, D = h.shape
     O = q.shape[0]
-    bB = min(_round_up(B, 16), 256)
-    bO = 256
-    bD = 512 if D % 512 == 0 else 256
-    assert D % bD == 0 and O % bO == 0, (D, O)
-    Bp = _round_up(B, bB)
+    Bp = _round_up(B, 16)
+    blocks = _choose_blocks(O, D, Bp)
+    if blocks is None or B > _DECODE_MAX_B:
+        return int8_matmul_xla(h, q, s)
+    bO, bD = blocks
     if Bp != B:
         h = jnp.pad(h, ((0, Bp - B), (0, 0)))
     s2 = s.reshape(1, O).astype(jnp.float32)
 
-    grid = (Bp // bB, O // bO, D // bD)
     out = pl.pallas_call(
         _int8_mm_kernel,
-        grid=grid,
+        grid=(O // bO, D // bD),
         in_specs=[
-            pl.BlockSpec((bB, bD), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bO, bD), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bO), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, bD), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bO, bD), lambda j, k: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bO), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bB, bO), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((Bp, bO), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, O), h.dtype),
-        scratch_shapes=[pltpu.VMEM((bB, bO), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Bp, bO), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(h, q, s2)
     return out[:B] if Bp != B else out
@@ -127,10 +165,10 @@ def int8_matmul_tpu(
 
 
 def _int8_mm_stacked_kernel(li_ref, h_ref, q_ref, s_ref, o_ref, acc_ref):
-    iD = pl.program_id(2)
-    nD = pl.num_programs(2)
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
 
-    @pl.when(iD == 0)
+    @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -140,7 +178,7 @@ def _int8_mm_stacked_kernel(li_ref, h_ref, q_ref, s_ref, o_ref, acc_ref):
         h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    @pl.when(iD == nD - 1)
+    @pl.when(k == nk - 1)
     def _finalize():
         o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
 
@@ -156,11 +194,8 @@ def int8_matmul_stacked(
 ) -> jax.Array:
     B, D = h.shape
     L, O = q.shape[0], q.shape[1]
-    bB = min(_round_up(B, 16), 256)
-    bO = 256
-    bD = 512 if D % 512 == 0 else 256
-    assert D % bD == 0 and O % bO == 0, (D, O)
-    Bp = _round_up(B, bB)
+    Bp = _round_up(B, 16)
+    bO, bD = _choose_blocks(O, D, Bp)
     if Bp != B:
         h = jnp.pad(h, ((0, Bp - B), (0, 0)))
     s3 = s.reshape(L, 1, O).astype(jnp.float32)
@@ -168,19 +203,22 @@ def int8_matmul_stacked(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Bp // bB, O // bO, D // bD),
+        grid=(O // bO, D // bD),
         in_specs=[
-            pl.BlockSpec((bB, bD), lambda i, j, k, li_ref: (i, k)),
-            pl.BlockSpec((1, bO, bD), lambda i, j, k, li_ref: (li_ref[0], j, k)),
-            pl.BlockSpec((1, 1, bO), lambda i, j, k, li_ref: (li_ref[0], 0, j)),
+            pl.BlockSpec((Bp, bD), lambda j, k, li_ref: (0, k)),
+            pl.BlockSpec((1, bO, bD), lambda j, k, li_ref: (li_ref[0], j, k)),
+            pl.BlockSpec((1, 1, bO), lambda j, k, li_ref: (li_ref[0], 0, j)),
         ],
-        out_specs=pl.BlockSpec((bB, bO), lambda i, j, k, li_ref: (i, j)),
-        scratch_shapes=[pltpu.VMEM((bB, bO), jnp.float32)],
+        out_specs=pl.BlockSpec((Bp, bO), lambda j, k, li_ref: (0, j)),
+        scratch_shapes=[pltpu.VMEM((Bp, bO), jnp.float32)],
     )
     out = pl.pallas_call(
         _int8_mm_stacked_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, O), h.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(li, h, q, s3)
     return out[:B] if Bp != B else out
@@ -189,15 +227,28 @@ def int8_matmul_stacked(
 def int8_matmul_stacked_dispatch(
     h: jax.Array, wq: Dict[str, jax.Array], layer_idx: jax.Array, *, impl: str = "auto"
 ) -> jax.Array:
-    """h [..., D] x stacked quantized [L, O, D] at layer_idx → [..., O]."""
+    """h [..., D] x stacked quantized [L, O, D] at layer_idx → [..., O].
+
+    Decode rows (B <= 64) take the weight-streaming Pallas kernel; prefill
+    (compute-bound) takes the XLA dequant path, where per-B-block weight
+    re-streaming would multiply HBM traffic for no benefit."""
     q, s = wq["q"], wq["s"]
+    lead = h.shape[:-1]
+    n_rows = 1
+    for d in lead:
+        n_rows *= int(d)
     if impl == "auto":
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
         except RuntimeError:
             on_tpu = False
-        impl = "pallas" if on_tpu and q.shape[2] % 256 == 0 and q.shape[1] % 256 == 0 else "xla"
-    lead = h.shape[:-1]
+        ok = (
+            on_tpu
+            and n_rows <= _DECODE_MAX_B
+            and _choose_blocks(q.shape[1], q.shape[2], _round_up(n_rows, 16))
+            is not None
+        )
+        impl = "pallas" if ok else "xla"
     if impl in ("pallas", "pallas_interpret"):
         out = int8_matmul_stacked(
             h.reshape(-1, h.shape[-1]), q, s, layer_idx,
@@ -212,15 +263,23 @@ def int8_matmul_stacked_dispatch(
 def int8_matmul(h: jax.Array, wq: Dict[str, jax.Array], *, impl: str = "auto") -> jax.Array:
     """Dispatcher: h [..., D] x quantized [O, D] → [..., O]."""
     q, s = wq["q"], wq["s"]
+    lead = h.shape[:-1]
+    n_rows = 1
+    for d in lead:
+        n_rows *= int(d)
     if impl == "auto":
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
         except RuntimeError:
             on_tpu = False
-        D, O = q.shape[1], q.shape[0]
-        impl = "pallas" if on_tpu and D % 256 == 0 and O % 256 == 0 else "xla"
+        ok = (
+            on_tpu
+            and n_rows <= _DECODE_MAX_B
+            and _choose_blocks(q.shape[0], q.shape[1], _round_up(n_rows, 16))
+            is not None
+        )
+        impl = "pallas" if ok else "xla"
     if impl in ("pallas", "pallas_interpret"):
-        lead = h.shape[:-1]
         h2 = h.reshape(-1, h.shape[-1])
         out = int8_matmul_tpu(h2, q, s, interpret=(impl == "pallas_interpret"))
         return out.reshape(*lead, q.shape[0])
@@ -234,13 +293,31 @@ def int8_matmul(h: jax.Array, wq: Dict[str, jax.Array], *, impl: str = "auto") -
 _LLAMA_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
-def quantize_llama_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_llama_params(params: Dict[str, Any], fuse: bool = True) -> Dict[str, Any]:
     """Quantize the hot llama linears (stacked [L, O, D]) + lm_head; the
-    embedding table stays as-is (it is gathered, not matmul'd)."""
+    embedding table stays as-is (it is gathered, not matmul'd).
+
+    fuse=True packs q|k|v into one [L, QD+2*KD, D] 'qkv' stack and gate|up
+    into one 'gateup' stack: one kernel launch streams all three (two)
+    weights per sublayer — fewer launches and larger contiguous DMA. Scales
+    are per-output-channel, so quantizing the concatenation is bit-identical
+    to quantizing the parts."""
     out = dict(params)
     layers = dict(params["layers"])
-    for k in _LLAMA_QUANT_KEYS:
-        layers[k] = quantize_weight(params["layers"][k])
+    if fuse:
+        layers["qkv"] = quantize_weight(
+            jnp.concatenate(
+                [layers.pop("q"), layers.pop("k"), layers.pop("v")], axis=1
+            )
+        )
+        layers["gateup"] = quantize_weight(
+            jnp.concatenate([layers.pop("gate"), layers.pop("up")], axis=1)
+        )
+        layers["o"] = quantize_weight(layers["o"])
+        layers["down"] = quantize_weight(layers["down"])
+    else:
+        for k in _LLAMA_QUANT_KEYS:
+            layers[k] = quantize_weight(params["layers"][k])
     out["layers"] = layers
     out["lm_head"] = quantize_weight(params["lm_head"])
     return out

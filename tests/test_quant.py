@@ -78,3 +78,32 @@ def test_quantized_llava_decode_close_to_fp():
     assert len(common) >= 3  # top-5 mostly agree
     for t in common:
         assert abs(fp_top[t] - q8_top[t]) < 0.05
+
+
+def test_fused_quantization_matches_unfused():
+    """qkv / gateup fusion preserves per-name quantization values (scales are
+    per-output-channel, so quantizing the concatenation == the parts); logits
+    match to matmul-regrouping fp tolerance."""
+    from llava_align_tpu.models import llama
+    from llava_align_tpu.config import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, dtype=jnp.float32,
+    )
+    params = llama.init(jax.random.PRNGKey(3), cfg)
+    qf = quantize_llama_params(params, fuse=True)
+    qu = quantize_llama_params(params, fuse=False)
+    emb = llama.embed_tokens(params, jnp.arange(6)[None])
+    pos = jnp.arange(6, dtype=jnp.int32)[None]
+    hf, _ = llama.forward(qf, cfg, emb, pos, attn_impl="xla")
+    hu, _ = llama.forward(qu, cfg, emb, pos, attn_impl="xla")
+    # quantized values themselves are bit-identical under the packing
+    np.testing.assert_array_equal(
+        np.asarray(qf["layers"]["qkv"]["q"][:, : qu["layers"]["q"]["q"].shape[1]]),
+        np.asarray(qu["layers"]["q"]["q"]),
+    )
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hu), atol=1e-5, rtol=1e-4)
+    lf = llama.logits_from_hidden(qf, hf[:, -1])
+    lu = llama.logits_from_hidden(qu, hu[:, -1])
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), atol=1e-5, rtol=1e-4)

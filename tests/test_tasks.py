@@ -34,3 +34,60 @@ def test_base_task_build_model_via_registry():
     task = BaseTask()
     m = task.build_model({"arch": "toy_arch", "size": 3})
     assert m.size == 3
+
+
+def test_caption_task_flow(tmp_path):
+    from llava_align_tpu.framework.tasks import CaptionTask
+
+    def gen(params, sample, **kw):
+        assert kw["num_beams"] == 3 and kw["max_length"] == 30
+        return [f"caption {i}" for i in sample["image_id"]]
+
+    task = CaptionTask(generate_fn=gen, result_dir=str(tmp_path))
+    samples = [{"image_id": [1, 2]}, {"image_id": [2, 3]}]  # duplicate id 2
+    results = task.evaluation(None, samples, log_freq=100)
+    m = task.after_evaluation(results, split_name="val", epoch=0)
+    assert m["n"] == 4
+    import json, os
+    saved = json.load(open(os.path.join(tmp_path, "val_epoch0.json")))
+    assert [r["image_id"] for r in saved] == [1, 2, 3]  # deduped
+
+
+def test_vqa_task_soft_accuracy(tmp_path):
+    from llava_align_tpu.framework.tasks import VQATask, vqa_normalize
+
+    assert vqa_normalize("The two dogs!") == "2 dogs"
+    assert vqa_normalize("A cat.") == "cat"
+
+    def gen(params, sample, **kw):
+        return sample["_model_answer"]
+
+    task = VQATask(generate_fn=gen, result_dir=str(tmp_path))
+    samples = [
+        {"question_id": 0, "_model_answer": "two",
+         "gt_answers": ["2", "2", "2", "three"]},     # 3 matches -> 1.0
+        {"question_id": 1, "_model_answer": "red",
+         "gt_answers": ["red", "blue", "blue"]},      # 1 match -> 1/3
+    ]
+    results = task.evaluation(None, samples, log_freq=100)
+    m = task.after_evaluation(results)
+    assert abs(m["accuracy"] - 100.0 * (1.0 + 1.0 / 3.0) / 2) < 1e-6
+
+
+def test_classification_task(tmp_path):
+    from llava_align_tpu.framework.tasks import MultimodalClassificationTask
+
+    task = MultimodalClassificationTask(
+        predict_fn=lambda p, s: s["_pred"], result_dir=str(tmp_path)
+    )
+    samples = [
+        {"question_id": 0, "_pred": "yes", "label": "yes"},
+        {"question_id": 1, "_pred": "no", "label": "yes"},
+    ]
+    m = task.after_evaluation(task.evaluation(None, samples, log_freq=100))
+    assert m["accuracy"] == 50.0
+
+
+def test_new_tasks_registered():
+    for name in ("captioning", "vqa", "multimodal_classification"):
+        assert registry.get_task_class(name) is not None
