@@ -660,6 +660,108 @@ class DecodeEngine:
         return outs
 
     # ------------------------------------------------------------------
+    # beam search (single-branch; reference blip2 generate num_beams=5 —
+    # the reference sampler never combines CD with beams)
+    # ------------------------------------------------------------------
+
+    def _get_beam_fn(self, pad: int, num_beams: int, precomputed_feats: bool,
+                     length_penalty: float):
+        key = ("beam", pad, num_beams, precomputed_feats, length_penalty)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        from llava_align_tpu.decoding.beam import make_beam_fn
+
+        adapter, gen = self.adapter, self.gen
+        T = gen.max_new_tokens
+        cache_len = pad + T
+        beam_core = make_beam_fn(
+            adapter, num_beams=num_beams, max_new_tokens=T,
+            eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
+            length_penalty=length_penalty, attn_impl=self.attn_impl,
+            cache_len=cache_len,
+        )
+        attn_impl = self.attn_impl
+
+        def fn(params, pack, images):
+            tokens, tok_g, img_g, is_img, lens, feats_src = pack  # 1 main row
+            if precomputed_feats:
+                feats = images
+            else:
+                G = images.shape[0]
+                grid_feats = adapter.encode_images(params, images)
+                D = grid_feats.shape[2]
+                feats = grid_feats.reshape(1, -1, D)
+            N, D = feats.shape[1], feats.shape[2]
+            feats_ext = jnp.concatenate(
+                [jnp.zeros((1, N, D), feats.dtype), feats], axis=0
+            )
+            branch_feats = feats_ext[feats_src + 1]
+
+            cache = self._constrain_cache(adapter.init_cache(1, cache_len), 1)
+            embeds = adapter.splice_embeds(params, tokens, tok_g, img_g, is_img, branch_feats)
+            positions = jnp.broadcast_to(jnp.arange(pad, dtype=jnp.int32), (1, pad))
+            hidden, cache = adapter.forward(
+                params, embeds, positions, cache, jnp.zeros((1,), jnp.int32),
+                attn_impl=attn_impl, max_seq_len=cache_len,
+            )
+            first_logits = adapter.logits(params, hidden[jnp.arange(1), lens - 1])
+            return beam_core(params, cache, first_logits, lens)
+
+        return self._register(key, jax.jit(fn))
+
+    def generate_beam(
+        self,
+        input_ids: Sequence[int],
+        image: Optional[np.ndarray] = None,
+        *,
+        num_beams: int = 5,
+        length_penalty: float = 1.0,
+        precomputed_feats: Optional[np.ndarray] = None,
+    ) -> GenerationOutput:
+        """HF-semantics beam search (do_sample=False, early_stopping=False):
+        token-exact vs transformers generate on shared weights (tests).
+        Returned token_ids exclude the finishing eos (runners decode with
+        skip_special_tokens anyway)."""
+        if len(self.kinds) != 1:
+            raise ValueError(
+                "beam search is single-branch; the reference never combines "
+                "CD/DD with beams (vcd_sample patches `sample` only)"
+            )
+        has_image = (image is not None or precomputed_feats is not None) and any(
+            t == IMAGE_TOKEN_INDEX for t in input_ids
+        )
+        n_tok = None
+        if precomputed_feats is not None:
+            n_tok = int(np.asarray(precomputed_feats).shape[1])
+        elif image is not None and np.asarray(image).ndim == 4:
+            n_tok = self.adapter.num_image_tokens * int(np.asarray(image).shape[0])
+        pad, *pi = self._pack(
+            input_ids, has_image, num_image_tokens=n_tok, kinds=["main"]
+        )
+        pack = tuple(jnp.asarray(a) for a in pi)
+        if precomputed_feats is not None:
+            images = jnp.asarray(precomputed_feats)
+        elif image is not None:
+            img = np.asarray(image)
+            if img.ndim == 3:
+                img = img[None]
+            images = jnp.asarray(img, self.adapter.vision_dtype)
+        else:
+            H = self.adapter.image_size
+            images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
+        fn = self._get_beam_fn(pad, num_beams, precomputed_feats is not None, length_penalty)
+        seq, n, score = fn(self.params, self._put(pack), self._put(images))
+        n = int(n)
+        return GenerationOutput(
+            token_ids=[int(t) for t in np.asarray(seq)[:n]],
+            num_generated=n,
+            first_scores_top_probs=np.zeros((0,), np.float32),
+            first_scores_top_ids=np.zeros((0,), np.int64),
+            prompt_length=int(pi[4][0]),
+        )
+
+    # ------------------------------------------------------------------
 
     def generate(
         self,

@@ -101,3 +101,20 @@ def test_mmmu_runner_and_scoring(tmp_path):
         rep = mmmu.score(out, setting)
         assert "art" in rep["subjects"]
         assert 0.0 <= rep["overall_acc"] <= 1.0
+
+
+def test_caption_runner_end_to_end(questions, tmp_path):
+    """Beam-search captioning through CaptionTask (reference LAVIS caption
+    flow with blip2 generate num_beams default)."""
+    from llava_align_tpu.runners import caption
+
+    rdir = str(tmp_path / "cap")
+    args = caption.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", questions,
+         "--result-dir", rdir, "--num-beams", "2", "--max-len", "4",
+         "--min-len", "1", "--synthetic-images"]
+    )
+    caption.run(args)
+    saved = json.load(open(os.path.join(rdir, "val_epoch0.json")))
+    assert len(saved) == 2
+    assert {"caption", "image_id"} <= set(saved[0])
