@@ -179,8 +179,9 @@ def main():
     params = _build_params(cfg, quant=args.quant)
     ids = _prompt_ids(args.text_len)
     H = cfg.vision.image_size
+    # uint8 pixels, normalized in-jit (the serving transfer path)
     image = np.asarray(
-        jax.random.normal(jax.random.PRNGKey(7), (3, H, H)), dtype=np.float32
+        jax.random.randint(jax.random.PRNGKey(7), (3, H, H), 0, 256), dtype=np.uint8
     )
 
     NO_EOS = 10**9  # force full-length decode for steady-state timing

@@ -291,6 +291,10 @@ class DecodeEngine:
             if precomputed_feats:
                 feats = images  # already [n_srcs, N, D]
             else:
+                from llava_align_tpu.ops.image import normalize_device
+
+                # uint8 pixels normalize on device (4x less transfer)
+                images = normalize_device(images, adapter.vision_dtype)
                 # images [G, 3, H, W]: G > 1 = anyres grid stack whose
                 # features concatenate into one long image-token run
                 G = images.shape[0]
@@ -465,7 +469,10 @@ class DecodeEngine:
             return done
 
         def batch_fn(params, pack_img, pack_txt, images, rng):
+            from llava_align_tpu.ops.image import normalize_device
+
             tokens, tok_g, img_g, is_img, len_img, feats_src = pack_img
+            images = normalize_device(images, adapter.vision_dtype)
             if gen.use_cd:
                 rng, rng_noise = jax.random.split(rng)
                 noised = add_diffusion_noise(images, rng_noise, gen.noise_step)
@@ -623,10 +630,15 @@ class DecodeEngine:
                     img_arrs[5][qi * n_img_k + i] = Q + qi  # noised copies appended
 
         H = self.adapter.image_size
-        images = np.zeros((Q, 3, H, H), np.float32)
+        all_u8 = all(
+            image is None or np.asarray(image).dtype == np.uint8
+            for _, image in batch
+        )
+        img_dtype = np.uint8 if all_u8 else np.float32
+        images = np.zeros((Q, 3, H, H), img_dtype)
         for qi, (_, image) in enumerate(batch):
             if image is not None:
-                images[qi] = np.asarray(image, np.float32)
+                images[qi] = np.asarray(image, img_dtype)
 
         if n_txt_k:
             txt_arrs = assemble(txt_packs, n_txt_k, pad_txt)
@@ -640,7 +652,11 @@ class DecodeEngine:
             self.params,
             self._put(tuple(jnp.asarray(a) for a in img_arrs)),
             self._put(tuple(jnp.asarray(a) for a in txt_arrs)),
-            self._put(jnp.asarray(images, self.adapter.vision_dtype)),
+            self._put(
+                jnp.asarray(images)
+                if images.dtype == np.uint8
+                else jnp.asarray(images, self.adapter.vision_dtype)
+            ),
             self._put(rng),
         )
         out_buf = np.asarray(out_buf)
@@ -688,6 +704,9 @@ class DecodeEngine:
             if precomputed_feats:
                 feats = images
             else:
+                from llava_align_tpu.ops.image import normalize_device
+
+                images = normalize_device(images, adapter.vision_dtype)
                 G = images.shape[0]
                 grid_feats = adapter.encode_images(params, images)
                 D = grid_feats.shape[2]
@@ -746,7 +765,11 @@ class DecodeEngine:
             img = np.asarray(image)
             if img.ndim == 3:
                 img = img[None]
-            images = jnp.asarray(img, self.adapter.vision_dtype)
+            images = (
+                jnp.asarray(img)
+                if img.dtype == np.uint8
+                else jnp.asarray(img, self.adapter.vision_dtype)
+            )
         else:
             H = self.adapter.image_size
             images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
@@ -811,7 +834,13 @@ class DecodeEngine:
             img = np.asarray(image)
             if img.ndim == 3:
                 img = img[None]
-            images = jnp.asarray(img, self.adapter.vision_dtype)
+            # uint8 ships raw (normalize_device runs in-jit); floats are
+            # already normalized and cast host-side
+            images = (
+                jnp.asarray(img)
+                if img.dtype == np.uint8
+                else jnp.asarray(img, self.adapter.vision_dtype)
+            )
         else:
             H = self.adapter.image_size
             images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)

@@ -95,6 +95,54 @@ def qwen_preprocess_pil(
     return arr.transpose(2, 0, 1)
 
 
+def clip_resize_pil_uint8(
+    pil_img,
+    image_size: int = 336,
+    image_aspect_ratio: Optional[str] = None,
+    mean: Sequence[float] = OPENAI_CLIP_MEAN,
+) -> np.ndarray:
+    """PIL → uint8 CHW, the resize/crop half of clip_preprocess_pil with
+    normalization deferred to the device (normalize_device). Shipping uint8
+    pixels is 4x less host→device traffic than normalized f32 and skips the
+    host-side float cast — identical math end-to-end because normalization
+    is exact in f32 on device."""
+    from PIL import Image
+
+    img = pil_img.convert("RGB")
+    if image_aspect_ratio == "pad":
+        bg = tuple(int(x * 255) for x in mean)
+        img = expand2square(img, bg)
+    w, h = img.size
+    short, long = (w, h) if w <= h else (h, w)
+    new_short = image_size
+    new_long = int(round(image_size * long / short))
+    new_w, new_h = (new_short, new_long) if w <= h else (new_long, new_short)
+    img = img.resize((new_w, new_h), resample=Image.BICUBIC)
+    left = (new_w - image_size) // 2
+    top = (new_h - image_size) // 2
+    img = img.crop((left, top, left + image_size, top + image_size))
+    return np.asarray(img, dtype=np.uint8).transpose(2, 0, 1)
+
+
+def normalize_device(
+    images: jax.Array,
+    dtype,
+    mean: Sequence[float] = OPENAI_CLIP_MEAN,
+    std: Sequence[float] = OPENAI_CLIP_STD,
+) -> jax.Array:
+    """Jit-side image ingest: uint8 raw pixels [..., 3, H, W] → /255 →
+    CLIP-normalize → dtype; float inputs are already normalized and only
+    cast. All three model families (CLIP-ViT, EVA-ViT, Qwen ViT) use the
+    OpenAI CLIP mean/std."""
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        x = images.astype(jnp.float32) / 255.0
+        shape = (1,) * (x.ndim - 3) + (3, 1, 1)
+        m = jnp.asarray(mean, jnp.float32).reshape(shape)
+        s = jnp.asarray(std, jnp.float32).reshape(shape)
+        return ((x - m) / s).astype(dtype)
+    return images.astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("image_size",))
 def clip_normalize(
     image_01: jax.Array,

@@ -129,10 +129,15 @@ def load_image_tensor(
     image_aspect_ratio: Optional[str] = None,
     synthetic_ok: bool = False,
     grid_pinpoints=None,
+    transfer: str = "uint8",
 ) -> np.ndarray:
-    """CLIP-preprocessed [3, H, W] float32. With synthetic_ok, a deterministic
-    noise image replaces missing files (offline smoke runs)."""
-    from llava_align_tpu.ops.image import clip_preprocess_pil
+    """CLIP-preprocessed [3, H, W]. transfer='uint8' (default) returns raw
+    resized pixels — the DecodeEngine normalizes in-jit (normalize_device),
+    4x less host→device traffic, identical math. transfer='float32' returns
+    host-normalized floats (callers that feed the model directly, e.g.
+    parity_check). anyres grids always return float32 stacks. With
+    synthetic_ok, a deterministic noise image replaces missing files."""
+    from llava_align_tpu.ops.image import clip_preprocess_pil, clip_resize_pil_uint8
 
     path = os.path.join(image_folder, image_file) if image_folder else image_file
     if os.path.exists(path):
@@ -147,6 +152,8 @@ def load_image_tensor(
                 (image_size * 2, image_size * 2),
             ]
             return process_anyres_image(img, pinpoints, image_size, image_size)
+        if transfer == "uint8":
+            return clip_resize_pil_uint8(img, image_size, image_aspect_ratio)
         return clip_preprocess_pil(img, image_size, image_aspect_ratio)
     if not synthetic_ok:
         raise FileNotFoundError(path)
@@ -154,6 +161,8 @@ def load_image_tensor(
     raw = rng.integers(0, 256, (image_size, image_size, 3), dtype=np.uint8)
     from PIL import Image
 
+    if transfer == "uint8":
+        return clip_resize_pil_uint8(Image.fromarray(raw), image_size, None)
     return clip_preprocess_pil(Image.fromarray(raw), image_size, None)
 
 

@@ -58,7 +58,9 @@ def main() -> None:
     ids = tokenizer_image_token(prompt, tokenizer)
     image = None
     if with_image:
-        image = load_image_tensor("", args.image, image_size=cfg.vision.image_size)
+        image = load_image_tensor(
+            "", args.image, image_size=cfg.vision.image_size, transfer="float32"
+        )
         image = jnp.asarray(image)[None]
     pad = -(-(len(ids) + (cfg.num_image_tokens if with_image else 0)) // 64) * 64
     logits, length = jl.forward_multimodal(params, cfg, ids, image, pad_to=pad)
