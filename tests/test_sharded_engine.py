@@ -150,3 +150,39 @@ def test_pope_dry_sweep_compiles_bounded(llava_setup):
         extra = [int(t) for t in rng.integers(3, 30, size=rng.integers(0, 20))]
         eng.generate(ids + extra, image)
     assert len(eng._compiled) <= 2  # one (pad_img, pad_txt) pair at bucket 32
+
+
+def test_mpt_adapter_mesh_unshardable_kv_falls_back():
+    """MQA (kv_heads=1) cannot shard the cache over 'model'; the engine must
+    replicate it and still decode token-exact under the mesh."""
+    import jax.numpy as jnp
+    from llava_align_tpu.decoding.adapters import LlavaMptAdapter
+    from llava_align_tpu.models import llava_mpt as lm
+
+    from llava_align_tpu.models.mpt import MptConfig
+    from llava_align_tpu.config import ClipVisionConfig
+
+    cfg = lm.LlavaMptConfig(
+        text=MptConfig.tiny(256, multiquery=True), vision=ClipVisionConfig.tiny()
+    )
+    params = lm.init(jax.random.PRNGKey(0), cfg)
+    H = cfg.vision.image_size
+    image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (3, H, H), jnp.float32)
+    )
+    ids = [1, 40, IMAGE_TOKEN_INDEX, 60, 70]
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=False, eos_token_id=EOS,
+        use_dd=True, use_dd_unk=True,
+    )
+    ref = DecodeEngine(
+        params, cfg, gen, adapter=LlavaMptAdapter(cfg), attn_impl="xla", bucket=8
+    ).generate(ids, image)
+    mesh = make_mesh(model=2, data=4)
+    eng = DecodeEngine(
+        params, cfg, gen, adapter=LlavaMptAdapter(cfg), attn_impl="xla",
+        bucket=8, mesh=mesh,
+    )
+    assert not eng._kv_shardable  # MQA: 1 kv head % 2 != 0
+    out = eng.generate(ids, image)
+    assert out.token_ids == ref.token_ids
