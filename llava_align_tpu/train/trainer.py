@@ -42,8 +42,15 @@ def make_optimizer(
     beta2: float = 0.999,
     schedule: str = "warmup_cosine",
     max_grad_norm: Optional[float] = 1.0,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """AdamW + warmup-cosine (LAVIS LinearWarmupCosineLRScheduler capability)."""
+    """AdamW + warmup-cosine (LAVIS LinearWarmupCosineLRScheduler capability).
+
+    accum_steps>1 = gradient accumulation (reference base_task.py
+    accum_grad_iters): the mean gradient over k micro-batches applies once
+    every k steps (optax.MultiSteps). The reference's AMP GradScaler has no
+    TPU counterpart by design — bf16 carries fp32 exponent range, so loss
+    scaling is unnecessary."""
     if schedule == "warmup_cosine":
         sched = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
@@ -60,7 +67,10 @@ def make_optimizer(
     if max_grad_norm:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(optax.adamw(sched, b2=beta2, weight_decay=weight_decay))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def multimodal_lm_loss(

@@ -77,3 +77,54 @@ def test_runner_resume_skips_done(question_file, tmp_path):
     recs = load_jsonl(out)
     assert len(recs) == 4
     assert sorted(r["question_id"] for r in recs) == [0, 1, 2, 3]
+
+
+def test_grad_accumulation_matches_big_batch():
+    """accum_steps=2 over two half-batches == one step on the full batch
+    (reference base_task accum_grad_iters semantics; optax.MultiSteps mean)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llava_align_tpu.config import LlavaConfig
+    from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+    from llava_align_tpu.models import llava
+    from llava_align_tpu.train.trainer import (
+        build_train_batch, make_optimizer, make_train_step,
+    )
+
+    cfg = LlavaConfig.tiny(vocab_size=64)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    H = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    samples = [
+        {"input_ids": [1, 5, IMAGE_TOKEN_INDEX, 7 + i, 8, 9],
+         "images": rng.normal(size=(3, H, H)).astype(np.float32)}
+        for i in range(4)
+    ]
+    full = build_train_batch(cfg, samples, pad_to=16)
+    half1 = build_train_batch(cfg, samples[:2], pad_to=16)
+    half2 = build_train_batch(cfg, samples[2:], pad_to=16)
+
+    def leaves(p):
+        return jax.tree_util.tree_leaves(p)
+
+    # big batch, 1 step
+    opt = make_optimizer(lr=1e-3, warmup_steps=0, total_steps=10, schedule="constant")
+    st = opt.init(params)
+    step = make_train_step(cfg, opt, attn_impl="xla", donate=False)
+    p_big, _, _ = step(params, st, full)
+
+    # two half batches with accumulation
+    opt2 = make_optimizer(lr=1e-3, warmup_steps=0, total_steps=10,
+                          schedule="constant", accum_steps=2)
+    st2 = opt2.init(params)
+    step2 = make_train_step(cfg, opt2, attn_impl="xla", donate=False)
+    p_acc, st2, _ = step2(params, st2, half1)
+    # first micro-step must not change params
+    for a, b in zip(leaves(p_acc), leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p_acc, st2, _ = step2(p_acc, st2, half2)
+    for a, b in zip(leaves(p_acc), leaves(p_big)):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=1e-4)
