@@ -53,7 +53,7 @@ def run(args) -> str:
 
     for line in questions:
         idx = line["question_id"]
-        if ans.is_done(idx):
+        if ans.is_done(idx, line.get("text")):
             continue
         qs = line["text"]
         rng = jax.random.PRNGKey(args.seed + (hash(str(idx)) % 65536))

@@ -58,19 +58,28 @@ class AnswerFile:
         self.path = os.path.expanduser(path)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         self.done_ids = set()
+        self.done_keys = set()
         if resume and os.path.exists(self.path):
             with open(self.path) as f:
                 for line in f:
                     try:
-                        self.done_ids.add(json.loads(line)["question_id"])
+                        rec = json.loads(line)
+                        self.done_ids.add(rec["question_id"])
+                        self.done_keys.add((rec["question_id"], rec.get("prompt")))
                     except Exception:
                         pass
             self._f = open(self.path, "a")
         else:
             self._f = open(self.path, "w")
 
-    def is_done(self, question_id) -> bool:
-        return question_id in self.done_ids
+    def is_done(self, question_id, prompt=None) -> bool:
+        """Resume check. Pass the question text too when ids are not unique —
+        MME reuses the image name as question_id for both of its questions
+        per image (reference llava_mme.jsonl), so id-only dedup would drop
+        every second question on resume."""
+        if prompt is None:
+            return question_id in self.done_ids
+        return (question_id, prompt) in self.done_keys
 
     def write(self, record: dict) -> None:
         self._f.write(json.dumps(record) + "\n")

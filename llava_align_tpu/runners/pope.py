@@ -116,7 +116,10 @@ def run(args) -> str:
 
     t0 = time.time()
     n_done = 0
-    pending = [l for l in questions if not ans.is_done(l["question_id"])]
+    pending = [
+        l for l in questions
+        if not ans.is_done(l["question_id"], l.get("text"))
+    ]
     B = max(1, args.batch_size)
     # worker threads tokenize + decode images ahead of the device
     # (host-side analog of double buffering; torch-DataLoader capability)

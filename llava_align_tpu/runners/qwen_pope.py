@@ -85,7 +85,7 @@ def run(args) -> str:
 
     for line in questions:
         idx = line["question_id"]
-        if ans.is_done(idx):
+        if ans.is_done(idx, line.get("text")):
             continue
         q = line["text"]
         image_file = line.get("image", "")

@@ -128,3 +128,24 @@ def test_grad_accumulation_matches_big_batch():
     for a, b in zip(leaves(p_acc), leaves(p_big)):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_resume_with_duplicate_question_ids(tmp_path):
+    """MME reuses the image name as question_id for both of its per-image
+    questions; resume must key on (id, prompt), not id alone."""
+    from llava_align_tpu.runners.common import AnswerFile
+
+    path = str(tmp_path / "a.jsonl")
+    ans = AnswerFile(path)
+    ans.write({"question_id": "img1.png", "prompt": "Is it red?", "text": "yes"})
+    ans.close()
+
+    ans = AnswerFile(path, resume=True)
+    assert ans.is_done("img1.png", "Is it red?")
+    assert not ans.is_done("img1.png", "Is it blue?")  # 2nd question, same id
+    assert ans.is_done("img1.png")  # id-only callers keep old semantics
+    ans.write({"question_id": "img1.png", "prompt": "Is it blue?", "text": "no"})
+    ans.close()
+    import json as _json
+    recs = [_json.loads(l) for l in open(path)]
+    assert len(recs) == 2
