@@ -1,0 +1,537 @@
+"""BLIP base (ViT + MED BERT): captioning, image-text matching, features.
+
+Capability parity: the reference's vendored LAVIS BLIP family
+(lavis/models/blip_models/blip_caption.py, blip_image_text_matching.py,
+blip_feature_extractor.py) built on lavis/models/vit.py (a timm ViT) and
+lavis/models/med.py (BERT with cross-attention — a fork of HF Bert). The
+reference's own experiments never execute these models (SURVEY §2.4); they
+are provided for model-zoo completeness.
+
+TPU-first: stacked [L, ...] layer params under `lax.scan`, fp32 softmax/LN,
+self-KV cache + one-shot cross-KV incremental decoding (same scheme as
+models/t5.py), and HF-exact beam search reused from decoding/beam.py.
+Parity oracles are HF modules (the med fork's upstream): BertLMHeadModel
+(is_decoder + add_cross_attention) and ViTModel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llava_align_tpu.ops.layers import layer_norm
+
+Params = Dict[str, Any]
+NEG = -1e30
+
+
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BlipVitConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def ffn_dim(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    @staticmethod
+    def tiny() -> "BlipVitConfig":
+        return BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=32, num_layers=2,
+            num_heads=4,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MedConfig:
+    vocab_size: int = 30524  # bert-base-uncased + [DEC]/[ENC]
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def tiny(vocab_size: int = 64) -> "MedConfig":
+        return MedConfig(
+            vocab_size=vocab_size, hidden_size=32, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class BlipConfig:
+    vision: BlipVitConfig = dataclasses.field(default_factory=BlipVitConfig)
+    text: MedConfig = dataclasses.field(default_factory=MedConfig)
+    embed_dim: int = 256  # ITC projection width
+
+    @staticmethod
+    def tiny(vocab_size: int = 64) -> "BlipConfig":
+        return BlipConfig(
+            vision=BlipVitConfig.tiny(), text=MedConfig.tiny(vocab_size),
+            embed_dim=16,
+        )
+
+
+# ---------------------------------------------------------------------------
+# ViT encoder (lavis vit.py / HF ViTModel structure: pre-LN blocks, cls token)
+# ---------------------------------------------------------------------------
+
+
+def vit_init(rng: jax.Array, cfg: BlipVitConfig) -> Params:
+    ks = iter(jax.random.split(rng, 10))
+    D, F, L = cfg.hidden_size, cfg.ffn_dim, cfg.num_layers
+    P = cfg.num_patches
+
+    def w(shape, fan):
+        return (jax.random.normal(next(ks), shape, jnp.float32) / fan**0.5).astype(cfg.dtype)
+
+    def ln():
+        return {"scale": jnp.ones((L, D), cfg.dtype), "bias": jnp.zeros((L, D), cfg.dtype)}
+
+    def lin(o, i):
+        return {"w": w((L, o, i), i), "b": jnp.zeros((L, o), cfg.dtype)}
+
+    return {
+        "cls": w((1, 1, D), D),
+        "pos": w((1, P + 1, D), D),
+        "patch": {"w": w((D, 3, cfg.patch_size, cfg.patch_size), 3 * cfg.patch_size**2),
+                  "b": jnp.zeros((D,), cfg.dtype)},
+        "layers": {
+            "ln1": ln(), "q": lin(D, D), "k": lin(D, D), "v": lin(D, D),
+            "o": lin(D, D), "ln2": ln(), "fc1": lin(F, D), "fc2": lin(D, F),
+        },
+        "final_ln": {"scale": jnp.ones((D,), cfg.dtype), "bias": jnp.zeros((D,), cfg.dtype)},
+    }
+
+
+def _lin(h, p):
+    return jnp.einsum("...d,od->...o", h, p["w"], preferred_element_type=h.dtype) + p["b"]
+
+
+def _mha(q, k, v, H, mask=None):
+    """q [B,Sq,D], k/v [B,Sk,D] → [B,Sq,D]; fp32 softmax."""
+    B, Sq, D = q.shape
+    Sk = k.shape[1]
+    Dh = D // H
+    qr = q.reshape(B, Sq, H, Dh)
+    kr = k.reshape(B, Sk, H, Dh)
+    vr = v.reshape(B, Sk, H, Dh)
+    s = jnp.einsum(
+        "bqhd,bkhd->bhqk", qr, kr,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / (Dh**0.5)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum(
+        "bhqk,bkhd->bqhd", p.astype(vr.dtype), vr,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(q.dtype)
+    return o.reshape(B, Sq, D)
+
+
+def vit_forward(params: Params, cfg: BlipVitConfig, pixels: jax.Array) -> jax.Array:
+    """pixels [B, 3, H, W] → [B, 1+N, D] (post final LN)."""
+    B = pixels.shape[0]
+    D, H = cfg.hidden_size, cfg.num_heads
+    x = jax.lax.conv_general_dilated(
+        pixels.astype(cfg.dtype), params["patch"]["w"],
+        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # [B, D, h, w]
+    x = x.reshape(B, D, -1).transpose(0, 2, 1) + params["patch"]["b"]
+    cls = jnp.broadcast_to(params["cls"], (B, 1, D))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos"]
+    eps = cfg.layer_norm_eps
+
+    def body(x, lp):
+        h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
+        a = _mha(_lin(h, lp["q"]), _lin(h, lp["k"]), _lin(h, lp["v"]), H)
+        x = x + _lin(a, lp["o"])
+        h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], eps)
+        x = x + _lin(jax.nn.gelu(_lin(h, lp["fc1"]), approximate=False), lp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"], eps)
+
+
+# ---------------------------------------------------------------------------
+# MED BERT (post-LN; optional causal self-attn + cross-attention)
+# ---------------------------------------------------------------------------
+
+
+def med_init(rng: jax.Array, cfg: MedConfig) -> Params:
+    ks = iter(jax.random.split(rng, 24))
+    D, F, L, V = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
+
+    def w(shape, fan):
+        return (jax.random.normal(next(ks), shape, jnp.float32) / fan**0.5).astype(cfg.dtype)
+
+    def ln(dim=D):
+        return {"scale": jnp.ones((L, dim), cfg.dtype), "bias": jnp.zeros((L, dim), cfg.dtype)}
+
+    def lin(o, i):
+        return {"w": w((L, o, i), i), "b": jnp.zeros((L, o), cfg.dtype)}
+
+    return {
+        "embeddings": {
+            "word": w((V, D), D),
+            "pos": w((cfg.max_position_embeddings, D), D),
+            "type": jnp.zeros((2, D), cfg.dtype),
+            "ln": {"scale": jnp.ones((D,), cfg.dtype), "bias": jnp.zeros((D,), cfg.dtype)},
+        },
+        "layers": {
+            "sq": lin(D, D), "sk": lin(D, D), "sv": lin(D, D), "so": lin(D, D),
+            "s_ln": ln(),
+            "cq": lin(D, D), "ck": lin(D, D), "cv": lin(D, D), "co": lin(D, D),
+            "c_ln": ln(),
+            "fc1": lin(F, D), "fc2": lin(D, F), "f_ln": ln(),
+        },
+        "head": {
+            "transform": {"w": w((D, D), D), "b": jnp.zeros((D,), cfg.dtype)},
+            "ln": {"scale": jnp.ones((D,), cfg.dtype), "bias": jnp.zeros((D,), cfg.dtype)},
+            "decoder": w((V, D), D),
+            "bias": jnp.zeros((V,), cfg.dtype),
+        },
+    }
+
+
+def med_embed(params: Params, cfg: MedConfig, ids: jax.Array, positions: jax.Array) -> jax.Array:
+    e = params["embeddings"]
+    x = e["word"][jnp.clip(ids, 0, cfg.vocab_size - 1)] + e["pos"][positions] + e["type"][0]
+    return layer_norm(x, e["ln"]["scale"], e["ln"]["bias"], cfg.layer_norm_eps)
+
+
+def med_forward(
+    params: Params,
+    cfg: MedConfig,
+    ids: jax.Array,                       # [B, S]
+    attention_mask: Optional[jax.Array] = None,   # [B, S] 1=attend
+    encoder_states: Optional[jax.Array] = None,   # [B, Se, D]
+    encoder_mask: Optional[jax.Array] = None,     # [B, Se]
+    *,
+    causal: bool = False,
+) -> jax.Array:
+    """Full (non-incremental) pass → hidden [B, S, D]."""
+    B, S = ids.shape
+    H = cfg.num_heads
+    eps = cfg.layer_norm_eps
+    x = med_embed(params, cfg, ids, jnp.arange(S, dtype=jnp.int32)[None])
+
+    mask = jnp.ones((B, 1, S, S), bool)
+    if attention_mask is not None:
+        mask = mask & attention_mask[:, None, None, :].astype(bool)
+    if causal:
+        tri = jnp.tril(jnp.ones((S, S), bool))
+        mask = mask & tri[None, None]
+    xmask = None
+    if encoder_states is not None and encoder_mask is not None:
+        xmask = encoder_mask[:, None, None, :].astype(bool)
+
+    use_cross = encoder_states is not None
+
+    def body(x, lp):
+        a = _mha(_lin(x, lp["sq"]), _lin(x, lp["sk"]), _lin(x, lp["sv"]), H, mask)
+        x = layer_norm(x + _lin(a, lp["so"]), lp["s_ln"]["scale"], lp["s_ln"]["bias"], eps)
+        if use_cross:
+            a = _mha(
+                _lin(x, lp["cq"]), _lin(encoder_states, lp["ck"]),
+                _lin(encoder_states, lp["cv"]), H, xmask,
+            )
+            x = layer_norm(x + _lin(a, lp["co"]), lp["c_ln"]["scale"], lp["c_ln"]["bias"], eps)
+        f = _lin(jax.nn.gelu(_lin(x, lp["fc1"]), approximate=False), lp["fc2"])
+        x = layer_norm(x + f, lp["f_ln"]["scale"], lp["f_ln"]["bias"], eps)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x
+
+
+def med_logits(params: Params, hidden: jax.Array) -> jax.Array:
+    h = params["head"]
+    x = jnp.einsum("...d,od->...o", hidden, h["transform"]["w"]) + h["transform"]["b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = layer_norm(x, h["ln"]["scale"], h["ln"]["bias"], 1e-12)
+    return (
+        jnp.einsum("...d,vd->...v", x, h["decoder"], preferred_element_type=jnp.float32)
+        + h["bias"].astype(jnp.float32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental decoding (self-KV cache + one-shot cross KV, as models/t5.py)
+# ---------------------------------------------------------------------------
+
+
+def init_self_cache(cfg: MedConfig, batch: int, max_len: int) -> Dict[str, jax.Array]:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+
+
+def precompute_cross_kv(params: Params, cfg: MedConfig, encoder_states: jax.Array):
+    B, Se, _ = encoder_states.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+    lk = params["layers"]["ck"]
+    lv = params["layers"]["cv"]
+    k = (jnp.einsum("bsd,lod->lbso", encoder_states, lk["w"]) + lk["b"][:, None, None])
+    v = (jnp.einsum("bsd,lod->lbso", encoder_states, lv["w"]) + lv["b"][:, None, None])
+    return {
+        "k": k.reshape(cfg.num_layers, B, Se, H, Dh),
+        "v": v.reshape(cfg.num_layers, B, Se, H, Dh),
+    }
+
+
+def decode_step(
+    params: Params, cfg: MedConfig,
+    token_ids: jax.Array,          # [B]
+    t: jax.Array,                  # scalar int32 position
+    cache: Dict[str, jax.Array],
+    cross_kv: Dict[str, jax.Array],
+    encoder_mask: Optional[jax.Array] = None,
+):
+    """One causal decoder step with cross-attention → (logits [B,V], cache)."""
+    B = token_ids.shape[0]
+    H, Dh = cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+    Smax = cache["k"].shape[2]
+    x = med_embed(params, cfg, token_ids[:, None], t[None, None])  # [B,1,D]
+
+    k_pos = jnp.arange(Smax, dtype=jnp.int32)
+    smask = (k_pos <= t)[None, None, None, :]
+    xmask = None
+    if encoder_mask is not None:
+        xmask = encoder_mask[:, None, None, :].astype(bool)
+
+    kc, vc = cache["k"], cache["v"]
+    lp = params["layers"]
+    for li in range(cfg.num_layers):
+        l = {k: jax.tree_util.tree_map(lambda a: a[li], v) for k, v in lp.items()}
+        q = (_lin(x, l["sq"])).reshape(B, 1, H, Dh)
+        k_new = (_lin(x, l["sk"])).reshape(B, H, Dh)
+        v_new = (_lin(x, l["sv"])).reshape(B, H, Dh)
+        kc = kc.at[li, :, t].set(k_new)
+        vc = vc.at[li, :, t].set(v_new)
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, kc[li],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / (Dh**0.5)
+        s = jnp.where(smask, s, NEG)
+        p = jax.nn.softmax(s, axis=-1)
+        a = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(vc.dtype), vc[li],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(x.dtype).reshape(B, 1, -1)
+        x = layer_norm(x + _lin(a, l["so"]), l["s_ln"]["scale"], l["s_ln"]["bias"], eps)
+
+        q = (_lin(x, l["cq"])).reshape(B, 1, H, Dh)
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, cross_kv["k"][li],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / (Dh**0.5)
+        if xmask is not None:
+            s = jnp.where(xmask, s, NEG)
+        p = jax.nn.softmax(s, axis=-1)
+        a = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(cross_kv["v"].dtype), cross_kv["v"][li],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(x.dtype).reshape(B, 1, -1)
+        x = layer_norm(x + _lin(a, l["co"]), l["c_ln"]["scale"], l["c_ln"]["bias"], eps)
+
+        f = _lin(jax.nn.gelu(_lin(x, l["fc1"]), approximate=False), l["fc2"])
+        x = layer_norm(x + f, l["f_ln"]["scale"], l["f_ln"]["bias"], eps)
+
+    return med_logits(params, x[:, 0]), {"k": kc, "v": vc}
+
+
+# ---------------------------------------------------------------------------
+# BLIP models
+# ---------------------------------------------------------------------------
+
+
+def init(rng: jax.Array, cfg: BlipConfig) -> Params:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    D, E = cfg.text.hidden_size, cfg.embed_dim
+    ks = jax.random.split(k3, 4)
+
+    def w(key, o, i):
+        return (jax.random.normal(key, (o, i), jnp.float32) / i**0.5).astype(cfg.text.dtype)
+
+    return {
+        "visual": vit_init(k1, cfg.vision),
+        "text": med_init(k2, cfg.text),
+        "vision_proj": w(ks[0], E, cfg.vision.hidden_size),
+        "text_proj": w(ks[1], E, D),
+        "itm_head": {"w": w(ks[2], 2, D), "b": jnp.zeros((2,), cfg.text.dtype)},
+    }
+
+
+def generate_caption(
+    params: Params, cfg: BlipConfig,
+    pixels: jax.Array,            # [B, 3, H, W]
+    prompt_ids,                   # list[int] — tokenized prompt incl. bos ([DEC])
+    *,
+    max_new_tokens: int = 30,
+    eos_token_id: int = 102,      # bert [SEP]
+    num_beams: int = 1,
+    length_penalty: float = 1.0,
+):
+    """BLIP caption generation (reference blip_caption.py generate): ViT
+    states cross-attended by the causal MED decoder. Greedy for num_beams=1;
+    HF-exact beam search otherwise. Returns List[List[int]] (generated only)."""
+    enc = vit_forward(params["visual"], cfg.vision, pixels)
+    B = enc.shape[0]
+    P = len(prompt_ids)
+    T = P + max_new_tokens
+    cross = precompute_cross_kv(params["text"], cfg.text, enc)
+    cache = init_self_cache(cfg.text, B if num_beams == 1 else 1, T)
+    step = jax.jit(
+        lambda p, tok, t, c, x: decode_step(p, cfg.text, tok, t, c, x)
+    )
+
+    if num_beams == 1:
+        token = np.full((B,), prompt_ids[0], np.int32)
+        done = np.zeros((B,), bool)
+        rows = []
+        for t in range(T - 1):
+            logits, cache = step(
+                params["text"], jnp.asarray(token), jnp.asarray(t, jnp.int32),
+                cache, cross,
+            )
+            if t + 1 < P:
+                nxt = np.full((B,), prompt_ids[t + 1], np.int32)
+            else:
+                nxt = np.asarray(logits.argmax(-1)).astype(np.int32)
+                nxt = np.where(done, eos_token_id, nxt)
+                rows.append(nxt)
+                done |= nxt == eos_token_id
+            token = nxt
+            if t + 1 >= P and done.all():
+                break
+        ids = np.stack(rows, axis=1) if rows else np.zeros((B, 0), np.int32)
+        out = []
+        for b in range(B):
+            row = ids[b].tolist()
+            if eos_token_id in row:
+                row = row[: row.index(eos_token_id)]
+            out.append(row)
+        return out
+
+    # beam search (per image; beams ride the batch axis)
+    from llava_align_tpu.decoding.beam import make_beam_fn
+
+    class _MedAdapter:
+        """decoding/beam.py adapter: cross-attention state rides inside
+        `params` so the jitted beam fn stays cacheable."""
+
+        @staticmethod
+        def embed_tokens(p, ids):
+            # word part only; positions are added in forward via decode_step
+            return ids  # pass token ids through; forward re-embeds
+
+        @staticmethod
+        def forward(p, emb, positions, cache, offsets, *, attn_impl, max_seq_len,
+                    cache_row_offset=0):
+            logits, cache = decode_step(
+                p["text"], cfg.text, emb[:, 0], offsets[0], cache, p["cross"]
+            )
+            return logits[:, None], cache
+
+        @staticmethod
+        def logits(p, hidden):
+            return hidden  # forward already returned logits
+
+    out = []
+    for b in range(B):
+        cross_b = jax.tree_util.tree_map(lambda x: x[:, b : b + 1], cross)
+        cache1 = init_self_cache(cfg.text, 1, T)
+        # prefill the prompt on the single row
+        lens = jnp.asarray([P], jnp.int32)
+        logits = None
+        for t in range(P):
+            logits, cache1 = decode_step(
+                params["text"], cfg.text,
+                jnp.asarray([prompt_ids[t]], jnp.int32),
+                jnp.asarray(t, jnp.int32), cache1, cross_b,
+            )
+        beam_fn = make_beam_fn(
+            _MedAdapter(), num_beams=num_beams, max_new_tokens=max_new_tokens,
+            eos_token_id=eos_token_id, pad_token_id=0,
+            length_penalty=length_penalty, attn_impl="xla", cache_len=T,
+        )
+        pw = {"text": params["text"],
+              "cross": jax.tree_util.tree_map(lambda x: jnp.repeat(x, num_beams, axis=1), cross_b)}
+        seq, n, _ = jax.jit(beam_fn)(pw, cache1, logits, lens)
+        row = [int(x) for x in np.asarray(seq)[: int(n)]]
+        out.append([t for t in row if t != eos_token_id])
+    return out
+
+
+def itm_score(
+    params: Params, cfg: BlipConfig,
+    pixels: jax.Array, text_ids: jax.Array, text_mask: jax.Array,
+) -> jax.Array:
+    """Image-text matching head on the multimodal cls state
+    (reference blip_image_text_matching.py 'itm' mode) → [B, 2] logits."""
+    enc = vit_forward(params["visual"], cfg.vision, pixels)
+    enc_mask = jnp.ones(enc.shape[:2], jnp.int32)
+    h = med_forward(
+        params["text"], cfg.text, text_ids, text_mask,
+        encoder_states=enc, encoder_mask=enc_mask, causal=False,
+    )
+    cls = h[:, 0]
+    return jnp.einsum("bd,od->bo", cls, params["itm_head"]["w"]) + params["itm_head"]["b"]
+
+
+def extract_features(
+    params: Params, cfg: BlipConfig,
+    pixels: Optional[jax.Array] = None,
+    text_ids: Optional[jax.Array] = None,
+    text_mask: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Unimodal ITC embeddings (reference blip_feature_extractor.py):
+    L2-normalized projections of the cls states."""
+    out: Dict[str, jax.Array] = {}
+    if pixels is not None:
+        enc = vit_forward(params["visual"], cfg.vision, pixels)
+        v = jnp.einsum("bd,od->bo", enc[:, 0], params["vision_proj"])
+        out["image_embeds"] = enc
+        out["image_features"] = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    if text_ids is not None:
+        h = med_forward(params["text"], cfg.text, text_ids, text_mask, causal=False)
+        t = jnp.einsum("bd,od->bo", h[:, 0], params["text_proj"])
+        out["text_embeds"] = h
+        out["text_features"] = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    return out

@@ -666,3 +666,159 @@ def load_llava_checkpoint(
         "projector": convert_projector(sd, cfg.mm_projector_type, dtype),
     }
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# BLIP base (LAVIS checkpoint naming: visual_encoder.* timm ViT with fused
+# qkv; text_decoder/text_encoder.* MED BERT; vision_proj/text_proj/itm_head)
+# ---------------------------------------------------------------------------
+
+
+def convert_blip_vit(sd: StateDict, cfg, prefix: str = "visual_encoder.") -> Dict[str, Any]:
+    t = _to(cfg.dtype)
+    L, D = cfg.num_layers, cfg.hidden_size
+
+    def st(template):
+        return t(_stack(sd, prefix + template, L, lambda w: w))
+
+    qkv_w = _stack(sd, prefix + "blocks.{i}.attn.qkv.weight", L, lambda w: w)  # [L,3D,D]
+    qkv_b = (
+        _stack(sd, prefix + "blocks.{i}.attn.qkv.bias", L, lambda w: w)
+        if prefix + "blocks.0.attn.qkv.bias" in sd
+        else np.zeros((L, 3 * D), np.float32)
+    )
+
+    def lin(w, b):
+        return {"w": t(w), "b": t(b)}
+
+    return {
+        "cls": t(_np(sd[prefix + "cls_token"])),
+        "pos": t(_np(sd[prefix + "pos_embed"])),
+        "patch": {
+            "w": t(_np(sd[prefix + "patch_embed.proj.weight"])),
+            "b": t(_np(sd[prefix + "patch_embed.proj.bias"])),
+        },
+        "layers": {
+            "ln1": {"scale": st("blocks.{i}.norm1.weight"), "bias": st("blocks.{i}.norm1.bias")},
+            "q": lin(qkv_w[:, :D], qkv_b[:, :D]),
+            "k": lin(qkv_w[:, D : 2 * D], qkv_b[:, D : 2 * D]),
+            "v": lin(qkv_w[:, 2 * D :], qkv_b[:, 2 * D :]),
+            "o": {"w": st("blocks.{i}.attn.proj.weight"), "b": st("blocks.{i}.attn.proj.bias")},
+            "ln2": {"scale": st("blocks.{i}.norm2.weight"), "bias": st("blocks.{i}.norm2.bias")},
+            "fc1": {"w": st("blocks.{i}.mlp.fc1.weight"), "b": st("blocks.{i}.mlp.fc1.bias")},
+            "fc2": {"w": st("blocks.{i}.mlp.fc2.weight"), "b": st("blocks.{i}.mlp.fc2.bias")},
+        },
+        "final_ln": {
+            "scale": t(_np(sd[prefix + "norm.weight"])),
+            "bias": t(_np(sd[prefix + "norm.bias"])),
+        },
+    }
+
+
+def convert_med(
+    sd: StateDict, cfg, prefix: str = "text_decoder.bert.",
+    head_prefix: str = "text_decoder.cls.",
+) -> Dict[str, Any]:
+    """HF-Bert-style MED state dict (also matches HF BertLMHeadModel with
+    prefix='bert.', head_prefix='cls.') → models/blip med params."""
+    t = _to(cfg.dtype)
+    L = cfg.num_layers
+
+    def st(template):
+        return t(_stack(sd, prefix + template, L, lambda w: w))
+
+    def lin(base):
+        return {"w": st(base + ".weight"), "b": st(base + ".bias")}
+
+    def lnorm(base):
+        return {"scale": st(base + ".weight"), "bias": st(base + ".bias")}
+
+    has_cross = prefix + "encoder.layer.0.crossattention.self.query.weight" in sd
+    layers = {
+        "sq": lin("encoder.layer.{i}.attention.self.query"),
+        "sk": lin("encoder.layer.{i}.attention.self.key"),
+        "sv": lin("encoder.layer.{i}.attention.self.value"),
+        "so": lin("encoder.layer.{i}.attention.output.dense"),
+        "s_ln": lnorm("encoder.layer.{i}.attention.output.LayerNorm"),
+        "fc1": lin("encoder.layer.{i}.intermediate.dense"),
+        "fc2": lin("encoder.layer.{i}.output.dense"),
+        "f_ln": lnorm("encoder.layer.{i}.output.LayerNorm"),
+    }
+    if has_cross:
+        layers.update(
+            cq=lin("encoder.layer.{i}.crossattention.self.query"),
+            ck=lin("encoder.layer.{i}.crossattention.self.key"),
+            cv=lin("encoder.layer.{i}.crossattention.self.value"),
+            co=lin("encoder.layer.{i}.crossattention.output.dense"),
+            c_ln=lnorm("encoder.layer.{i}.crossattention.output.LayerNorm"),
+        )
+    else:
+        D = cfg.hidden_size
+        zl = {"w": jnp.zeros((L, D, D), cfg.dtype), "b": jnp.zeros((L, D), cfg.dtype)}
+        layers.update(
+            cq=dict(zl), ck=dict(zl), cv=dict(zl), co=dict(zl),
+            c_ln={"scale": jnp.ones((L, D), cfg.dtype), "bias": jnp.zeros((L, D), cfg.dtype)},
+        )
+
+    head = {
+        "transform": {
+            "w": t(_np(sd[head_prefix + "predictions.transform.dense.weight"])),
+            "b": t(_np(sd[head_prefix + "predictions.transform.dense.bias"])),
+        },
+        "ln": {
+            "scale": t(_np(sd[head_prefix + "predictions.transform.LayerNorm.weight"])),
+            "bias": t(_np(sd[head_prefix + "predictions.transform.LayerNorm.bias"])),
+        },
+        "decoder": t(_np(sd[head_prefix + "predictions.decoder.weight"])),
+        "bias": t(_np(sd[head_prefix + "predictions.bias"])),
+    } if head_prefix + "predictions.transform.dense.weight" in sd else {
+        "transform": {"w": jnp.eye(cfg.hidden_size, dtype=cfg.dtype),
+                      "b": jnp.zeros((cfg.hidden_size,), cfg.dtype)},
+        "ln": {"scale": jnp.ones((cfg.hidden_size,), cfg.dtype),
+               "bias": jnp.zeros((cfg.hidden_size,), cfg.dtype)},
+        "decoder": jnp.zeros((cfg.vocab_size, cfg.hidden_size), cfg.dtype),
+        "bias": jnp.zeros((cfg.vocab_size,), cfg.dtype),
+    }
+
+    return {
+        "embeddings": {
+            "word": t(_np(sd[prefix + "embeddings.word_embeddings.weight"])),
+            "pos": t(_np(sd[prefix + "embeddings.position_embeddings.weight"])),
+            "type": t(_np(sd[prefix + "embeddings.token_type_embeddings.weight"])),
+            "ln": {
+                "scale": t(_np(sd[prefix + "embeddings.LayerNorm.weight"])),
+                "bias": t(_np(sd[prefix + "embeddings.LayerNorm.bias"])),
+            },
+        },
+        "layers": layers,
+        "head": head,
+    }
+
+
+def convert_blip(sd: StateDict, cfg) -> Dict[str, Any]:
+    """LAVIS BLIP checkpoint (blip_caption / blip_itm / feature extractor) →
+    models/blip params. Caption checkpoints carry text_decoder.*; ITM /
+    retrieval carry text_encoder.* + projections."""
+    text_prefix = (
+        "text_decoder.bert." if "text_decoder.bert.embeddings.word_embeddings.weight" in sd
+        else "text_encoder.bert." if "text_encoder.bert.embeddings.word_embeddings.weight" in sd
+        else "text_encoder."
+    )
+    head_prefix = "text_decoder.cls." if text_prefix.startswith("text_decoder") else "__none__."
+    t = _to(cfg.text.dtype)
+    params = {
+        "visual": convert_blip_vit(sd, cfg.vision),
+        "text": convert_med(sd, cfg.text, prefix=text_prefix, head_prefix=head_prefix),
+        "vision_proj": t(_np(sd["vision_proj.weight"])) if "vision_proj.weight" in sd
+        else jnp.zeros((cfg.embed_dim, cfg.vision.hidden_size), cfg.text.dtype),
+        "text_proj": t(_np(sd["text_proj.weight"])) if "text_proj.weight" in sd
+        else jnp.zeros((cfg.embed_dim, cfg.text.hidden_size), cfg.text.dtype),
+        "itm_head": {
+            "w": t(_np(sd["itm_head.weight"])),
+            "b": t(_np(sd["itm_head.bias"])),
+        } if "itm_head.weight" in sd else {
+            "w": jnp.zeros((2, cfg.text.hidden_size), cfg.text.dtype),
+            "b": jnp.zeros((2,), cfg.text.dtype),
+        },
+    }
+    return params
