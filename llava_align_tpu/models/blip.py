@@ -411,6 +411,8 @@ def generate_caption(
     """BLIP caption generation (reference blip_caption.py generate): ViT
     states cross-attended by the causal MED decoder. Greedy for num_beams=1;
     HF-exact beam search otherwise. Returns List[List[int]] (generated only)."""
+    if not prompt_ids:
+        raise ValueError("prompt_ids must contain at least the bos ([DEC]) token")
     enc = vit_forward(params["visual"], cfg.vision, pixels)
     B = enc.shape[0]
     P = len(prompt_ids)
