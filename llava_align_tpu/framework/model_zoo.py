@@ -1,0 +1,166 @@
+"""Registry-assembled model zoo.
+
+Capability parity: LAVIS registers every model class with
+`@registry.register_model(arch)` so tasks/configs assemble models by name
+(reference lavis/models/__init__.py + registry.py); this module does the
+same for every family this framework ships. Each entry is a thin factory
+carrying (params, cfg) plus the family's generate/encode entry points —
+`BaseTask.build_model({"arch": ...})` resolves them.
+
+`model_path=None` (or "random[:tiny]") builds a random-weight instance at
+tiny or preset dims — the offline smoke configuration used across tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+
+from llava_align_tpu.framework.registry import registry
+
+
+class _ZooModel:
+    arch: str = "base"
+
+    def __init__(self, params, cfg):
+        self.params = params
+        self.cfg = cfg
+
+
+@registry.register_model("llava")
+class LlavaModel(_ZooModel):
+    """LLaVA-v1.5 (reference llava_llama.py capability)."""
+
+    arch = "llava"
+
+    def __init__(self, model_path: Optional[str] = None, size: str = "tiny", **kw):
+        from llava_align_tpu.config import LlavaConfig
+        from llava_align_tpu.models import llava
+
+        if model_path and not model_path.startswith("random"):
+            from llava_align_tpu.utils.hf_convert import load_llava_checkpoint
+
+            params, cfg = load_llava_checkpoint(model_path)
+        else:
+            cfg = {
+                "tiny": LlavaConfig.tiny,
+                "7b": LlavaConfig.llava_v15_7b,
+                "13b": LlavaConfig.llava_v15_13b,
+            }[size]()
+            params = llava.init(jax.random.PRNGKey(0), cfg)
+        super().__init__(params, cfg)
+
+    def make_engine(self, gen, **kw):
+        from llava_align_tpu.decoding.engine import DecodeEngine
+
+        return DecodeEngine(self.params, self.cfg, gen, **kw)
+
+
+@registry.register_model("llava_mpt")
+class LlavaMptModel(_ZooModel):
+    arch = "llava_mpt"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        from llava_align_tpu.models import llava_mpt
+
+        cfg = llava_mpt.LlavaMptConfig.tiny()
+        params = llava_mpt.init(jax.random.PRNGKey(0), cfg)
+        super().__init__(params, cfg)
+
+    def make_engine(self, gen, **kw):
+        from llava_align_tpu.decoding.adapters import LlavaMptAdapter
+        from llava_align_tpu.decoding.engine import DecodeEngine
+
+        return DecodeEngine(self.params, self.cfg, gen, adapter=LlavaMptAdapter(self.cfg), **kw)
+
+
+@registry.register_model("qwen_vl")
+class QwenVLModel(_ZooModel):
+    arch = "qwen_vl"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        from llava_align_tpu.models import qwen_vl
+
+        if model_path and not model_path.startswith("random"):
+            from llava_align_tpu.utils.hf_convert import load_qwen_vl_checkpoint
+
+            params, cfg = load_qwen_vl_checkpoint(model_path)
+        else:
+            cfg = qwen_vl.QwenVLConfig.tiny()
+            params = qwen_vl.init(jax.random.PRNGKey(0), cfg)
+        super().__init__(params, cfg)
+
+    def make_engine(self, gen, **kw):
+        from llava_align_tpu.decoding.adapters import QwenVLAdapter
+        from llava_align_tpu.decoding.engine import DecodeEngine
+
+        return DecodeEngine(self.params, self.cfg, gen, adapter=QwenVLAdapter(self.cfg), **kw)
+
+
+@registry.register_model("blip2_vicuna_instruct")
+class InstructBlipModel(_ZooModel):
+    arch = "blip2_vicuna_instruct"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        from llava_align_tpu.models import instructblip
+
+        if model_path and not model_path.startswith("random"):
+            from llava_align_tpu.utils.hf_convert import (
+                convert_instructblip,
+                load_state_dict,
+            )
+
+            cfg = instructblip.InstructBlipConfig.vicuna7b()
+            params = convert_instructblip(load_state_dict(model_path), cfg)
+        else:
+            cfg = instructblip.InstructBlipConfig.tiny()
+            params = instructblip.init(jax.random.PRNGKey(0), cfg)
+        super().__init__(params, cfg)
+
+    def make_engine(self, gen, **kw):
+        from llava_align_tpu.decoding.adapters import InstructBlipAdapter
+        from llava_align_tpu.decoding.engine import DecodeEngine
+
+        return DecodeEngine(self.params, self.cfg, gen, adapter=InstructBlipAdapter(self.cfg), **kw)
+
+
+def _blip_factory(arch_name):
+    @registry.register_model(arch_name)
+    class BlipModel(_ZooModel):
+        arch = arch_name
+
+        def __init__(self, model_path: Optional[str] = None, **kw):
+            from llava_align_tpu.models import blip as blip_mod
+
+            if model_path and not model_path.startswith("random"):
+                from llava_align_tpu.utils.hf_convert import convert_blip, load_state_dict
+
+                cfg = blip_mod.BlipConfig()
+                params = convert_blip(load_state_dict(model_path), cfg)
+            else:
+                cfg = blip_mod.BlipConfig.tiny()
+                params = blip_mod.init(jax.random.PRNGKey(0), cfg)
+            super().__init__(params, cfg)
+
+        def generate(self, pixels, prompt_ids, **kw):
+            from llava_align_tpu.models import blip as blip_mod
+
+            return blip_mod.generate_caption(self.params, self.cfg, pixels, prompt_ids, **kw)
+
+        def itm(self, pixels, text_ids, text_mask):
+            from llava_align_tpu.models import blip as blip_mod
+
+            return blip_mod.itm_score(self.params, self.cfg, pixels, text_ids, text_mask)
+
+        def extract_features(self, **kw):
+            from llava_align_tpu.models import blip as blip_mod
+
+            return blip_mod.extract_features(self.params, self.cfg, **kw)
+
+    BlipModel.__name__ = f"BlipModel_{arch_name}"
+    return BlipModel
+
+
+for _arch in ("blip_caption", "blip_image_text_matching", "blip_feature_extractor"):
+    _blip_factory(_arch)

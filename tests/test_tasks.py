@@ -91,3 +91,30 @@ def test_classification_task(tmp_path):
 def test_new_tasks_registered():
     for name in ("captioning", "vqa", "multimodal_classification"):
         assert registry.get_task_class(name) is not None
+
+
+def test_model_zoo_registry_assembly():
+    """Every shipped family assembles by arch name through the registry
+    (LAVIS lavis/models/__init__ capability)."""
+    from llava_align_tpu.framework.tasks import BaseTask
+    import llava_align_tpu.framework  # registers models  # noqa: F401
+
+    task = BaseTask()
+    for arch in ("llava", "llava_mpt", "qwen_vl", "blip2_vicuna_instruct",
+                 "blip_caption", "blip_image_text_matching",
+                 "blip_feature_extractor"):
+        m = task.build_model({"arch": arch})
+        assert m.params is not None and m.cfg is not None, arch
+
+
+def test_zoo_blip_caption_generates():
+    import numpy as np
+    import jax.numpy as jnp
+    from llava_align_tpu.framework.registry import registry
+    import llava_align_tpu.framework  # noqa: F401
+
+    cls = registry.get_model_class("blip_caption")
+    m = cls()
+    px = jnp.asarray(np.random.default_rng(0).normal(size=(1, 3, 32, 32)), jnp.float32)
+    caps = m.generate(px, [2, 9], max_new_tokens=3, eos_token_id=5)
+    assert len(caps) == 1
