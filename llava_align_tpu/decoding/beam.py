@@ -43,14 +43,18 @@ def make_beam_fn(
     eos_token_id: int,
     pad_token_id: int,
     length_penalty: float = 1.0,
+    min_new_tokens: int = 0,
     attn_impl: str = "auto",
     cache_len: int = 0,
 ):
     """Returns jit-able fn(params, cache_1row, first_logits, lengths_1) →
-    (best_seq [T], best_len). The caller prefil ls ONE row; the fn tiles it."""
+    (best_seq [T], best_len). The caller prefills ONE row; the fn tiles it.
+    min_new_tokens masks eos until that many tokens are generated (HF
+    MinNewTokensLengthLogitsProcessor; LAVIS captioning's min_length)."""
     K = num_beams
     T = max_new_tokens
     lp = length_penalty
+    min_new = min_new_tokens
 
     def beam_fn(params, cache1, first_logits, length1):
         # tile the single prefilled row to K beam rows
@@ -81,6 +85,11 @@ def make_beam_fn(
             n = c["n"]
             gen_len = (n + 1).astype(jnp.float32)
             logprobs = jax.nn.log_softmax(c["logits"].astype(jnp.float32), axis=-1)
+            if min_new > 0:
+                eos_col = jnp.arange(V) == eos_token_id
+                logprobs = jnp.where(
+                    (n < min_new) & eos_col[None, :], NEG, logprobs
+                )
             total = c["scores"][:, None] + logprobs  # [K, V]
             vals, idx = jax.lax.top_k(total.reshape(-1), 2 * K)
             tok = (idx % V).astype(jnp.int32)

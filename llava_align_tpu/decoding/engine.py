@@ -140,6 +140,23 @@ class DecodeEngine:
                 self._model_size > 1
                 and self.adapter.num_kv_heads % self._model_size == 0
             )
+            if self._model_size > 1 and any(
+                isinstance(v, dict) and "q" in v and "s" in v
+                for v in jax.tree_util.tree_leaves(
+                    params, is_leaf=lambda x: isinstance(x, dict) and "q" in x and "s" in x
+                )
+            ):
+                # the int8 weight-streaming Pallas kernel is an opaque custom
+                # call GSPMD cannot partition — sharding its operands would
+                # force a per-step all-gather of the whole stack. int8 stacks
+                # therefore stay REPLICATED under TP: correct, but no memory
+                # scaling. Use bf16 params when TP memory scaling is the goal.
+                logger.warning(
+                    "int8-quantized stacks are replicated across the %d-way "
+                    "'model' axis (Pallas kernel is not partitionable); TP "
+                    "shards only the bf16 tensors. For TP memory scaling use "
+                    "bf16 params.", self._model_size,
+                )
         else:
             self.params = params
 
@@ -630,15 +647,28 @@ class DecodeEngine:
                     img_arrs[5][qi * n_img_k + i] = Q + qi  # noised copies appended
 
         H = self.adapter.image_size
-        all_u8 = all(
-            image is None or np.asarray(image).dtype == np.uint8
-            for _, image in batch
+        imgs_np = [
+            np.asarray(image) if image is not None else None for _, image in batch
+        ]
+        # ship raw uint8 only when every slot is genuinely uint8: a mixed
+        # batch (or a cd run with a missing image, whose zero placeholder
+        # must stay a normalized-space zero like the single-question path)
+        # falls back to one float array with uint8 entries normalized here
+        use_u8 = (
+            any(i is not None for i in imgs_np)
+            and all(i is None or i.dtype == np.uint8 for i in imgs_np)
+            and not (self.gen.use_cd and any(i is None for i in imgs_np))
         )
-        img_dtype = np.uint8 if all_u8 else np.float32
+        img_dtype = np.uint8 if use_u8 else np.float32
         images = np.zeros((Q, 3, H, H), img_dtype)
-        for qi, (_, image) in enumerate(batch):
-            if image is not None:
-                images[qi] = np.asarray(image, img_dtype)
+        for qi, im in enumerate(imgs_np):
+            if im is None:
+                continue
+            if im.dtype == np.uint8 and not use_u8:
+                from llava_align_tpu.ops.image import normalize_host
+
+                im = normalize_host(im)
+            images[qi] = im.astype(img_dtype)
 
         if n_txt_k:
             txt_arrs = assemble(txt_packs, n_txt_k, pad_txt)
@@ -681,8 +711,9 @@ class DecodeEngine:
     # ------------------------------------------------------------------
 
     def _get_beam_fn(self, pad: int, num_beams: int, precomputed_feats: bool,
-                     length_penalty: float):
-        key = ("beam", pad, num_beams, precomputed_feats, length_penalty)
+                     length_penalty: float, min_new_tokens: int):
+        key = ("beam", pad, num_beams, precomputed_feats, length_penalty,
+               min_new_tokens)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -694,8 +725,8 @@ class DecodeEngine:
         beam_core = make_beam_fn(
             adapter, num_beams=num_beams, max_new_tokens=T,
             eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
-            length_penalty=length_penalty, attn_impl=self.attn_impl,
-            cache_len=cache_len,
+            length_penalty=length_penalty, min_new_tokens=min_new_tokens,
+            attn_impl=self.attn_impl, cache_len=cache_len,
         )
         attn_impl = self.attn_impl
 
@@ -736,6 +767,7 @@ class DecodeEngine:
         *,
         num_beams: int = 5,
         length_penalty: float = 1.0,
+        min_new_tokens: int = 0,
         precomputed_feats: Optional[np.ndarray] = None,
     ) -> GenerationOutput:
         """HF-semantics beam search (do_sample=False, early_stopping=False):
@@ -773,7 +805,10 @@ class DecodeEngine:
         else:
             H = self.adapter.image_size
             images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
-        fn = self._get_beam_fn(pad, num_beams, precomputed_feats is not None, length_penalty)
+        fn = self._get_beam_fn(
+            pad, num_beams, precomputed_feats is not None, length_penalty,
+            min_new_tokens,
+        )
         seq, n, score = fn(self.params, self._put(pack), self._put(images))
         n = int(n)
         return GenerationOutput(

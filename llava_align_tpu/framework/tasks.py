@@ -140,9 +140,11 @@ class CaptionTask(BaseTask):
         )
         ids = sample["image_id"]
         if not isinstance(ids, (list, tuple)):
-            ids, captions = [ids], [captions]
+            ids = [ids]
+            if not isinstance(captions, (list, tuple)):
+                captions = [captions]
         return [
-            {"caption": c, "image_id": int(i)} for c, i in zip(captions, ids)
+            {"caption": c, "image_id": _coerce_id(i)} for c, i in zip(captions, ids)
         ]
 
     def after_evaluation(self, results, split_name="val", epoch=0, **kwargs):
@@ -155,25 +157,100 @@ class CaptionTask(BaseTask):
         return {"agg_metrics": 0.0, "n": len(results)}
 
 
-_VQA_PUNCT = re.compile(r"[;/\[\]\"{}()=+\\_\-><@`,?!]")
+def _coerce_id(i):
+    """COCO-style integer ids when possible; string ids pass through
+    (POPE/MME image names are not integers)."""
+    try:
+        return int(i)
+    except (TypeError, ValueError):
+        return i
+
+
+# VQAv2 evaluation spec data (reference lavis/common/vqa_tools/vqa_eval.py:
+# punct/periodStrip/commaStrip/manualMap/articles/contractions tables — the
+# official VQA eval constants, reproduced by spec like the prompt templates).
+_VQA_PUNCT = [
+    ";", r"/", "[", "]", '"', "{", "}", "(", ")", "=", "+", "\\", "_", "-",
+    ">", "<", "@", "`", ",", "?", "!",
+]
+_VQA_PERIOD = re.compile(r"(?!<=\d)(\.)(?!\d)")
+_VQA_COMMA = re.compile(r"(\d)(,)(\d)")
+_VQA_MANUAL = {
+    "none": "0", "zero": "0", "one": "1", "two": "2", "three": "3",
+    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8",
+    "nine": "9", "ten": "10",
+}
+_VQA_ARTICLES = ("a", "an", "the")
+_VQA_CONTRACTIONS = {
+    "'ow'sat": "'ow's'at", "'ows'at": "'ow's'at", "I'dve": "I'd've",
+    "Id've": "I'd've", 'Im': "I'm", 'Ive': "I've", 'aint': "ain't",
+    'arent': "aren't", 'cant': "can't", "couldn'tve": "couldn't've",
+    'couldnt': "couldn't", "couldnt've": "couldn't've",
+    'couldve': "could've", 'didnt': "didn't", 'doesnt': "doesn't",
+    'dont': "don't", "hadn'tve": "hadn't've", 'hadnt': "hadn't",
+    "hadnt've": "hadn't've", 'hasnt': "hasn't", 'havent': "haven't",
+    "he'dve": "he'd've", 'hed': "he'd", "hed've": "he'd've", 'hes': "he's",
+    'howd': "how'd", 'howll': "how'll", 'hows': "how's", 'isnt': "isn't",
+    "it'dve": "it'd've", 'itd': "it'd", "itd've": "it'd've", 'itll': "it'll",
+    "let's": "let's", 'maam': "ma'am", "mightn'tve": "mightn't've",
+    'mightnt': "mightn't", "mightnt've": "mightn't've",
+    'mightve': "might've", 'mustnt': "mustn't", 'mustve': "must've",
+    'neednt': "needn't", 'notve': "not've", 'oclock': "o'clock",
+    'oughtnt': "oughtn't", "ow's'at": "'ow's'at", 'shant': "shan't",
+    "she'dve": "she'd've", "she's": "she's", "shed've": "she'd've",
+    "shouldn'tve": "shouldn't've", 'shouldnt': "shouldn't",
+    "shouldnt've": "shouldn't've", 'shouldve': "should've",
+    "somebody'd": 'somebodyd', "somebody'dve": "somebody'd've",
+    "somebodyd've": "somebody'd've", 'somebodyll': "somebody'll",
+    'somebodys': "somebody's", "someone'dve": "someone'd've",
+    'someoned': "someone'd", "someoned've": "someone'd've",
+    'someonell': "someone'll", 'someones': "someone's",
+    "something'dve": "something'd've", 'somethingd': "something'd",
+    "somethingd've": "something'd've", 'somethingll': "something'll",
+    'thats': "that's", "there'dve": "there'd've", 'thered': "there'd",
+    "thered've": "there'd've", 'therere': "there're", 'theres': "there's",
+    "they'dve": "they'd've", 'theyd': "they'd", "theyd've": "they'd've",
+    'theyll': "they'll", 'theyre': "they're", 'theyve': "they've",
+    'twas': "'twas", 'wasnt': "wasn't", "we'dve": "we'd've",
+    "wed've": "we'd've", 'werent': "weren't", 'weve': "we've",
+    'whatll': "what'll", 'whatre': "what're", 'whats': "what's",
+    'whatve': "what've", 'whens': "when's", 'whered': "where'd",
+    'wheres': "where's", 'whereve': "where've", "who'dve": "who'd've",
+    'whod': "who'd", "whod've": "who'd've", 'wholl': "who'll",
+    'whos': "who's", 'whove': "who've", 'whyll': "why'll", 'whyre': "why're",
+    'whys': "why's", 'wont': "won't", "wouldn'tve": "wouldn't've",
+    'wouldnt': "wouldn't", "wouldnt've": "wouldn't've",
+    'wouldve': "would've", "y'all'dve": "y'all'd've",
+    "y'alld've": "y'all'd've", "y'allll": "y'all'll", 'yall': "y'all",
+    "yall'd've": "y'all'd've", "yall'll": "y'all'll", "you'dve": "you'd've",
+    'youd': "you'd", "youd've": "you'd've", 'youll': "you'll",
+    'youre': "you're", 'youve': "you've",
+}
+
+
+def _vqa_process_punct(text: str) -> str:
+    """reference vqa_eval.processPunctuation (:249-259)."""
+    out = text
+    for p in _VQA_PUNCT:
+        if (p + " " in text or " " + p in text) or _VQA_COMMA.search(text):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    return _VQA_PERIOD.sub("", out)
 
 
 def vqa_normalize(ans: str) -> str:
-    """VQAv2 answer normalization (reference common/vqa_tools/vqa_eval.py):
-    lowercase, strip punctuation/articles, digit words → digits."""
+    """VQAv2 answer normalization (reference vqa_eval.py processPunctuation +
+    processDigitArticle): punctuation rules incl. decimal-preserving period
+    strip, digit words → digits, article removal, contraction canonicalization."""
     ans = ans.replace("\n", " ").replace("\t", " ").strip().lower()
-    ans = _VQA_PUNCT.sub("", ans)
-    ans = ans.replace(".", "")
-    digits = {
-        "none": "0", "zero": "0", "one": "1", "two": "2", "three": "3",
-        "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8",
-        "nine": "9", "ten": "10",
-    }
+    ans = _vqa_process_punct(ans)
     words = []
     for w in ans.split():
-        w = digits.get(w, w)
-        if w not in ("a", "an", "the"):
+        w = _VQA_MANUAL.get(w, w)
+        if w not in _VQA_ARTICLES:
             words.append(w)
+    words = [_VQA_CONTRACTIONS.get(w, w) for w in words]
     return " ".join(words)
 
 

@@ -407,6 +407,7 @@ def generate_caption(
     eos_token_id: int = 102,      # bert [SEP]
     num_beams: int = 1,
     length_penalty: float = 1.0,
+    min_new_tokens: int = 0,
 ):
     """BLIP caption generation (reference blip_caption.py generate): ViT
     states cross-attended by the causal MED decoder. Greedy for num_beams=1;
@@ -418,12 +419,12 @@ def generate_caption(
     P = len(prompt_ids)
     T = P + max_new_tokens
     cross = precompute_cross_kv(params["text"], cfg.text, enc)
-    cache = init_self_cache(cfg.text, B if num_beams == 1 else 1, T)
-    step = jax.jit(
-        lambda p, tok, t, c, x: decode_step(p, cfg.text, tok, t, c, x)
-    )
 
     if num_beams == 1:
+        cache = init_self_cache(cfg.text, B, T)
+        step = jax.jit(
+            lambda p, tok, t, c, x: decode_step(p, cfg.text, tok, t, c, x)
+        )
         token = np.full((B,), prompt_ids[0], np.int32)
         done = np.zeros((B,), bool)
         rows = []
@@ -435,7 +436,10 @@ def generate_caption(
             if t + 1 < P:
                 nxt = np.full((B,), prompt_ids[t + 1], np.int32)
             else:
-                nxt = np.asarray(logits.argmax(-1)).astype(np.int32)
+                lg = np.asarray(logits)
+                if len(rows) < min_new_tokens:
+                    lg[:, eos_token_id] = -1e30  # LAVIS min_length capability
+                nxt = lg.argmax(-1).astype(np.int32)
                 nxt = np.where(done, eos_token_id, nxt)
                 rows.append(nxt)
                 done |= nxt == eos_token_id
@@ -475,6 +479,15 @@ def generate_caption(
         def logits(p, hidden):
             return hidden  # forward already returned logits
 
+    beam_fn = jax.jit(make_beam_fn(
+        _MedAdapter(), num_beams=num_beams, max_new_tokens=max_new_tokens,
+        eos_token_id=eos_token_id, pad_token_id=0,
+        length_penalty=length_penalty, min_new_tokens=min_new_tokens,
+        attn_impl="xla", cache_len=T,
+    ))
+    prefill_step = jax.jit(
+        lambda p, tok, t, c, x: decode_step(p, cfg.text, tok, t, c, x)
+    )
     out = []
     for b in range(B):
         cross_b = jax.tree_util.tree_map(lambda x: x[:, b : b + 1], cross)
@@ -483,19 +496,13 @@ def generate_caption(
         lens = jnp.asarray([P], jnp.int32)
         logits = None
         for t in range(P):
-            logits, cache1 = decode_step(
-                params["text"], cfg.text,
-                jnp.asarray([prompt_ids[t]], jnp.int32),
+            logits, cache1 = prefill_step(
+                params["text"], jnp.asarray([prompt_ids[t]], jnp.int32),
                 jnp.asarray(t, jnp.int32), cache1, cross_b,
             )
-        beam_fn = make_beam_fn(
-            _MedAdapter(), num_beams=num_beams, max_new_tokens=max_new_tokens,
-            eos_token_id=eos_token_id, pad_token_id=0,
-            length_penalty=length_penalty, attn_impl="xla", cache_len=T,
-        )
         pw = {"text": params["text"],
               "cross": jax.tree_util.tree_map(lambda x: jnp.repeat(x, num_beams, axis=1), cross_b)}
-        seq, n, _ = jax.jit(beam_fn)(pw, cache1, logits, lens)
+        seq, n, _ = beam_fn(pw, cache1, logits, lens)
         row = [int(x) for x in np.asarray(seq)[: int(n)]]
         out.append([t for t in row if t != eos_token_id])
     return out

@@ -124,6 +124,15 @@ def clip_resize_pil_uint8(
     return np.asarray(img, dtype=np.uint8).transpose(2, 0, 1)
 
 
+def normalize_host(u8: np.ndarray) -> np.ndarray:
+    """Host-side counterpart of normalize_device for uint8 CHW pixels
+    (mixed-dtype batches fall back to one float array)."""
+    x = u8.astype(np.float32) / 255.0
+    m = np.asarray(OPENAI_CLIP_MEAN, np.float32).reshape(3, 1, 1)
+    s = np.asarray(OPENAI_CLIP_STD, np.float32).reshape(3, 1, 1)
+    return (x - m) / s
+
+
 def normalize_device(
     images: jax.Array,
     dtype,

@@ -130,7 +130,9 @@ def int8_matmul_tpu(
     O = q.shape[0]
     Bp = _round_up(B, 16)
     blocks = _choose_blocks(O, D, Bp)
-    if blocks is None or B > _DECODE_MAX_B:
+    if blocks is None:
+        # no viable VMEM block config (odd dims or huge B working set);
+        # numerically identical XLA fallback
         return int8_matmul_xla(h, q, s)
     bO, bD = blocks
     if Bp != B:
@@ -195,7 +197,12 @@ def int8_matmul_stacked(
     B, D = h.shape
     L, O = q.shape[0], q.shape[1]
     Bp = _round_up(B, 16)
-    bO, bD = _choose_blocks(O, D, Bp)
+    blocks = _choose_blocks(O, D, Bp)
+    if blocks is None:
+        qi = jax.lax.dynamic_index_in_dim(q, layer_idx, 0, keepdims=False)
+        si = jax.lax.dynamic_index_in_dim(s, layer_idx, 0, keepdims=False)
+        return int8_matmul_xla(h, qi, si)
+    bO, bD = blocks
     if Bp != B:
         h = jnp.pad(h, ((0, Bp - B), (0, 0)))
     s3 = s.reshape(L, 1, O).astype(jnp.float32)

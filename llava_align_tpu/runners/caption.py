@@ -57,7 +57,9 @@ def run(args) -> str:
         ids = [IMAGE_TOKEN_INDEX] + list(llm_tok(prompt).input_ids)
         out = engine.generate_beam(
             ids, num_beams=kw.get("num_beams", args.num_beams),
-            length_penalty=args.length_penalty, precomputed_feats=feats,
+            length_penalty=args.length_penalty,
+            min_new_tokens=kw.get("min_length", args.min_len),
+            precomputed_feats=feats,
         )
         return [llm_tok.decode(out.token_ids, skip_special_tokens=True).strip()]
 
@@ -74,7 +76,9 @@ def run(args) -> str:
     # image path — pass the full sample through
     def wrapped_valid(params_, sample):
         caps = generate_fn(params_, sample)
-        return [{"caption": caps[0], "image_id": int(sample["image_id"][0])}]
+        from llava_align_tpu.framework.tasks import _coerce_id
+
+        return [{"caption": caps[0], "image_id": _coerce_id(sample["image_id"][0])}]
 
     task.valid_step = wrapped_valid
     results = task.evaluation(params, samples, log_freq=args.log_freq)

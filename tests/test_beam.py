@@ -142,3 +142,24 @@ def test_beam_rejects_contrastive_branches(models):
     )
     with pytest.raises(ValueError):
         eng.generate_beam([1, 5, 6], num_beams=2)
+
+
+def test_beam_min_new_tokens_matches_hf(models):
+    """min_new_tokens masks eos (LAVIS captioning min_length capability;
+    HF MinNewTokensLengthLogitsProcessor semantics)."""
+    hf, cfg, params = models
+    rng = np.random.default_rng(11)
+    ids = [1] + rng.integers(3, VOCAB, size=4).tolist()
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=torch.tensor([ids]), num_beams=3, max_new_tokens=8,
+            do_sample=False, early_stopping=False, min_new_tokens=5,
+        )
+    row = out[0, len(ids):].tolist()
+    want = row[: row.index(EOS)] if EOS in row else row
+
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False, eos_token_id=EOS, pad_token_id=0)
+    eng = DecodeEngine(params, cfg, gen, adapter=_TextAdapter(cfg), attn_impl="xla", bucket=8)
+    got = [t for t in eng.generate_beam(ids, num_beams=3, min_new_tokens=5).token_ids if t != EOS]
+    assert got == want, (got, want)
+    assert len(got) >= 5

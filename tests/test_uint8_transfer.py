@@ -77,3 +77,41 @@ def test_engine_uint8_equals_float(rng_seed=0):
     ba = eng.generate_batch([(ids, u8), (ids, u8)])
     bb = eng.generate_batch([(ids, fl), (ids, fl)])
     assert ba[0].token_ids == bb[0].token_ids
+
+
+def test_mixed_dtype_batch_normalizes_uint8_entries():
+    """A batch mixing uint8 and float images must normalize the uint8 ones
+    host-side (all-or-nothing uint8 shipping would otherwise feed raw 0-255
+    pixels to the ViT)."""
+    params = llava.init(jax.random.PRNGKey(0), CFG)
+    H = CFG.vision.image_size
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (3, H, H), dtype=np.uint8)
+    fl_other = rng.normal(size=(3, H, H)).astype(np.float32)
+    ids = [1, 40, 50, IMAGE_TOKEN_INDEX, 60, 70]
+    gen = GenerationConfig(max_new_tokens=3, do_sample=False, eos_token_id=EOS)
+    eng = DecodeEngine(params, CFG, gen, attn_impl="xla", bucket=8)
+
+    ref = eng.generate_batch([(ids, _norm(u8)), (ids, fl_other)])
+    mixed = eng.generate_batch([(ids, u8), (ids, fl_other)])
+    for m, r in zip(mixed, ref):
+        assert m.token_ids == r.token_ids
+
+
+def test_cd_batch_with_missing_image_matches_single():
+    """use_cd + an imageless question: the batch placeholder must match the
+    single-question float-zero placeholder (normalized-space zeros)."""
+    params = llava.init(jax.random.PRNGKey(0), CFG)
+    H = CFG.vision.image_size
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 256, (3, H, H), dtype=np.uint8)
+    ids_img = [1, 40, 50, IMAGE_TOKEN_INDEX, 60, 70]
+    ids_txt = [1, 7, 9, 11]
+    gen = GenerationConfig(
+        max_new_tokens=3, do_sample=False, eos_token_id=EOS,
+        use_cd=True, noise_step=17,
+    )
+    eng = DecodeEngine(params, CFG, gen, attn_impl="xla", bucket=8)
+    outs = eng.generate_batch([(ids_img, u8), (ids_txt, None)])
+    single_txt = eng.generate(ids_txt, None)
+    assert outs[1].token_ids == single_txt.token_ids
