@@ -359,3 +359,58 @@ class PopeTask(BaseTask):
         m["agg_metrics"] = m["f1"]
         logging.info("POPE eval: %s", m)
         return m
+
+
+@registry.register_task("retrieval")
+class RetrievalTask(BaseTask):
+    """Image-text retrieval recall@{1,5,10} (reference lavis/tasks/
+    retrieval.py:33-100): the model supplies similarity matrices
+    (`sim_fn(params, loader) -> (scores_i2t, scores_t2i)`; BLIP's ITC
+    features + optional ITM re-ranking), the task computes both directions'
+    recalls with multi-caption ground truth (img2txt lists)."""
+
+    def __init__(self, sim_fn: Optional[Callable] = None, result_dir: str = "results", **kw):
+        super().__init__(**kw)
+        self.sim_fn = sim_fn
+        self.result_dir = result_dir
+
+    def evaluation(self, params, loader, **kw):
+        scores_i2t, scores_t2i = self.sim_fn(params, loader)
+        return {"scores_i2t": scores_i2t, "scores_t2i": scores_t2i}
+
+    @staticmethod
+    def report_metrics(scores_i2t, scores_t2i, txt2img, img2txt) -> Dict[str, float]:
+        import numpy as np
+
+        scores_i2t = np.asarray(scores_i2t)
+        scores_t2i = np.asarray(scores_t2i)
+        # images → text: best rank over the image's caption set
+        ranks = np.zeros(scores_i2t.shape[0])
+        for index, score in enumerate(scores_i2t):
+            inds = np.argsort(score)[::-1]
+            ranks[index] = min(np.where(inds == i)[0][0] for i in img2txt[index])
+        tr1, tr5, tr10 = (
+            100.0 * float(np.mean(ranks < k)) for k in (1, 5, 10)
+        )
+        # text → images
+        ranks = np.zeros(scores_t2i.shape[0])
+        for index, score in enumerate(scores_t2i):
+            inds = np.argsort(score)[::-1]
+            ranks[index] = np.where(inds == txt2img[index])[0][0]
+        ir1, ir5, ir10 = (
+            100.0 * float(np.mean(ranks < k)) for k in (1, 5, 10)
+        )
+        tr_mean = (tr1 + tr5 + tr10) / 3
+        ir_mean = (ir1 + ir5 + ir10) / 3
+        return {
+            "txt_r1": tr1, "txt_r5": tr5, "txt_r10": tr10, "txt_r_mean": tr_mean,
+            "img_r1": ir1, "img_r5": ir5, "img_r10": ir10, "img_r_mean": ir_mean,
+            "r_mean": (tr_mean + ir_mean) / 2, "agg_metrics": tr_mean,
+        }
+
+    def after_evaluation(self, results, *, txt2img, img2txt, **kw) -> Dict[str, float]:
+        m = self.report_metrics(
+            results["scores_i2t"], results["scores_t2i"], txt2img, img2txt
+        )
+        logging.info("retrieval: %s", m)
+        return m

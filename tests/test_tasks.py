@@ -118,3 +118,61 @@ def test_zoo_blip_caption_generates():
     px = jnp.asarray(np.random.default_rng(0).normal(size=(1, 3, 32, 32)), jnp.float32)
     caps = m.generate(px, [2, 9], max_new_tokens=3, eos_token_id=5)
     assert len(caps) == 1
+
+
+def test_retrieval_task_recalls():
+    """Recall math matches the reference retrieval.py:54-100 formulation on a
+    hand-checkable case (BLIP ITC features drive sim_fn in practice)."""
+    import numpy as np
+    from llava_align_tpu.framework.tasks import RetrievalTask
+
+    # 3 images, 6 texts (2 captions per image); block-diagonal similarity
+    sims = np.full((3, 6), -1.0)
+    for i in range(3):
+        sims[i, 2 * i] = 2.0      # best caption
+        sims[i, 2 * i + 1] = 1.0
+    sims[0, 2] = 3.0              # image 0 prefers a WRONG caption → rank 1
+    t2i = sims.T
+    img2txt = {i: [2 * i, 2 * i + 1] for i in range(3)}
+    txt2img = {t: t // 2 for t in range(6)}
+
+    task = RetrievalTask(sim_fn=lambda p, l: (sims, t2i))
+    res = task.evaluation(None, None)
+    m = task.after_evaluation(res, txt2img=txt2img, img2txt=img2txt)
+    # i2t: images 1,2 rank 0; image 0 best own-caption rank 1 → r1 = 2/3
+    assert abs(m["txt_r1"] - 100.0 * 2 / 3) < 1e-6
+    assert m["txt_r5"] == 100.0
+    # t2i: text 2 now also ranks image 0 first -> its own image ranks 1
+    assert m["img_r1"] < 100.0 and m["img_r10"] == 100.0
+    assert "r_mean" in m
+
+
+def test_blip_itc_features_drive_retrieval():
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from llava_align_tpu.models import blip
+    from llava_align_tpu.models.blip import BlipConfig
+    from llava_align_tpu.framework.tasks import RetrievalTask
+
+    cfg = BlipConfig.tiny(vocab_size=64)
+    params = blip.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    ids = rng.integers(1, 64, (4, 5))
+    mask = np.ones((4, 5), np.int32)
+
+    def sim_fn(p, loader):
+        f = blip.extract_features(
+            p, cfg, pixels=jnp.asarray(px), text_ids=jnp.asarray(ids),
+            text_mask=jnp.asarray(mask),
+        )
+        s = np.asarray(f["image_features"]) @ np.asarray(f["text_features"]).T
+        return s, s.T
+
+    task = RetrievalTask(sim_fn=sim_fn)
+    res = task.evaluation(params, None)
+    m = task.after_evaluation(
+        res, txt2img={t: t // 2 for t in range(4)},
+        img2txt={i: [2 * i, 2 * i + 1] for i in range(2)},
+    )
+    assert m["txt_r5"] == 100.0  # only 4 candidates
