@@ -544,3 +544,52 @@ def extract_features(
         out["text_embeds"] = h
         out["text_features"] = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
     return out
+
+
+def compute_sim_matrix(
+    params: Params, cfg: BlipConfig,
+    pixels: jax.Array,          # [Ni, 3, H, W]
+    text_ids: jax.Array,        # [Nt, S]
+    text_mask: jax.Array,       # [Nt, S]
+    *,
+    k_test: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(scores_i2t [Ni,Nt], scores_t2i [Nt,Ni]) for RetrievalTask.
+
+    Reference blip_retrieval compute_sim_matrix: ITC feature similarity,
+    optionally re-ranked by running the ITM head on the top-k_test pairs
+    per row (ITM logit[1] added to the ITC score)."""
+    feats = extract_features(
+        params, cfg, pixels=pixels, text_ids=text_ids, text_mask=text_mask
+    )
+    sims = np.asarray(feats["image_features"]) @ np.asarray(feats["text_features"]).T
+    if k_test <= 0:
+        return sims, sims.T
+
+    Ni, Nt = sims.shape
+    k = min(k_test, Nt)
+    i2t = np.full_like(sims, -100.0)
+    for i in range(Ni):
+        topk = np.argsort(sims[i])[::-1][:k]
+        itm = np.asarray(
+            itm_score(
+                params, cfg,
+                jnp.repeat(pixels[i : i + 1], len(topk), axis=0),
+                jnp.asarray(np.asarray(text_ids)[topk]),
+                jnp.asarray(np.asarray(text_mask)[topk]),
+            )
+        )[:, 1]
+        i2t[i, topk] = sims[i, topk] + itm
+    kt = min(k_test, Ni)
+    t2i = np.full_like(sims.T, -100.0)
+    for t in range(Nt):
+        topk = np.argsort(sims[:, t])[::-1][:kt]
+        itm = np.asarray(
+            itm_score(
+                params, cfg, jnp.asarray(np.asarray(pixels)[topk]),
+                jnp.repeat(jnp.asarray(np.asarray(text_ids)[t : t + 1]), len(topk), axis=0),
+                jnp.repeat(jnp.asarray(np.asarray(text_mask)[t : t + 1]), len(topk), axis=0),
+            )
+        )[:, 1]
+        t2i[t, topk] = sims[topk, t] + itm
+    return i2t, t2i

@@ -258,3 +258,18 @@ def test_itm_and_features_shapes(blip_setup):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(feats["text_features"]), axis=-1), 1.0, atol=1e-5
     )
+
+
+def test_compute_sim_matrix_itm_rerank(blip_setup):
+    _, cfg, params = blip_setup
+    rng = np.random.default_rng(9)
+    px = rng.normal(size=(2, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+    ids = rng.integers(1, V, (3, 5))
+    mask = np.ones((3, 5), np.int32)
+    i2t, t2i = blip.compute_sim_matrix(
+        params, cfg, jnp.asarray(px), jnp.asarray(ids), jnp.asarray(mask), k_test=2
+    )
+    assert i2t.shape == (2, 3) and t2i.shape == (3, 2)
+    # exactly k entries per row re-ranked, rest at the -100 floor
+    assert ((i2t > -100.0).sum(axis=1) == 2).all()
+    assert ((t2i > -100.0).sum(axis=1) == 2).all()
