@@ -54,15 +54,47 @@ class LlavaAdapter:
         return self.cfg.text.num_kv_heads
 
     # --- sharding (TP over the 'model' mesh axis) ---------------------------
+    def int8_tp_ready(self, params, n_shards: int) -> bool:
+        """True iff every int8 stack's per-shard dim stays lane-aligned —
+        then the engine runs the quantized matmuls tensor-parallel via
+        shard_map (ops/quant.int8_matmul_stacked_tp)."""
+        from llava_align_tpu.ops.quant import (
+            int8_tp_aligned, int8_tp_mode, is_quantized,
+        )
+
+        layers = params.get("llama", {}).get("layers", {})
+        qs = {k: v for k, v in layers.items() if is_quantized(v)}
+        if not qs:
+            return False
+        return all(
+            int8_tp_aligned(v, int8_tp_mode(k), n_shards) for k, v in qs.items()
+        )
+
     def param_shardings(self, params, mesh):
         """Megatron-style TP placement for the whole param tree (engine
         `mesh=` support; replaces reference device_map='auto', builder.py:27).
-        Unspecified leaves replicate."""
+        Unspecified leaves replicate. Aligned int8 stacks shard column/row
+        so the shard_map TP kernels read local shards."""
         from llava_align_tpu.parallel import sharding as shd
 
-        return shd.complete_shardings(
-            params, shd.llava_param_shardings(self.cfg, mesh, params), mesh
-        )
+        partial = shd.llava_param_shardings(self.cfg, mesh, params)
+        n = int(mesh.shape.get("model", 1))
+        if n > 1 and self.int8_tp_ready(params, n):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from llava_align_tpu.ops.quant import int8_tp_mode, is_quantized
+
+            lay = dict(partial["llama"]["layers"])
+            for k, v in params["llama"]["layers"].items():
+                if is_quantized(v):
+                    spec = (
+                        P(None, "model", None)
+                        if int8_tp_mode(k) == "column"
+                        else P(None, None, "model")
+                    )
+                    lay[k] = NamedSharding(mesh, spec)
+            partial["llama"] = dict(partial["llama"], layers=lay)
+        return shd.complete_shardings(params, partial, mesh)
 
     # --- token-level branch degradation ------------------------------------
     def branch_token_ids(self, input_ids: Sequence[int], kind: str) -> List[int]:
@@ -97,12 +129,13 @@ class LlavaAdapter:
         return llama.init_cache(self.cfg.text, batch, max_len)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0):
+                max_seq_len, cache_row_offset=0, tp_mesh=None):
         from llava_align_tpu.models import llama
 
         return llama.forward(
             params["llama"], self.cfg.text, embeds, positions, cache, offsets,
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
+            tp_mesh=tp_mesh,
         )
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
@@ -154,7 +187,7 @@ class LlavaMptAdapter(LlavaAdapter):
         return mpt.init_cache(self.cfg.text, batch, max_len)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0):
+                max_seq_len, cache_row_offset=0, tp_mesh=None):
         from llava_align_tpu.models import mpt
 
         return mpt.forward(
@@ -242,7 +275,7 @@ class InstructBlipAdapter:
         return llama.init_cache(self.cfg.text, batch, max_len)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0):
+                max_seq_len, cache_row_offset=0, tp_mesh=None):
         from llava_align_tpu.models import llama
 
         return llama.forward(
@@ -296,7 +329,7 @@ class Blip2OptAdapter(InstructBlipAdapter):
         return opt.init_cache(self.cfg.text, batch, max_len)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0):
+                max_seq_len, cache_row_offset=0, tp_mesh=None):
         from llava_align_tpu.models import opt
 
         return opt.forward(
@@ -391,7 +424,7 @@ class QwenVLAdapter:
         return qwen.init_cache(self.cfg.text, batch, max_len)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0):
+                max_seq_len, cache_row_offset=0, tp_mesh=None):
         from llava_align_tpu.models import qwen
 
         return qwen.forward(

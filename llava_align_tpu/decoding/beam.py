@@ -46,6 +46,7 @@ def make_beam_fn(
     min_new_tokens: int = 0,
     attn_impl: str = "auto",
     cache_len: int = 0,
+    tp_mesh=None,
 ):
     """Returns jit-able fn(params, cache_1row, first_logits, lengths_1) →
     (best_seq [T], best_len). The caller prefills ONE row; the fn tiles it.
@@ -131,7 +132,7 @@ def make_beam_fn(
             emb = adapter.embed_tokens(params, toks[:, None])
             hidden, cache = adapter.forward(
                 params, emb, c["lengths"][:, None], cache, c["lengths"],
-                attn_impl=attn_impl, max_seq_len=cache_len,
+                attn_impl=attn_impl, max_seq_len=cache_len, tp_mesh=tp_mesh,
             )
             logits = adapter.logits(params, hidden[:, 0])
 

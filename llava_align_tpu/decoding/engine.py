@@ -140,25 +140,35 @@ class DecodeEngine:
                 self._model_size > 1
                 and self.adapter.num_kv_heads % self._model_size == 0
             )
-            if self._model_size > 1 and any(
+            has_quant = any(
                 isinstance(v, dict) and "q" in v and "s" in v
                 for v in jax.tree_util.tree_leaves(
                     params, is_leaf=lambda x: isinstance(x, dict) and "q" in x and "s" in x
                 )
-            ):
-                # the int8 weight-streaming Pallas kernel is an opaque custom
-                # call GSPMD cannot partition — sharding its operands would
-                # force a per-step all-gather of the whole stack. int8 stacks
-                # therefore stay REPLICATED under TP: correct, but no memory
-                # scaling. Use bf16 params when TP memory scaling is the goal.
+            )
+            self._int8_tp = (
+                self._model_size > 1
+                and has_quant
+                and getattr(self.adapter, "int8_tp_ready", lambda *a: False)(
+                    params, self._model_size
+                )
+            )
+            if self._model_size > 1 and has_quant and not self._int8_tp:
+                # GSPMD cannot partition the Pallas custom call, and this
+                # model's shard dims are not lane-aligned for the explicit
+                # shard_map TP path — int8 stacks stay replicated: correct,
+                # but no TP memory scaling. Use bf16 params or an aligned
+                # model-axis size (int8_tp_aligned).
                 logger.warning(
                     "int8-quantized stacks are replicated across the %d-way "
-                    "'model' axis (Pallas kernel is not partitionable); TP "
-                    "shards only the bf16 tensors. For TP memory scaling use "
-                    "bf16 params.", self._model_size,
+                    "'model' axis (per-shard dims not lane-aligned for the "
+                    "shard_map TP kernels); TP shards only the bf16 tensors.",
+                    self._model_size,
                 )
         else:
             self.params = params
+            self._int8_tp = False
+        self._tp_mesh = mesh if getattr(self, "_int8_tp", False) else None
 
     # ------------------------------------------------------------------
     # mesh helpers
@@ -342,7 +352,7 @@ class DecodeEngine:
             hidden, cache = adapter.forward(
                 params, embeds, positions, cache,
                 jnp.zeros((n_img_rows,), jnp.int32), attn_impl=attn_impl,
-                max_seq_len=cache_len,
+                max_seq_len=cache_len, tp_mesh=self._tp_mesh,
             )
             last_hidden = hidden[jnp.arange(n_img_rows), len_img - 1]
             logits = adapter.logits(params, last_hidden)
@@ -362,6 +372,7 @@ class DecodeEngine:
                     params, t_embeds, t_positions, cache,
                     jnp.zeros((n_txt_rows,), jnp.int32), attn_impl=attn_impl,
                     max_seq_len=cache_len, cache_row_offset=n_img_rows,
+                    tp_mesh=self._tp_mesh,
                 )
                 t_last = t_hidden[jnp.arange(n_txt_rows), len_txt - 1]
                 logits = jnp.concatenate(
@@ -401,6 +412,7 @@ class DecodeEngine:
                 hidden, cache = adapter.forward(
                     params, emb, c["lengths"][:, None], c["cache"], c["lengths"],
                     attn_impl=attn_impl, max_seq_len=cache_len,
+                    tp_mesh=self._tp_mesh,
                 )
                 logits = adapter.logits(params, hidden[:, 0])
                 return dict(
@@ -510,6 +522,7 @@ class DecodeEngine:
             hidden, cache = adapter.forward(
                 params, embeds, positions, cache, jnp.zeros((Q * n_img,), jnp.int32),
                 attn_impl=attn_impl, max_seq_len=cache_len,
+                tp_mesh=self._tp_mesh,
             )
             last_hidden = hidden[jnp.arange(Q * n_img), len_img - 1]
             logits = adapter.logits(params, last_hidden)
@@ -529,6 +542,7 @@ class DecodeEngine:
                     params, t_embeds, t_positions, cache,
                     jnp.zeros((Q * n_txt,), jnp.int32), attn_impl=attn_impl,
                     max_seq_len=cache_len, cache_row_offset=Q * n_img,
+                    tp_mesh=self._tp_mesh,
                 )
                 t_last = t_hidden[jnp.arange(Q * n_txt), len_txt - 1]
                 logits = jnp.concatenate([logits, adapter.logits(params, t_last)], axis=0)
@@ -568,6 +582,7 @@ class DecodeEngine:
                 hidden, cache = adapter.forward(
                     params, emb, c["lengths"][:, None], c["cache"], c["lengths"],
                     attn_impl=attn_impl, max_seq_len=cache_len,
+                    tp_mesh=self._tp_mesh,
                 )
                 logits = adapter.logits(params, hidden[:, 0])
                 return dict(
@@ -727,6 +742,7 @@ class DecodeEngine:
             eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
             length_penalty=length_penalty, min_new_tokens=min_new_tokens,
             attn_impl=self.attn_impl, cache_len=cache_len,
+            tp_mesh=self._tp_mesh,
         )
         attn_impl = self.attn_impl
 
@@ -754,6 +770,7 @@ class DecodeEngine:
             hidden, cache = adapter.forward(
                 params, embeds, positions, cache, jnp.zeros((1,), jnp.int32),
                 attn_impl=attn_impl, max_seq_len=cache_len,
+                tp_mesh=self._tp_mesh,
             )
             first_logits = adapter.logits(params, hidden[jnp.arange(1), lens - 1])
             return beam_core(params, cache, first_logits, lens)

@@ -469,7 +469,7 @@ def generate_caption(
 
         @staticmethod
         def forward(p, emb, positions, cache, offsets, *, attn_impl, max_seq_len,
-                    cache_row_offset=0):
+                    cache_row_offset=0, tp_mesh=None):
             logits, cache = decode_step(
                 p["text"], cfg.text, emb[:, 0], offsets[0], cache, p["cross"]
             )

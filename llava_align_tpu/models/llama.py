@@ -121,8 +121,15 @@ def forward(
     *,
     attn_impl: str = "auto",
     cache_row_offset: int = 0,
+    tp_mesh=None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack.
+
+    tp_mesh: optional Mesh — int8-quantized stacks run tensor-parallel via
+    shard_map around the weight-streaming kernel (column-parallel qkv/gate
+    stacks, row-parallel o/down with psum; ops/quant.int8_matmul_stacked_tp).
+    GSPMD cannot partition the Pallas custom call itself, so this is the
+    explicit Megatron dataflow for int8 weights.
 
     embeds       [B, S, D]   (token or spliced multimodal embeddings)
     positions    [B, S]      absolute RoPE positions
@@ -151,8 +158,17 @@ def forward(
 
     def _lin(h, lp, name, li):  # h [B,S,in] -> [B,S,out]
         if name in quant_names:
-            from llava_align_tpu.ops.quant import int8_matmul_stacked_dispatch
+            from llava_align_tpu.ops.quant import (
+                int8_matmul_stacked_dispatch,
+                int8_matmul_stacked_tp,
+                int8_tp_mode,
+            )
 
+            if tp_mesh is not None:
+                return int8_matmul_stacked_tp(
+                    h, all_layers[name], li if li is not None else 0,
+                    tp_mesh, int8_tp_mode(name),
+                )
             return int8_matmul_stacked_dispatch(
                 h, all_layers[name], li if li is not None else 0
             )

@@ -13,7 +13,7 @@ The XLA fallback (CPU/tests) dequantizes then matmuls — numerically identical.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -328,3 +328,93 @@ def quantize_llama_params(params: Dict[str, Any], fuse: bool = True) -> Dict[str
     out["layers"] = layers
     out["lm_head"] = quantize_weight(params["lm_head"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel int8: shard_map around the weight-streaming kernel.
+#
+# GSPMD cannot partition an opaque Pallas custom call, so TP for int8 stacks
+# is expressed manually: column-parallel stacks (qkv/gateup/q/k/v/gate/up)
+# shard the output dim and return sharded activations; row-parallel stacks
+# (o/down) shard the contraction dim, psum the partial products, and apply
+# the per-output-channel scales after the reduction. Each device runs the
+# same kernel on its local [L, O/n, D] (or [L, O, D/n]) shard — the Megatron
+# dataflow with the kernel's full bandwidth per chip.
+# ---------------------------------------------------------------------------
+
+_ROW_PARALLEL_NAMES = ("o", "down", "attn_proj", "mlp_proj", "out", "fc2", "down_proj")
+
+
+def int8_tp_mode(name: str) -> str:
+    return "row" if name in _ROW_PARALLEL_NAMES else "column"
+
+
+def int8_tp_aligned(wq: Dict[str, Any], mode: str, n_shards: int) -> bool:
+    """Per-shard dims must stay lane-aligned (multiples of 128)."""
+    O, D = int(wq["q"].shape[1]), int(wq["q"].shape[2])
+    dim = O if mode == "column" else D
+    return dim % n_shards == 0 and (dim // n_shards) % 128 == 0
+
+
+def int8_matmul_stacked_tp(
+    h: jax.Array,
+    wq: Dict[str, jax.Array],
+    layer_idx: jax.Array,
+    mesh,
+    mode: str,
+    *,
+    axis: str = "model",
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except RuntimeError:
+            interpret = True
+    q, s = wq["q"], wq["s"]
+    lead = h.shape[:-1]
+    h2 = h.reshape(-1, h.shape[-1])
+    li = jnp.asarray(layer_idx, jnp.int32)
+
+    decode_rows = h2.shape[0] <= _DECODE_MAX_B  # prefill is compute-bound: XLA per shard
+
+    if mode == "column":
+
+        def col_body(h_, q_, s_, li_):
+            if decode_rows:
+                return int8_matmul_stacked(h_, q_, s_, li_, interpret=interpret)
+            qi = jax.lax.dynamic_index_in_dim(q_, li_, 0, keepdims=False)
+            si = jax.lax.dynamic_index_in_dim(s_, li_, 0, keepdims=False)
+            return int8_matmul_xla(h_, qi, si)
+
+        f = jax.shard_map(
+            col_body,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis, None), P(None, axis), P()),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )
+        out = f(h2, q, s, li)
+    else:
+
+        def row_body(h_, q_, li_):
+            ones = jnp.ones(q_.shape[:2], jnp.float32)
+            if decode_rows:
+                part = int8_matmul_stacked(h_, q_, ones, li_, interpret=interpret)
+            else:
+                qi = jax.lax.dynamic_index_in_dim(q_, li_, 0, keepdims=False)
+                part = int8_matmul_xla(h_, qi, jnp.ones((q_.shape[1],), jnp.float32))
+            return jax.lax.psum(part, axis)
+
+        f = jax.shard_map(
+            row_body,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, None, axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        scale = jax.lax.dynamic_index_in_dim(s, li, 0, keepdims=False)
+        out = f(h2, q, li) * scale[None, :].astype(h2.dtype)
+    return out.reshape(*lead, -1)

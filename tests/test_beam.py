@@ -53,7 +53,7 @@ class _TextAdapter:
         return llama.init_cache(self.cfg, batch, max_len)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0):
+                max_seq_len, cache_row_offset=0, tp_mesh=None):
         return llama.forward(
             params, self.cfg, embeds, positions, cache, offsets,
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,

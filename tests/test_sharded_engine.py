@@ -186,3 +186,75 @@ def test_mpt_adapter_mesh_unshardable_kv_falls_back():
     assert not eng._kv_shardable  # MQA: 1 kv head % 2 != 0
     out = eng.generate(ids, image)
     assert out.token_ids == ref.token_ids
+
+
+def test_int8_tp_engine_matches_single_device():
+    """Aligned int8 stacks run TRUE tensor-parallel (shard_map around the
+    weight-streaming kernel: column-parallel qkv/gateup, row-parallel o/down
+    with psum) — token-exact vs the unsharded int8 engine."""
+    from llava_align_tpu.ops.quant import quantize_llama_params
+
+    text = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=64,
+        dtype=jnp.float32,
+    )
+    vision = ClipVisionConfig(
+        image_size=28, patch_size=14, hidden_size=16, intermediate_size=32,
+        num_layers=2, num_heads=2, dtype=jnp.float32,
+    )
+    cfg = LlavaConfig(text=text, vision=vision, mm_projector_type="mlp2x_gelu")
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    params["llama"] = quantize_llama_params(params["llama"], fuse=True)
+    H = cfg.vision.image_size
+    image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (3, H, H), jnp.float32)
+    )
+    ids = [1, 40, IMAGE_TOKEN_INDEX, 60, 70]
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=False, eos_token_id=EOS,
+        use_dd=True, use_dd_unk=True,
+    )
+    ref = DecodeEngine(params, cfg, gen, attn_impl="xla", bucket=8).generate(ids, image)
+
+    mesh = make_mesh(model=2, data=4)
+    eng = DecodeEngine(params, cfg, gen, attn_impl="xla", bucket=8, mesh=mesh)
+    assert eng._int8_tp  # per-shard dims are lane-aligned -> TP path active
+    # quant stacks actually live sharded
+    q = eng.params["llama"]["layers"]["qkv"]["q"]
+    from jax.sharding import PartitionSpec as P
+    assert q.sharding.spec == P(None, "model", None)
+    out = eng.generate(ids, image)
+    assert out.token_ids == ref.token_ids
+    np.testing.assert_allclose(
+        out.first_scores_top_probs, ref.first_scores_top_probs, atol=1e-4
+    )
+
+
+def test_int8_tp_misaligned_falls_back_replicated(caplog):
+    """Per-shard dims not 128-aligned -> warn + replicate, still correct."""
+    import logging as _logging
+
+    from llava_align_tpu.ops.quant import quantize_llama_params
+
+    cfg = _llava_cfg(4)  # tiny dims: per-shard far below 128 lanes
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    params["llama"] = quantize_llama_params(params["llama"], fuse=True)
+    H = cfg.vision.image_size
+    image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (3, H, H), jnp.float32)
+    )
+    ids = [1, 40, IMAGE_TOKEN_INDEX, 60, 70]
+    gen = GenerationConfig(max_new_tokens=3, do_sample=False, eos_token_id=EOS)
+    ref = DecodeEngine(params, cfg, gen, attn_impl="xla", bucket=8).generate(ids, image)
+    with caplog.at_level(_logging.WARNING, logger="llava_align_tpu.engine"):
+        eng = DecodeEngine(
+            params, cfg, gen, attn_impl="xla", bucket=8,
+            mesh=make_mesh(model=4, data=2),
+        )
+    assert not eng._int8_tp
+    assert any("replicated" in r.message for r in caplog.records)
+    out = eng.generate(ids, image)
+    assert out.token_ids == ref.token_ids
