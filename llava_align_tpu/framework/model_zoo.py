@@ -164,3 +164,68 @@ def _blip_factory(arch_name):
 
 for _arch in ("blip_caption", "blip_image_text_matching", "blip_feature_extractor"):
     _blip_factory(_arch)
+
+def _albef_factory(arch_name: str, variant: str):
+    @registry.register_model(arch_name)
+    class AlbefModel(_ZooModel):
+        """ALBEF zoo entry (reference lavis/models/albef_models/*)."""
+
+        arch = arch_name
+
+        def __init__(self, model_path: Optional[str] = None,
+                     num_classes: int = 0, **kw):
+            from llava_align_tpu.models import albef as albef_mod
+
+            if model_path and not model_path.startswith("random"):
+                from llava_align_tpu.utils.hf_convert import convert_albef, load_state_dict
+
+                cfg = albef_mod.AlbefConfig(num_classes=num_classes)
+                params = convert_albef(load_state_dict(model_path), cfg, variant=variant)
+            else:
+                cfg = albef_mod.AlbefConfig.tiny(
+                    num_classes=num_classes or (2 if variant in ("classification", "nlvr") else 0),
+                    nlvr=variant == "nlvr",
+                )
+                params = albef_mod.init(jax.random.PRNGKey(0), cfg, variant=variant)
+            self.variant = variant
+            super().__init__(params, cfg)
+
+        def predict_answers(self, pixels, q_ids, q_mask, answer_ids, answer_mask, **kw):
+            from llava_align_tpu.models import albef as albef_mod
+
+            return albef_mod.rank_answers(
+                self.params, self.cfg, pixels, q_ids, q_mask, answer_ids,
+                answer_mask, **kw,
+            )
+
+        def compute_sim_matrix(self, pixels, text_ids, text_mask, **kw):
+            from llava_align_tpu.models import albef as albef_mod
+
+            return albef_mod.compute_sim_matrix(
+                self.params, self.cfg, pixels, text_ids, text_mask, **kw
+            )
+
+        def extract_features(self, **kw):
+            from llava_align_tpu.models import albef as albef_mod
+
+            return albef_mod.extract_features(self.params, self.cfg, **kw)
+
+        def predict(self, *args):
+            from llava_align_tpu.models import albef as albef_mod
+
+            if self.variant == "nlvr":
+                return albef_mod.nlvr_forward(self.params, self.cfg, *args)
+            return albef_mod.classify(self.params, self.cfg, *args)
+
+    AlbefModel.__name__ = f"AlbefModel_{arch_name}"
+    return AlbefModel
+
+
+for _arch, _variant in (
+    ("albef_retrieval", "retrieval"),
+    ("albef_vqa", "vqa"),
+    ("albef_classification", "classification"),
+    ("albef_nlvr", "nlvr"),
+    ("albef_feature_extractor", "feature"),
+):
+    _albef_factory(_arch, _variant)

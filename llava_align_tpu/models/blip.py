@@ -71,6 +71,11 @@ class MedConfig:
     max_position_embeddings: int = 512
     layer_norm_eps: float = 1e-12
     dtype: jnp.dtype = jnp.float32
+    # ALBEF/ALPRO fusion point (reference med.py BertLayer: cross-attention
+    # exists only in layers >= fusion_layer; mode "text" runs layers
+    # [0, fusion_layer), mode "fusion" runs [fusion_layer, L)). None = BLIP
+    # behavior: cross-attention in every layer, "text" runs all layers.
+    fusion_layer: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -234,18 +239,36 @@ def med_embed(params: Params, cfg: MedConfig, ids: jax.Array, positions: jax.Arr
 def med_forward(
     params: Params,
     cfg: MedConfig,
-    ids: jax.Array,                       # [B, S]
+    ids: Optional[jax.Array] = None,      # [B, S]
     attention_mask: Optional[jax.Array] = None,   # [B, S] 1=attend
-    encoder_states: Optional[jax.Array] = None,   # [B, Se, D]
-    encoder_mask: Optional[jax.Array] = None,     # [B, Se]
+    encoder_states=None,                  # [B, Se, D] or (e0, e1) for NLVR
+    encoder_mask=None,                    # [B, Se] or (m0, m1)
     *,
     causal: bool = False,
+    mode: str = "multimodal",
+    input_embeds: Optional[jax.Array] = None,     # [B, S, D] (encoder_embeds path)
 ) -> jax.Array:
-    """Full (non-incremental) pass → hidden [B, S, D]."""
-    B, S = ids.shape
+    """Full (non-incremental) pass → hidden [B, S, D].
+
+    Modes follow the reference med.py BertEncoder (lavis/models/med.py:526-604):
+    "text" runs layers [0, fusion_layer) without cross-attention, "fusion"
+    runs [fusion_layer, L) with cross-attention (from `input_embeds`),
+    "multimodal" runs all layers with cross-attention in layers >=
+    fusion_layer. With fusion_layer=None (BLIP) cross-attention applies in
+    every layer and "text" runs the full stack. `encoder_states` may be a
+    pair for ALBEF-NLVR (med.py:451-470): fusion layer i cross-attends to
+    states[(i - fusion_layer) % 2].
+    """
+    if input_embeds is not None:
+        x = input_embeds
+        B, S = x.shape[:2]
+    else:
+        B, S = ids.shape
+        x = med_embed(params, cfg, ids, jnp.arange(S, dtype=jnp.int32)[None])
     H = cfg.num_heads
     eps = cfg.layer_norm_eps
-    x = med_embed(params, cfg, ids, jnp.arange(S, dtype=jnp.int32)[None])
+    L = cfg.num_layers
+    fl = cfg.fusion_layer if cfg.fusion_layer is not None else L
 
     mask = jnp.ones((B, 1, S, S), bool)
     if attention_mask is not None:
@@ -253,26 +276,56 @@ def med_forward(
     if causal:
         tri = jnp.tril(jnp.ones((S, S), bool))
         mask = mask & tri[None, None]
-    xmask = None
-    if encoder_states is not None and encoder_mask is not None:
-        xmask = encoder_mask[:, None, None, :].astype(bool)
 
-    use_cross = encoder_states is not None
+    # normalize encoder states to a stacked [N, B, Se, D] + per-layer selector
+    enc_stack = xmask_stack = None
+    if encoder_states is not None:
+        if isinstance(encoder_states, (tuple, list)):
+            enc_stack = jnp.stack(list(encoder_states))
+            if encoder_mask is not None:
+                xmask_stack = jnp.stack(
+                    [m[:, None, None, :].astype(bool) for m in encoder_mask]
+                )
+        else:
+            enc_stack = encoder_states[None]
+            if encoder_mask is not None:
+                xmask_stack = encoder_mask[:, None, None, :].astype(bool)[None]
+    n_enc = 1 if enc_stack is None else enc_stack.shape[0]
 
-    def body(x, lp):
+    if mode == "text":
+        lo, hi = 0, fl
+    elif mode == "fusion":
+        lo, hi = fl, L
+    else:
+        lo, hi = 0, L
+    cross_start = 0 if cfg.fusion_layer is None else fl
+
+    def body(x, lp, cross, sel):
         a = _mha(_lin(x, lp["sq"]), _lin(x, lp["sk"]), _lin(x, lp["sv"]), H, mask)
         x = layer_norm(x + _lin(a, lp["so"]), lp["s_ln"]["scale"], lp["s_ln"]["bias"], eps)
-        if use_cross:
-            a = _mha(
-                _lin(x, lp["cq"]), _lin(encoder_states, lp["ck"]),
-                _lin(encoder_states, lp["cv"]), H, xmask,
-            )
+        if cross:
+            enc = enc_stack[sel]
+            xm = xmask_stack[sel] if xmask_stack is not None else None
+            a = _mha(_lin(x, lp["cq"]), _lin(enc, lp["ck"]), _lin(enc, lp["cv"]), H, xm)
             x = layer_norm(x + _lin(a, lp["co"]), lp["c_ln"]["scale"], lp["c_ln"]["bias"], eps)
         f = _lin(jax.nn.gelu(_lin(x, lp["fc1"]), approximate=False), lp["fc2"])
         x = layer_norm(x + f, lp["f_ln"]["scale"], lp["f_ln"]["bias"], eps)
-        return x, None
+        return x
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    def run_segment(x, a, b, with_cross):
+        if a >= b:
+            return x
+        seg = jax.tree_util.tree_map(lambda p: p[a:b], params["layers"])
+        if with_cross:
+            sels = jnp.asarray([(i - fl) % n_enc for i in range(a, b)], jnp.int32)
+            return jax.lax.scan(
+                lambda c, ls: (body(c, ls[0], True, ls[1]), None), x, (seg, sels)
+            )[0]
+        return jax.lax.scan(lambda c, lp: (body(c, lp, False, 0), None), x, seg)[0]
+
+    use_cross = enc_stack is not None and mode != "text"
+    x = run_segment(x, lo, max(lo, min(hi, cross_start)), False)
+    x = run_segment(x, max(lo, cross_start), hi, use_cross)
     return x
 
 

@@ -784,7 +784,10 @@ def convert_med(
         "embeddings": {
             "word": t(_np(sd[prefix + "embeddings.word_embeddings.weight"])),
             "pos": t(_np(sd[prefix + "embeddings.position_embeddings.weight"])),
-            "type": t(_np(sd[prefix + "embeddings.token_type_embeddings.weight"])),
+            # ALBEF med config has add_type_embeddings=false — zero-fill (inert)
+            "type": t(_np(sd[prefix + "embeddings.token_type_embeddings.weight"]))
+            if prefix + "embeddings.token_type_embeddings.weight" in sd
+            else jnp.zeros((2, cfg.hidden_size), cfg.dtype),
             "ln": {
                 "scale": t(_np(sd[prefix + "embeddings.LayerNorm.weight"])),
                 "bias": t(_np(sd[prefix + "embeddings.LayerNorm.bias"])),
@@ -821,4 +824,80 @@ def convert_blip(sd: StateDict, cfg) -> Dict[str, Any]:
             "b": jnp.zeros((2,), cfg.text.dtype),
         },
     }
+    return params
+
+
+def convert_albef(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, Any]:
+    """LAVIS ALBEF checkpoint → models/albef params.
+
+    Handles the reference's key layout (albef_vqa.py:408-431 load munging):
+    `visual_encoder.*` timm ViT, `text_encoder[.bert].*` fusion BERT where
+    only layers >= fusion_layer carry crossattention.* (med.py:400-418 —
+    zero-filled here for the pre-fusion layers, inert under the mode gating),
+    optional `text_decoder[.bert].*` (+cls head), projections, itm_head,
+    `cls_head.{0,2}` Sequential(Linear, ReLU, Linear), and the `temp`
+    scalar. Momentum (`*_m`) copies are dropped — the functional train step
+    carries them separately."""
+    t = _to(cfg.text.dtype)
+
+    def pick_prefix(base):
+        for p in (base + ".bert.", base + "."):
+            if p + "embeddings.word_embeddings.weight" in sd:
+                return p
+        return None
+
+    def zero_fill_cross(sd2, prefix, med_cfg):
+        fl = med_cfg.fusion_layer if med_cfg.fusion_layer is not None else 0
+        D = med_cfg.hidden_size
+        out = dict(sd2)
+        tmpl = prefix + "encoder.layer.{i}.crossattention."
+        for i in range(med_cfg.num_layers):
+            base = tmpl.format(i=i)
+            if base + "self.query.weight" not in out:
+                for name in ("self.query", "self.key", "self.value", "output.dense"):
+                    out[base + name + ".weight"] = np.zeros((D, D), np.float32)
+                    out[base + name + ".bias"] = np.zeros((D,), np.float32)
+                out[base + "output.LayerNorm.weight"] = np.ones((D,), np.float32)
+                out[base + "output.LayerNorm.bias"] = np.zeros((D,), np.float32)
+        # convert_med detects cross from layer 0 — force it by construction
+        assert tmpl.format(i=0) + "self.query.weight" in out
+        return out
+
+    text_prefix = pick_prefix("text_encoder")
+    if text_prefix is None:
+        raise KeyError("no text_encoder.* keys in ALBEF state dict")
+    sd_text = zero_fill_cross(sd, text_prefix, cfg.text)
+    params: Dict[str, Any] = {
+        "visual": convert_blip_vit(sd, cfg.vision, prefix="visual_encoder."),
+        "text": convert_med(sd_text, cfg.text, prefix=text_prefix, head_prefix="__none__."),
+    }
+
+    def linear(name, o, i):
+        if name + ".weight" in sd:
+            return {"w": t(_np(sd[name + ".weight"])), "b": t(_np(sd[name + ".bias"]))}
+        return {"w": jnp.zeros((o, i), cfg.text.dtype), "b": jnp.zeros((o,), cfg.text.dtype)}
+
+    E, D = cfg.embed_dim, cfg.text.hidden_size
+    if variant in ("retrieval", "feature"):
+        params["vision_proj"] = linear("vision_proj", E, cfg.vision.hidden_size)
+        params["text_proj"] = linear("text_proj", E, D)
+    if variant == "retrieval":
+        params["itm_head"] = linear("itm_head", 2, D)
+        params["temp"] = (
+            jnp.asarray(_np(sd["temp"]).reshape(()), jnp.float32)
+            if "temp" in sd else jnp.asarray(0.07, jnp.float32)
+        )
+    if variant == "vqa":
+        dec_prefix = pick_prefix("text_decoder")
+        if dec_prefix is None:
+            raise KeyError("vqa variant needs text_decoder.* keys")
+        params["decoder"] = convert_med(
+            zero_fill_cross(sd, dec_prefix, cfg.decoder), cfg.decoder,
+            prefix=dec_prefix, head_prefix="text_decoder.cls.",
+        )
+    if variant in ("classification", "nlvr"):
+        params["cls_head"] = {
+            "fc1": linear("cls_head.0", D, D),
+            "fc2": linear("cls_head.2", cfg.num_classes, D),
+        }
     return params
