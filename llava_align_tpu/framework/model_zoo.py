@@ -229,3 +229,33 @@ for _arch, _variant in (
     ("albef_feature_extractor", "feature"),
 ):
     _albef_factory(_arch, _variant)
+
+
+@registry.register_model("gpt_dialogue")
+class GptDialogueModel(_ZooModel):
+    """GPT-dialogue zoo entry (reference lavis/models/gpt_models/gpt_dialogue.py)."""
+
+    arch = "gpt_dialogue"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        from llava_align_tpu.models import gpt2 as gpt2_mod
+
+        if model_path and not model_path.startswith("random"):
+            from llava_align_tpu.utils.hf_convert import convert_gpt_dialogue, load_state_dict
+
+            cfg = gpt2_mod.GptDialogueConfig()
+            params = convert_gpt_dialogue(load_state_dict(model_path), cfg)
+        else:
+            cfg = gpt2_mod.GptDialogueConfig.tiny()
+            params = gpt2_mod.dialogue_init(jax.random.PRNGKey(0), cfg)
+        super().__init__(params, cfg)
+
+    def forward(self, **samples):
+        from llava_align_tpu.models import gpt2 as gpt2_mod
+
+        return gpt2_mod.dialogue_forward(self.params, self.cfg, **samples)
+
+    def generate(self, input_ids, video_fts, **kw):
+        from llava_align_tpu.models import gpt2 as gpt2_mod
+
+        return gpt2_mod.dialogue_generate(self.params, self.cfg, input_ids, video_fts, **kw)

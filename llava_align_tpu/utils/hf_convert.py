@@ -901,3 +901,53 @@ def convert_albef(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, A
             "fc2": linear("cls_head.2", cfg.num_classes, D),
         }
     return params
+
+
+def convert_gpt2(sd: StateDict, cfg, prefix: str = "transformer.") -> Dict[str, Any]:
+    """HF GPT2LMHeadModel state dict → models/gpt2 params. HF GPT-2 Conv1D
+    weights are [in, out] — transposed here to the repo's [out, in]."""
+    t = _to(cfg.dtype)
+    L = cfg.num_layers
+
+    def conv1d(template):
+        return {
+            "w": t(_stack(sd, prefix + template + ".weight", L, lambda w: w.T)),
+            "b": t(_stack(sd, prefix + template + ".bias", L, lambda w: w)),
+        }
+
+    def lnorm(template):
+        return {
+            "scale": t(_stack(sd, prefix + template + ".weight", L, lambda w: w)),
+            "bias": t(_stack(sd, prefix + template + ".bias", L, lambda w: w)),
+        }
+
+    return {
+        "wte": t(_np(sd[prefix + "wte.weight"])),
+        "wpe": t(_np(sd[prefix + "wpe.weight"])),
+        "layers": {
+            "ln1": lnorm("h.{i}.ln_1"),
+            "qkv": conv1d("h.{i}.attn.c_attn"),
+            "o": conv1d("h.{i}.attn.c_proj"),
+            "ln2": lnorm("h.{i}.ln_2"),
+            "fc1": conv1d("h.{i}.mlp.c_fc"),
+            "fc2": conv1d("h.{i}.mlp.c_proj"),
+        },
+        "ln_f": {
+            "scale": t(_np(sd[prefix + "ln_f.weight"])),
+            "bias": t(_np(sd[prefix + "ln_f.bias"])),
+        },
+    }
+
+
+def convert_gpt_dialogue(sd: StateDict, cfg) -> Dict[str, Any]:
+    """LAVIS GPTDialogue checkpoint (gpt_dialogue.py: GPT2LMHeadModel +
+    video_ff/video_ff_out Linears) → models/gpt2 dialogue params."""
+    t = _to(cfg.gpt.dtype)
+    return {
+        "gpt": convert_gpt2(sd, cfg.gpt),
+        "video_ff": {"w": t(_np(sd["video_ff.weight"])), "b": t(_np(sd["video_ff.bias"]))},
+        "video_ff_out": {
+            "w": t(_np(sd["video_ff_out.weight"])),
+            "b": t(_np(sd["video_ff_out.bias"])),
+        },
+    }

@@ -1,0 +1,187 @@
+"""GPT-2 / GPT-dialogue parity vs HF torch oracles.
+
+The reference gpt_dialogue.py is a GPT2LMHeadModel subclass with a video
+prefix (video_ff), wte token-type embeddings, LM CE (ignore_index=-1) and a
+shifted video-MSE loss. The reference class itself (imported read-only with
+lavis stubs) is the oracle for the dialogue math; HF GPT2LMHeadModel for the
+decoder stack.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from llava_align_tpu.models import gpt2
+from llava_align_tpu.models.gpt2 import Gpt2Config, GptDialogueConfig
+from llava_align_tpu.utils.hf_convert import convert_gpt2, convert_gpt_dialogue
+
+V = 64
+FV = 8
+
+
+def _hf_cfg():
+    from transformers import GPT2Config
+
+    return GPT2Config(
+        vocab_size=V, n_embd=32, n_layer=2, n_head=4, n_positions=64,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        layer_norm_epsilon=1e-5,
+    )
+
+
+@pytest.fixture(scope="module")
+def gpt_models():
+    from transformers import GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(_hf_cfg()).eval()
+    cfg = Gpt2Config.tiny(vocab_size=V)
+    params = convert_gpt2({k: v.detach() for k, v in hf.state_dict().items()}, cfg)
+    return hf, cfg, params
+
+
+def test_gpt2_forward_matches_hf(gpt_models):
+    hf, cfg, params = gpt_models
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, V, (2, 9))
+    mask = np.ones((2, 9), np.int64)
+    mask[1, 7:] = 0
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+    emb = gpt2.embed(params, jnp.asarray(ids))
+    hidden = gpt2.forward(params, cfg, emb, attention_mask=jnp.asarray(mask))
+    got = np.asarray(gpt2.logits(params, hidden))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
+
+
+def test_gpt2_incremental_matches_full(gpt_models):
+    _, cfg, params = gpt_models
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, V, (2, 7))
+    emb = gpt2.embed(params, jnp.asarray(ids))
+    hidden = gpt2.forward(params, cfg, emb)
+    full = np.asarray(gpt2.logits(params, hidden))
+    cache = gpt2.init_cache(cfg, 2, 7)
+    step = jax.jit(lambda p, e, t, c: gpt2.decode_step(p, cfg, e, t, c))
+    for t in range(7):
+        lg, cache = step(params, emb[:, t], jnp.asarray(t, jnp.int32), cache)
+        np.testing.assert_allclose(np.asarray(lg), full[:, t], atol=2e-4, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def ref_dialogue():
+    def _stub(name, **attrs):
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    class _Registry:
+        @staticmethod
+        def register_model(name):
+            return lambda cls: cls
+
+    class _BaseModel:
+        pass
+
+    _stub("lavis")
+    _stub("lavis.common")
+    _stub("lavis.common.registry", registry=_Registry)
+    _stub("lavis.models")
+    _stub("lavis.models.base_model", BaseModel=_BaseModel)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_gpt_dialogue",
+        "/root/reference/experiments/lavis/models/gpt_models/gpt_dialogue.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_gpt_dialogue"] = mod
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(1)
+    model = mod.GPTDialogue(_hf_cfg(), len_video_ft=FV).eval()
+    with torch.no_grad():
+        for n, p in model.named_parameters():
+            if "video_ff" in n and "bias" in n:
+                p.normal_(0, 0.02)
+    return model
+
+
+def test_dialogue_forward_matches_reference(ref_dialogue):
+    cfg = GptDialogueConfig.tiny(vocab_size=V, len_video_ft=FV)
+    params = convert_gpt_dialogue(
+        {k: v.detach() for k, v in ref_dialogue.state_dict().items()}, cfg
+    )
+    rng = np.random.default_rng(2)
+    b, sv, st = 2, 3, 6
+    input_ids = rng.integers(1, V, (b, st))
+    video_fts = rng.normal(size=(b, sv, FV)).astype(np.float32)
+    attn_mask = np.ones((b, sv + st), np.int64)
+    attn_mask[1, -2:] = 0
+    token_types = rng.integers(0, V, (b, sv + st))
+    labels = rng.integers(0, V, (b, sv + st))
+    labels[:, :sv] = -1
+    labels[1, -2:] = -1
+
+    samples = {
+        "input_ids": torch.tensor(input_ids),
+        "video_fts": torch.tensor(video_fts),
+        "attn_mask": torch.tensor(attn_mask),
+        "token_type_ids": torch.tensor(token_types),
+        "labels": torch.tensor(labels),
+    }
+    with torch.no_grad():
+        ref = ref_dialogue(samples)
+    out = gpt2.dialogue_forward(
+        params, cfg, jnp.asarray(input_ids), jnp.asarray(video_fts),
+        attn_mask=jnp.asarray(attn_mask), token_type_ids=jnp.asarray(token_types),
+        labels=jnp.asarray(labels),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), ref.logits.numpy(), atol=3e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(float(out["loss"]), float(ref.loss), atol=1e-4, rtol=1e-4)
+
+
+def test_dialogue_generate_greedy_self_consistent():
+    """Greedy KV-cache generation ≡ repeated full-forward argmax."""
+    cfg = GptDialogueConfig.tiny(vocab_size=V, len_video_ft=FV)
+    params = gpt2.dialogue_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    b, sv, st, new = 2, 2, 4, 5
+    input_ids = rng.integers(1, V, (b, st)).astype(np.int32)
+    video_fts = rng.normal(size=(b, sv, FV)).astype(np.float32)
+
+    got = gpt2.dialogue_generate(
+        params, cfg, input_ids, video_fts, max_new_tokens=new
+    )
+
+    ids = input_ids.copy()
+    for _ in range(new):
+        out = gpt2.dialogue_forward(
+            params, cfg, jnp.asarray(ids), jnp.asarray(video_fts)
+        )
+        nxt = np.asarray(out["logits"])[:, -1].argmax(-1).astype(np.int32)
+        ids = np.concatenate([ids, nxt[:, None]], axis=1)
+    want = ids[:, st:]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_zoo_registers_gpt_dialogue():
+    import llava_align_tpu  # noqa: F401
+    from llava_align_tpu.framework.registry import registry
+
+    cls = registry.get_model_class("gpt_dialogue")
+    assert cls is not None
+    model = cls(model_path=None)
+    assert "video_ff" in model.params
