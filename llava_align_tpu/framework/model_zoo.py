@@ -259,3 +259,47 @@ class GptDialogueModel(_ZooModel):
         from llava_align_tpu.models import gpt2 as gpt2_mod
 
         return gpt2_mod.dialogue_generate(self.params, self.cfg, input_ids, video_fts, **kw)
+
+
+def _alpro_factory(arch_name: str, variant: str):
+    @registry.register_model(arch_name)
+    class AlproModel(_ZooModel):
+        """ALPRO zoo entry (reference lavis/models/alpro_models/*)."""
+
+        arch = arch_name
+
+        def __init__(self, model_path: Optional[str] = None,
+                     num_classes: int = 0, **kw):
+            from llava_align_tpu.models import alpro as alpro_mod
+
+            if model_path and not model_path.startswith("random"):
+                from llava_align_tpu.utils.hf_convert import convert_alpro, load_state_dict
+
+                cfg = alpro_mod.AlproConfig(num_classes=num_classes)
+                params = convert_alpro(load_state_dict(model_path), cfg, variant=variant)
+            else:
+                cfg = alpro_mod.AlproConfig.tiny(
+                    num_classes=num_classes or (2 if variant == "qa" else 0)
+                )
+                params = alpro_mod.init(jax.random.PRNGKey(0), cfg, variant=variant)
+            self.variant = variant
+            super().__init__(params, cfg)
+
+        def predict(self, video, ids, mask):
+            from llava_align_tpu.models import alpro as alpro_mod
+
+            return alpro_mod.qa_logits(self.params, self.cfg, video, ids, mask)
+
+        def compute_sim_matrix(self, videos, text_ids, text_mask, **kw):
+            from llava_align_tpu.models import alpro as alpro_mod
+
+            return alpro_mod.compute_sim_matrix(
+                self.params, self.cfg, videos, text_ids, text_mask, **kw
+            )
+
+    AlproModel.__name__ = f"AlproModel_{arch_name}"
+    return AlproModel
+
+
+for _arch, _variant in (("alpro_retrieval", "retrieval"), ("alpro_qa", "qa")):
+    _alpro_factory(_arch, _variant)

@@ -951,3 +951,102 @@ def convert_gpt_dialogue(sd: StateDict, cfg) -> Dict[str, Any]:
             "b": t(_np(sd["video_ff_out.bias"])),
         },
     }
+
+
+def convert_timesformer(sd: StateDict, cfg, prefix: str = "visual_encoder.model.") -> Dict[str, Any]:
+    """LAVIS TimeSformer state dict (timesformer/vit.py VisionTransformer)
+    → models/timesformer params."""
+    t = _to(cfg.dtype)
+    L = cfg.num_layers
+
+    def lin(template):
+        return {
+            "w": t(_stack(sd, prefix + template + ".weight", L, lambda w: w)),
+            "b": t(_stack(sd, prefix + template + ".bias", L, lambda w: w)),
+        }
+
+    def lnorm(template):
+        return {
+            "scale": t(_stack(sd, prefix + template + ".weight", L, lambda w: w)),
+            "bias": t(_stack(sd, prefix + template + ".bias", L, lambda w: w)),
+        }
+
+    return {
+        "cls": t(_np(sd[prefix + "cls_token"])),
+        "pos": t(_np(sd[prefix + "pos_embed"])),
+        "time": t(_np(sd[prefix + "time_embed"])),
+        "patch": {
+            "w": t(_np(sd[prefix + "patch_embed.proj.weight"])),
+            "b": t(_np(sd[prefix + "patch_embed.proj.bias"])),
+        },
+        "layers": {
+            "t_ln": lnorm("blocks.{i}.temporal_norm1"),
+            "t_qkv": lin("blocks.{i}.temporal_attn.qkv"),
+            "t_proj": lin("blocks.{i}.temporal_attn.proj"),
+            "t_fc": lin("blocks.{i}.temporal_fc"),
+            "ln1": lnorm("blocks.{i}.norm1"),
+            "qkv": lin("blocks.{i}.attn.qkv"),
+            "proj": lin("blocks.{i}.attn.proj"),
+            "ln2": lnorm("blocks.{i}.norm2"),
+            "fc1": lin("blocks.{i}.mlp.fc1"),
+            "fc2": lin("blocks.{i}.mlp.fc2"),
+        },
+        "final_ln": {
+            "scale": t(_np(sd[prefix + "norm.weight"])),
+            "bias": t(_np(sd[prefix + "norm.bias"])),
+        },
+    }
+
+
+def convert_alpro(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, Any]:
+    """LAVIS ALPRO checkpoint → models/alpro params. The ALPRO BERT has no
+    cross-attention at all (bert_config_alpro.json add_cross_attention=false)
+    — cross slots are zero-filled and never executed (fusion is
+    self-attention over the concatenated sequence)."""
+    t = _to(cfg.text.dtype)
+
+    def pick_prefix(base):
+        for p in (base + ".bert.", base + "."):
+            if p + "embeddings.word_embeddings.weight" in sd:
+                return p
+        return None
+
+    text_prefix = pick_prefix("text_encoder")
+    if text_prefix is None:
+        raise KeyError("no text_encoder.* keys in ALPRO state dict")
+    sd_text = dict(sd)
+    D = cfg.text.hidden_size
+    for i in range(cfg.text.num_layers):
+        base = text_prefix + f"encoder.layer.{i}.crossattention."
+        if base + "self.query.weight" not in sd_text:
+            for name in ("self.query", "self.key", "self.value", "output.dense"):
+                sd_text[base + name + ".weight"] = np.zeros((D, D), np.float32)
+                sd_text[base + name + ".bias"] = np.zeros((D,), np.float32)
+            sd_text[base + "output.LayerNorm.weight"] = np.ones((D,), np.float32)
+            sd_text[base + "output.LayerNorm.bias"] = np.zeros((D,), np.float32)
+
+    params: Dict[str, Any] = {
+        "visual": convert_timesformer(sd, cfg.video),
+        "text": convert_med(sd_text, cfg.text, prefix=text_prefix, head_prefix="__none__."),
+    }
+
+    def linear(name, o, i):
+        if name + ".weight" in sd:
+            return {"w": t(_np(sd[name + ".weight"])), "b": t(_np(sd[name + ".bias"]))}
+        return {"w": jnp.zeros((o, i), cfg.text.dtype), "b": jnp.zeros((o,), cfg.text.dtype)}
+
+    E = cfg.embed_dim
+    if variant == "retrieval":
+        params["vision_proj"] = linear("vision_proj", E, cfg.video.hidden_size)
+        params["text_proj"] = linear("text_proj", E, D)
+        params["itm_head"] = linear("itm_head", 2, D)
+        params["temp"] = (
+            jnp.asarray(_np(sd["temp"]).reshape(()), jnp.float32)
+            if "temp" in sd else jnp.asarray(0.07, jnp.float32)
+        )
+    if variant == "qa":
+        params["classifier"] = {
+            "fc1": linear("classifier.0", 2 * D, D),
+            "fc2": linear("classifier.2", cfg.num_classes, 2 * D),
+        }
+    return params
