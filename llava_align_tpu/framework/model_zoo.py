@@ -303,3 +303,69 @@ def _alpro_factory(arch_name: str, variant: str):
 
 for _arch, _variant in (("alpro_retrieval", "retrieval"), ("alpro_qa", "qa")):
     _alpro_factory(_arch, _variant)
+
+
+def _clip_factory(arch_name: str):
+    @registry.register_model(arch_name)
+    class ClipModel(_ZooModel):
+        """CLIP zoo entry (reference lavis/models/clip_models/model.py)."""
+
+        arch = arch_name
+
+        def __init__(self, model_path: Optional[str] = None, **kw):
+            from llava_align_tpu.models import clip as clip_mod
+
+            if model_path and not model_path.startswith("random"):
+                from llava_align_tpu.utils.hf_convert import (
+                    convert_clip_full, convert_clip_openai, load_state_dict,
+                )
+
+                cfg = clip_mod.ClipConfig()
+                sd = load_state_dict(model_path)
+                if "visual.class_embedding" in sd:
+                    params = convert_clip_openai(sd, cfg)
+                else:
+                    params = convert_clip_full(sd, cfg)
+            else:
+                cfg = clip_mod.ClipConfig.tiny()
+                params = clip_mod.init(jax.random.PRNGKey(0), cfg)
+            super().__init__(params, cfg)
+
+        def encode_image(self, pixels):
+            from llava_align_tpu.models import clip as clip_mod
+
+            return clip_mod.encode_image(self.params, self.cfg, pixels)
+
+        def encode_text(self, ids):
+            from llava_align_tpu.models import clip as clip_mod
+
+            return clip_mod.encode_text(self.params, self.cfg, ids)
+
+        def extract_features(self, **kw):
+            from llava_align_tpu.models import clip as clip_mod
+
+            return clip_mod.extract_features(self.params, self.cfg, **kw)
+
+        def zero_shot_classifier(self, classnames, templates, tokenize):
+            from llava_align_tpu.models import clip as clip_mod
+
+            return clip_mod.zero_shot_classifier(
+                self.params, self.cfg, classnames, templates, tokenize
+            )
+
+        def predict(self, pixels, classifier):
+            from llava_align_tpu.models import clip as clip_mod
+
+            return clip_mod.zero_shot_predict(self.params, self.cfg, pixels, classifier)
+
+        def compute_sim_matrix(self, pixels, text_ids, **kw):
+            from llava_align_tpu.models import clip as clip_mod
+
+            return clip_mod.compute_sim_matrix(self.params, self.cfg, pixels, text_ids)
+
+    ClipModel.__name__ = f"ClipModel_{arch_name}"
+    return ClipModel
+
+
+for _arch in ("clip", "clip_feature_extractor"):
+    _clip_factory(_arch)

@@ -1050,3 +1050,131 @@ def convert_alpro(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, A
             "fc2": linear("classifier.2", cfg.num_classes, 2 * D),
         }
     return params
+
+
+def convert_clip_full(sd: StateDict, cfg) -> Dict[str, Any]:
+    """HF CLIPModel state dict → models/clip params (vision via the existing
+    CLIPVisionModel converter + projections, text tower, logit scale)."""
+    t = _to(cfg.text.dtype)
+    L = cfg.text.num_layers
+    p = "text_model."
+
+    def st(template):
+        return _stack(sd, p + template, L, lambda w: w)
+
+    qkv_w = np.concatenate(
+        [st("encoder.layers.{i}.self_attn.q_proj.weight"),
+         st("encoder.layers.{i}.self_attn.k_proj.weight"),
+         st("encoder.layers.{i}.self_attn.v_proj.weight")], axis=1,
+    )
+    qkv_b = np.concatenate(
+        [st("encoder.layers.{i}.self_attn.q_proj.bias"),
+         st("encoder.layers.{i}.self_attn.k_proj.bias"),
+         st("encoder.layers.{i}.self_attn.v_proj.bias")], axis=1,
+    )
+
+    def lin(template):
+        return {"w": t(st(template + ".weight")), "b": t(st(template + ".bias"))}
+
+    def lnorm(template):
+        return {"scale": t(st(template + ".weight")), "bias": t(st(template + ".bias"))}
+
+    return {
+        "visual": convert_clip(sd, cfg.vision, prefix="vision_model."),
+        "visual_proj": t(_np(sd["visual_projection.weight"]).T),
+        "token_embedding": t(_np(sd[p + "embeddings.token_embedding.weight"])),
+        "positional_embedding": t(_np(sd[p + "embeddings.position_embedding.weight"])),
+        "text_layers": {
+            "ln1": lnorm("encoder.layers.{i}.layer_norm1"),
+            "qkv": {"w": t(qkv_w), "b": t(qkv_b)},
+            "o": lin("encoder.layers.{i}.self_attn.out_proj"),
+            "ln2": lnorm("encoder.layers.{i}.layer_norm2"),
+            "fc1": lin("encoder.layers.{i}.mlp.fc1"),
+            "fc2": lin("encoder.layers.{i}.mlp.fc2"),
+        },
+        "ln_final": {
+            "scale": t(_np(sd[p + "final_layer_norm.weight"])),
+            "bias": t(_np(sd[p + "final_layer_norm.bias"])),
+        },
+        "text_proj": t(_np(sd["text_projection.weight"]).T),
+        "logit_scale": jnp.asarray(_np(sd["logit_scale"]).reshape(()), jnp.float32),
+    }
+
+
+def convert_clip_openai(sd: StateDict, cfg) -> Dict[str, Any]:
+    """open_clip / LAVIS clip checkpoint naming (visual.*,
+    transformer.resblocks.*) → models/clip params — the layout of the
+    reference's pretrained CLIP weights (clip_models/pretrained.py)."""
+    t = _to(cfg.text.dtype)
+    v = cfg.vision
+    Lv, Dv = v.num_layers, v.hidden_size
+    Lt, Dt = cfg.text.num_layers, cfg.text.width
+
+    def vst(template):
+        return _stack(sd, "visual.transformer.resblocks." + template, Lv, lambda w: w)
+
+    def tst(template):
+        return _stack(sd, "transformer.resblocks." + template, Lt, lambda w: w)
+
+    conv = _np(sd["visual.conv1.weight"])
+    in_proj_w = vst("{i}.attn.in_proj_weight")      # [L, 3D, D]
+    in_proj_b = vst("{i}.attn.in_proj_bias")
+
+    def v_attn(sl):
+        return {
+            "kernel": t(np.swapaxes(in_proj_w[:, sl], 1, 2)),
+            "bias": t(in_proj_b[:, sl]),
+        }
+
+    visual = {
+        "cls": t(_np(sd["visual.class_embedding"]).reshape(-1)),
+        "patch_embed": t(conv.reshape(conv.shape[0], -1).T),
+        "pos_embed": t(_np(sd["visual.positional_embedding"])),
+        "pre_ln": {
+            "scale": t(_np(sd["visual.ln_pre.weight"])),
+            "bias": t(_np(sd["visual.ln_pre.bias"])),
+        },
+        "layers": {
+            "ln1": {"scale": t(vst("{i}.ln_1.weight")), "bias": t(vst("{i}.ln_1.bias"))},
+            "q": v_attn(slice(0, Dv)),
+            "k": v_attn(slice(Dv, 2 * Dv)),
+            "v": v_attn(slice(2 * Dv, 3 * Dv)),
+            "o": {
+                "kernel": t(np.swapaxes(vst("{i}.attn.out_proj.weight"), 1, 2)),
+                "bias": t(vst("{i}.attn.out_proj.bias")),
+            },
+            "ln2": {"scale": t(vst("{i}.ln_2.weight")), "bias": t(vst("{i}.ln_2.bias"))},
+            "fc1": {
+                "kernel": t(np.swapaxes(vst("{i}.mlp.c_fc.weight"), 1, 2)),
+                "bias": t(vst("{i}.mlp.c_fc.bias")),
+            },
+            "fc2": {
+                "kernel": t(np.swapaxes(vst("{i}.mlp.c_proj.weight"), 1, 2)),
+                "bias": t(vst("{i}.mlp.c_proj.bias")),
+            },
+        },
+        "post_ln": {
+            "scale": t(_np(sd["visual.ln_post.weight"])),
+            "bias": t(_np(sd["visual.ln_post.bias"])),
+        },
+    }
+    return {
+        "visual": visual,
+        "visual_proj": t(_np(sd["visual.proj"])),            # already [D, E]
+        "token_embedding": t(_np(sd["token_embedding.weight"])),
+        "positional_embedding": t(_np(sd["positional_embedding"])),
+        "text_layers": {
+            "ln1": {"scale": t(tst("{i}.ln_1.weight")), "bias": t(tst("{i}.ln_1.bias"))},
+            "qkv": {"w": t(tst("{i}.attn.in_proj_weight")), "b": t(tst("{i}.attn.in_proj_bias"))},
+            "o": {"w": t(tst("{i}.attn.out_proj.weight")), "b": t(tst("{i}.attn.out_proj.bias"))},
+            "ln2": {"scale": t(tst("{i}.ln_2.weight")), "bias": t(tst("{i}.ln_2.bias"))},
+            "fc1": {"w": t(tst("{i}.mlp.c_fc.weight")), "b": t(tst("{i}.mlp.c_fc.bias"))},
+            "fc2": {"w": t(tst("{i}.mlp.c_proj.weight")), "b": t(tst("{i}.mlp.c_proj.bias"))},
+        },
+        "ln_final": {
+            "scale": t(_np(sd["ln_final.weight"])),
+            "bias": t(_np(sd["ln_final.bias"])),
+        },
+        "text_proj": t(_np(sd["text_projection"])),          # already [D, E]
+        "logit_scale": jnp.asarray(_np(sd["logit_scale"]).reshape(()), jnp.float32),
+    }
