@@ -369,3 +369,54 @@ def _clip_factory(arch_name: str):
 
 for _arch in ("clip", "clip_feature_extractor"):
     _clip_factory(_arch)
+
+
+@registry.register_model("pnp_vqa")
+class PnpVqaModel(_ZooModel):
+    """PnP-VQA composite zoo entry (reference lavis/models/pnp_vqa_models/)."""
+
+    arch = "pnp_vqa"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        from llava_align_tpu.models import pnp_vqa as pnp_mod
+
+        cfg = pnp_mod.PnpVqaConfig.tiny() if not model_path or model_path.startswith("random") \
+            else pnp_mod.PnpVqaConfig()
+        params = pnp_mod.init(jax.random.PRNGKey(0), cfg)
+        if model_path and not model_path.startswith("random"):
+            raise NotImplementedError(
+                "pnp_vqa composes three checkpoints (BLIP-ITM, BLIP-caption, "
+                "UnifiedQAv2-T5); load them via convert_blip/convert_t5 and "
+                "assemble params={'itm','cap','qa'}"
+            )
+        super().__init__(params, cfg)
+
+    def predict_answers(self, *args, **kw):
+        from llava_align_tpu.models import pnp_vqa as pnp_mod
+
+        return pnp_mod.predict_answers(self.params, self.cfg, *args, **kw)
+
+
+@registry.register_model("img2prompt_vqa")
+class Img2PromptModel(_ZooModel):
+    """Img2Prompt composite zoo entry (reference lavis/models/img2prompt_models/)."""
+
+    arch = "img2prompt_vqa"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        from llava_align_tpu.models import img2prompt as i2p_mod
+
+        cfg = i2p_mod.Img2PromptConfig.tiny()
+        params = i2p_mod.init(jax.random.PRNGKey(0), cfg)
+        if model_path and not model_path.startswith("random"):
+            raise NotImplementedError(
+                "img2prompt_vqa composes BLIP-ITM + BLIP-caption + a T5 QG "
+                "checkpoint; load via convert_blip/convert_t5 and assemble "
+                "params={'itm','cap','qg'}"
+            )
+        super().__init__(params, cfg)
+
+    def prompts_construction(self, *args, **kw):
+        from llava_align_tpu.models import img2prompt as i2p_mod
+
+        return i2p_mod.prompts_construction(*args, **kw)

@@ -646,3 +646,161 @@ def compute_sim_matrix(
         )[:, 1]
         t2i[t, topk] = sims[topk, t] + itm
     return i2t, t2i
+
+
+# ---------------------------------------------------------------------------
+# GradCAM (blip_image_text_matching.py compute_gradcam) + sampled captioning
+# — the building blocks of the PnP-VQA / Img2Prompt composite models
+# ---------------------------------------------------------------------------
+
+
+def _itm_forward_probed(
+    params: Params, cfg: BlipConfig,
+    ids: jax.Array, mask: jax.Array,
+    enc: jax.Array, probe: jax.Array, block_num: int,
+):
+    """ITM forward that adds `probe` (zeros) to the cross-attention
+    probabilities of layer `block_num` and returns (sum of class-1 logits,
+    those probabilities). d(out)/d(probe) is the attention-map gradient the
+    torch reference captures with save_attention hooks
+    (blip_image_text_matching.py:151-173)."""
+    tcfg = cfg.text
+    H = tcfg.num_heads
+    eps = tcfg.layer_norm_eps
+    B, S = ids.shape
+    Dh = tcfg.head_dim
+    x = med_embed(params["text"], tcfg, ids, jnp.arange(S, dtype=jnp.int32)[None])
+    smask = mask[:, None, None, :].astype(bool)
+    cams = None
+    lp_all = params["text"]["layers"]
+    for li in range(tcfg.num_layers):
+        lp = {k: jax.tree_util.tree_map(lambda a: a[li], v) for k, v in lp_all.items()}
+        a = _mha(_lin(x, lp["sq"]), _lin(x, lp["sk"]), _lin(x, lp["sv"]), H, smask)
+        x = layer_norm(x + _lin(a, lp["so"]), lp["s_ln"]["scale"], lp["s_ln"]["bias"], eps)
+        # cross attention with probe at the target layer
+        q = _lin(x, lp["cq"]).reshape(B, S, H, Dh)
+        k = _lin(enc, lp["ck"]).reshape(B, -1, H, Dh)
+        v = _lin(enc, lp["cv"]).reshape(B, -1, H, Dh)
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / (Dh**0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        if li == block_num:
+            p = p + probe
+            cams = p
+        a = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(x.dtype).reshape(B, S, -1)
+        x = layer_norm(x + _lin(a, lp["co"]), lp["c_ln"]["scale"], lp["c_ln"]["bias"], eps)
+        f = _lin(jax.nn.gelu(_lin(x, lp["fc1"]), approximate=False), lp["fc2"])
+        x = layer_norm(x + f, lp["f_ln"]["scale"], lp["f_ln"]["bias"], eps)
+    itm = (
+        jnp.einsum("bd,od->bo", x[:, 0], params["itm_head"]["w"])
+        + params["itm_head"]["b"]
+    )
+    return itm[:, 1].sum(), cams
+
+
+def compute_gradcam(
+    params: Params, cfg: BlipConfig,
+    pixels: Optional[jax.Array], text_ids: jax.Array, text_mask: jax.Array,
+    *,
+    block_num: int = 6,
+    enc_states: Optional[jax.Array] = None,
+):
+    """Per-patch question relevance from the ITM head
+    (blip_image_text_matching.py:151-200): gradcam = attn_probs ·
+    relu(d itm₁ / d attn_probs), text-masked, head-averaged. Returns
+    (avg_gradcam [B, N] — the question-averaged row PnP-VQA samples patches
+    from — and the full per-token map [B, S, N])."""
+    enc = enc_states if enc_states is not None else vit_forward(
+        params["visual"], cfg.vision, pixels
+    )
+    B, S = text_ids.shape
+    H = cfg.text.num_heads
+    Se = enc.shape[1]
+    probe = jnp.zeros((B, H, S, Se), jnp.float32)
+
+    def f(pr):
+        return _itm_forward_probed(params, cfg, text_ids, text_mask, enc, pr, block_num)
+
+    grads, cams = jax.grad(f, has_aux=True)(probe)
+    m = text_mask[:, None, :, None].astype(jnp.float32)
+    cams = cams[..., 1:] * m          # drop image cls column
+    grads = jnp.clip(grads[..., 1:], 0) * m
+    gradcam = (cams * grads).mean(axis=1)               # head-avg → [B, S, N]
+    tok_len = text_mask.sum(axis=-1) - 2                # minus [ENC], [SEP]
+    span = (jnp.arange(S)[None] >= 1) & (jnp.arange(S)[None] <= tok_len[:, None])
+    avg = (gradcam * span[..., None]).sum(axis=1) / tok_len[:, None]
+    return avg, gradcam
+
+
+def generate_caption_sampled(
+    params: Params, cfg: BlipConfig,
+    enc_states: jax.Array,        # [B, Se, D] (e.g. gradcam-sampled patches)
+    prompt_ids,                   # list[int] incl. bos
+    rng: jax.Array,
+    *,
+    max_new_tokens: int = 20,
+    min_new_tokens: int = 0,
+    top_k: int = 50,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    eos_token_id: int = 102,
+):
+    """Stochastic captioning over caller-provided encoder states — the
+    PnP-VQA forward_cap path (pnp_vqa.py:124-160: do_sample with
+    top-k/top-p and repetition penalty on HF generate). Returns
+    List[List[int]]."""
+    from llava_align_tpu.decoding.sampler import sample_token, warp_logits
+
+    B = enc_states.shape[0]
+    P = len(prompt_ids)
+    T = P + max_new_tokens
+    cross = precompute_cross_kv(params["text"], cfg.text, enc_states)
+    cache = init_self_cache(cfg.text, B, T)
+    step = jax.jit(lambda p, tok, t, c, x: decode_step(p, cfg.text, tok, t, c, x))
+    token = np.full((B,), prompt_ids[0], np.int32)
+    done = np.zeros((B,), bool)
+    generated = [[] for _ in range(B)]
+    rows = []
+    for t in range(T - 1):
+        logits, cache = step(
+            params["text"], jnp.asarray(token), jnp.asarray(t, jnp.int32),
+            cache, cross,
+        )
+        if t + 1 < P:
+            nxt = np.full((B,), prompt_ids[t + 1], np.int32)
+        else:
+            lg = np.asarray(logits, np.float32)
+            if repetition_penalty != 1.0:
+                for b in range(B):
+                    seen = set(prompt_ids) | set(generated[b])
+                    for tok_id in seen:
+                        v = lg[b, tok_id]
+                        lg[b, tok_id] = v / repetition_penalty if v > 0 else v * repetition_penalty
+            if len(rows) < min_new_tokens:
+                lg[:, eos_token_id] = -1e30
+            rng, sub = jax.random.split(rng)
+            warped = warp_logits(jnp.asarray(lg), top_k=top_k, top_p=top_p)
+            nxt = np.asarray(sample_token(sub, warped)).astype(np.int32)
+            nxt = np.where(done, eos_token_id, nxt)
+            rows.append(nxt)
+            for b in range(B):
+                if not done[b]:
+                    generated[b].append(int(nxt[b]))
+            done |= nxt == eos_token_id
+        token = nxt
+        if t + 1 >= P and done.all():
+            break
+    out = []
+    for b in range(B):
+        row = generated[b]
+        if eos_token_id in row:
+            row = row[: row.index(eos_token_id)]
+        out.append(row)
+    return out
