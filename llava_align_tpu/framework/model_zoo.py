@@ -420,3 +420,86 @@ class Img2PromptModel(_ZooModel):
         from llava_align_tpu.models import img2prompt as i2p_mod
 
         return i2p_mod.prompts_construction(*args, **kw)
+
+
+def _blip_variant_factory(arch_name: str, variant: str):
+    @registry.register_model(arch_name)
+    class BlipVariantModel(_ZooModel):
+        """BLIP variant zoo entry (reference lavis/models/blip_models/*)."""
+
+        arch = arch_name
+
+        def __init__(self, model_path: Optional[str] = None,
+                     num_classes: int = 2, **kw):
+            from llava_align_tpu.models import blip as blip_base
+            from llava_align_tpu.models import blip_variants as bv_mod
+
+            if model_path and not model_path.startswith("random"):
+                from llava_align_tpu.utils.hf_convert import (
+                    convert_blip, convert_blip_nlvr, load_state_dict,
+                )
+
+                sd = load_state_dict(model_path)
+                if variant == "nlvr":
+                    cfg = bv_mod.NlvrConfig(num_classes=num_classes)
+                    params = convert_blip_nlvr(sd, cfg)
+                else:
+                    cfg = blip_base.BlipConfig()
+                    params = convert_blip(sd, cfg)
+            else:
+                if variant == "nlvr":
+                    cfg = bv_mod.NlvrConfig.tiny()
+                    params = bv_mod.init_nlvr(jax.random.PRNGKey(0), cfg)
+                else:
+                    cfg = blip_base.BlipConfig.tiny()
+                    params = {
+                        "retrieval": bv_mod.init_retrieval,
+                        "vqa": bv_mod.init_vqa,
+                        "classification": lambda r, c: bv_mod.init_classification(
+                            r, c, num_classes
+                        ),
+                        "pretrain": bv_mod.init_retrieval,
+                    }[variant](jax.random.PRNGKey(0), cfg)
+                    if variant == "pretrain":
+                        from llava_align_tpu.models.blip import med_init
+
+                        params["decoder"] = med_init(jax.random.PRNGKey(1), cfg.text)
+            self.variant = variant
+            super().__init__(params, cfg)
+
+        def predict_answers(self, *args, **kw):
+            from llava_align_tpu.models import blip_variants as bv_mod
+
+            return bv_mod.vqa_rank_answers(self.params, self.cfg, *args, **kw)
+
+        def generate(self, *args, **kw):
+            from llava_align_tpu.models import blip_variants as bv_mod
+
+            return bv_mod.vqa_generate(self.params, self.cfg, *args, **kw)
+
+        def predict(self, *args, **kw):
+            from llava_align_tpu.models import blip_variants as bv_mod
+
+            if self.variant == "nlvr":
+                return bv_mod.nlvr_forward(self.params, self.cfg, *args, **kw)
+            return bv_mod.classify(self.params, self.cfg, *args, **kw)
+
+        def compute_sim_matrix(self, pixels, text_ids, text_mask, **kw):
+            from llava_align_tpu.models import blip as blip_base
+
+            return blip_base.compute_sim_matrix(
+                self.params, self.cfg, pixels, text_ids, text_mask, **kw
+            )
+
+    BlipVariantModel.__name__ = f"BlipVariantModel_{arch_name}"
+    return BlipVariantModel
+
+
+for _arch, _variant in (
+    ("blip_retrieval", "retrieval"),
+    ("blip_vqa", "vqa"),
+    ("blip_classification", "classification"),
+    ("blip_nlvr", "nlvr"),
+    ("blip_pretrain", "pretrain"),
+):
+    _blip_variant_factory(_arch, _variant)

@@ -445,8 +445,9 @@ def init(rng: jax.Array, cfg: BlipConfig) -> Params:
     return {
         "visual": vit_init(k1, cfg.vision),
         "text": med_init(k2, cfg.text),
-        "vision_proj": w(ks[0], E, cfg.vision.hidden_size),
-        "text_proj": w(ks[1], E, D),
+        "vision_proj": {"w": w(ks[0], E, cfg.vision.hidden_size),
+                        "b": jnp.zeros((E,), cfg.text.dtype)},
+        "text_proj": {"w": w(ks[1], E, D), "b": jnp.zeros((E,), cfg.text.dtype)},
         "itm_head": {"w": w(ks[2], 2, D), "b": jnp.zeros((2,), cfg.text.dtype)},
     }
 
@@ -588,12 +589,12 @@ def extract_features(
     out: Dict[str, jax.Array] = {}
     if pixels is not None:
         enc = vit_forward(params["visual"], cfg.vision, pixels)
-        v = jnp.einsum("bd,od->bo", enc[:, 0], params["vision_proj"])
+        v = jnp.einsum("bd,od->bo", enc[:, 0], params["vision_proj"]["w"]) + params["vision_proj"]["b"]
         out["image_embeds"] = enc
         out["image_features"] = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
     if text_ids is not None:
         h = med_forward(params["text"], cfg.text, text_ids, text_mask, causal=False)
-        t = jnp.einsum("bd,od->bo", h[:, 0], params["text_proj"])
+        t = jnp.einsum("bd,od->bo", h[:, 0], params["text_proj"]["w"]) + params["text_proj"]["b"]
         out["text_embeds"] = h
         out["text_features"] = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
     return out

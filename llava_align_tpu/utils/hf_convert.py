@@ -812,10 +812,22 @@ def convert_blip(sd: StateDict, cfg) -> Dict[str, Any]:
     params = {
         "visual": convert_blip_vit(sd, cfg.vision),
         "text": convert_med(sd, cfg.text, prefix=text_prefix, head_prefix=head_prefix),
-        "vision_proj": t(_np(sd["vision_proj.weight"])) if "vision_proj.weight" in sd
-        else jnp.zeros((cfg.embed_dim, cfg.vision.hidden_size), cfg.text.dtype),
-        "text_proj": t(_np(sd["text_proj.weight"])) if "text_proj.weight" in sd
-        else jnp.zeros((cfg.embed_dim, cfg.text.hidden_size), cfg.text.dtype),
+        "vision_proj": {
+            "w": t(_np(sd["vision_proj.weight"])),
+            "b": t(_np(sd["vision_proj.bias"])) if "vision_proj.bias" in sd
+            else jnp.zeros((cfg.embed_dim,), cfg.text.dtype),
+        } if "vision_proj.weight" in sd else {
+            "w": jnp.zeros((cfg.embed_dim, cfg.vision.hidden_size), cfg.text.dtype),
+            "b": jnp.zeros((cfg.embed_dim,), cfg.text.dtype),
+        },
+        "text_proj": {
+            "w": t(_np(sd["text_proj.weight"])),
+            "b": t(_np(sd["text_proj.bias"])) if "text_proj.bias" in sd
+            else jnp.zeros((cfg.embed_dim,), cfg.text.dtype),
+        } if "text_proj.weight" in sd else {
+            "w": jnp.zeros((cfg.embed_dim, cfg.text.hidden_size), cfg.text.dtype),
+            "b": jnp.zeros((cfg.embed_dim,), cfg.text.dtype),
+        },
         "itm_head": {
             "w": t(_np(sd["itm_head.weight"])),
             "b": t(_np(sd["itm_head.bias"])),
@@ -1177,4 +1189,66 @@ def convert_clip_openai(sd: StateDict, cfg) -> Dict[str, Any]:
         },
         "text_proj": t(_np(sd["text_projection"])),          # already [D, E]
         "logit_scale": jnp.asarray(_np(sd["logit_scale"]).reshape(()), jnp.float32),
+    }
+
+
+def convert_blip_nlvr(sd: StateDict, cfg) -> Dict[str, Any]:
+    """LAVIS BLIP-NLVR checkpoint (blip_nlvr.py + nlvr_encoder.py twin
+    cross-attention: crossattention.self0/self1 + output.dense0/dense1 +
+    output.merge_layer for layers >= 6) → models/blip_variants NLVR params.
+    `cfg` is an NlvrConfig."""
+    t = _to(cfg.base.text.dtype)
+    tc = cfg.base.text
+    L, D = tc.num_layers, tc.hidden_size
+
+    def pick_prefix(base):
+        for p in (base + ".bert.", base + "."):
+            if p + "embeddings.word_embeddings.weight" in sd:
+                return p
+        raise KeyError("no text_encoder.* keys in NLVR state dict")
+
+    prefix = pick_prefix("text_encoder")
+    base = convert_med(sd, tc, prefix=prefix, head_prefix="__none__.")
+
+    def st(template):
+        return t(_stack(sd, prefix + template, L, lambda w: w))
+
+    def lin(base_name):
+        return {"w": st(base_name + ".weight"), "b": st(base_name + ".bias")}
+
+    layers = dict(base["layers"])
+    for tw in ("0", "1"):
+        layers[f"c{tw}q"] = lin(f"encoder.layer.{{i}}.crossattention.self{tw}.query")
+        layers[f"c{tw}k"] = lin(f"encoder.layer.{{i}}.crossattention.self{tw}.key")
+        layers[f"c{tw}v"] = lin(f"encoder.layer.{{i}}.crossattention.self{tw}.value")
+        layers[f"d{tw}"] = lin(f"encoder.layer.{{i}}.crossattention.output.dense{tw}")
+    layers["c_ln"] = {
+        "scale": st("encoder.layer.{i}.crossattention.output.LayerNorm.weight"),
+        "bias": st("encoder.layer.{i}.crossattention.output.LayerNorm.bias"),
+    }
+    # merge_layer exists only for layers >= merge_from — zero-fill the rest
+    mw = np.zeros((L, D, 2 * D), np.float32)
+    mb = np.zeros((L, D), np.float32)
+    for i in range(L):
+        key = prefix + f"encoder.layer.{i}.crossattention.output.merge_layer.weight"
+        if key in sd:
+            mw[i] = _np(sd[key])
+            mb[i] = _np(sd[key.replace("weight", "bias")])
+    layers["merge"] = {"w": t(mw), "b": t(mb)}
+    for k in ("cq", "ck", "cv", "co"):
+        layers.pop(k, None)
+    base["layers"] = layers
+
+    def head_lin(name, o, i):
+        if name + ".weight" in sd:
+            return {"w": t(_np(sd[name + ".weight"])), "b": t(_np(sd[name + ".bias"]))}
+        return {"w": jnp.zeros((o, i), tc.dtype), "b": jnp.zeros((o,), tc.dtype)}
+
+    return {
+        "visual": convert_blip_vit(sd, cfg.base.vision, prefix="visual_encoder."),
+        "text": base,
+        "cls_head": {
+            "fc1": head_lin("cls_head.0", D, D),
+            "fc2": head_lin("cls_head.2", cfg.num_classes, D),
+        },
     }
