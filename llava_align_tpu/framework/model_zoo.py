@@ -503,3 +503,32 @@ for _arch, _variant in (
     ("blip_pretrain", "pretrain"),
 ):
     _blip_variant_factory(_arch, _variant)
+
+
+@registry.register_model("blip_diffusion")
+class BlipDiffusionModel(_ZooModel):
+    """BLIP-diffusion zoo entry (reference lavis/models/blip_diffusion_models/).
+
+    Ships the reference's own layers (ctx-CLIP, Q-Former subject embedding,
+    DDPM loss, DDIM+CFG loop); the UNet/VAE are caller-provided jittable
+    apply functions — the reference delegates them to the external diffusers
+    library, which is not vendored there either."""
+
+    arch = "blip_diffusion"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        from llava_align_tpu.models import blip_diffusion as bd_mod
+
+        cfg = bd_mod.BlipDiffusionConfig.tiny()
+        params = bd_mod.init(jax.random.PRNGKey(0), cfg)
+        super().__init__(params, cfg)
+
+    def generate(self, *args, **kw):
+        from llava_align_tpu.models import blip_diffusion as bd_mod
+
+        return bd_mod.generate(self.params, self.cfg, *args, **kw)
+
+    def train_loss(self, *args, **kw):
+        from llava_align_tpu.models import blip_diffusion as bd_mod
+
+        return bd_mod.train_loss(self.params, self.cfg, *args, **kw)

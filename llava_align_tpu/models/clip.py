@@ -120,14 +120,17 @@ def encode_image(params: Params, cfg: ClipConfig, pixels: jax.Array) -> jax.Arra
     return cls @ params["visual_proj"]
 
 
-def encode_text(params: Params, cfg: ClipConfig, ids: jax.Array) -> jax.Array:
-    """[B, ctx] → [B, embed_dim]; pools the EOT position = argmax(ids)
-    (model.py:555-568)."""
+def text_transformer(
+    params: Params, cfg: ClipConfig, embeds: jax.Array
+) -> jax.Array:
+    """Causal text stack on pre-built embeddings (token + positional already
+    added) → post-ln_final hidden [B, S, D]. The shared core of encode_text
+    and the BLIP-diffusion ctx-CLIP variant."""
     t = cfg.text
-    B, S = ids.shape
+    B, S, _ = embeds.shape
     D, H = t.width, t.num_heads
     eps = t.layer_norm_eps
-    x = params["token_embedding"][ids] + params["positional_embedding"][:S]
+    x = embeds
     mask = jnp.tril(jnp.ones((S, S), bool))[None, None]
 
     def body(x, lp):
@@ -152,7 +155,15 @@ def encode_text(params: Params, cfg: ClipConfig, ids: jax.Array) -> jax.Array:
         return x, None
 
     x, _ = jax.lax.scan(body, x, params["text_layers"])
-    x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], eps)
+    return layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], eps)
+
+
+def encode_text(params: Params, cfg: ClipConfig, ids: jax.Array) -> jax.Array:
+    """[B, ctx] → [B, embed_dim]; pools the EOT position = argmax(ids)
+    (model.py:555-568)."""
+    B, S = ids.shape
+    emb = params["token_embedding"][ids] + params["positional_embedding"][:S]
+    x = text_transformer(params, cfg, emb)
     eot = jnp.argmax(ids, axis=-1)
     pooled = x[jnp.arange(B), eot]
     return pooled @ params["text_proj"]
