@@ -177,9 +177,20 @@ def _albef_factory(arch_name: str, variant: str):
             from llava_align_tpu.models import albef as albef_mod
 
             if model_path and not model_path.startswith("random"):
+                from llava_align_tpu.models.blip import MedConfig
                 from llava_align_tpu.utils.hf_convert import convert_albef, load_state_dict
 
-                cfg = albef_mod.AlbefConfig(num_classes=num_classes)
+                if variant == "nlvr":
+                    # reference albef_nlvr.py:232: 18-layer encoder (6 text
+                    # + 12 alternating fusion layers), fusion at 6
+                    cfg = albef_mod.AlbefConfig(
+                        text=MedConfig(
+                            vocab_size=30522, num_layers=18, fusion_layer=6
+                        ),
+                        num_classes=num_classes,
+                    )
+                else:
+                    cfg = albef_mod.AlbefConfig(num_classes=num_classes)
                 params = convert_albef(load_state_dict(model_path), cfg, variant=variant)
             else:
                 cfg = albef_mod.AlbefConfig.tiny(
@@ -380,15 +391,14 @@ class PnpVqaModel(_ZooModel):
     def __init__(self, model_path: Optional[str] = None, **kw):
         from llava_align_tpu.models import pnp_vqa as pnp_mod
 
-        cfg = pnp_mod.PnpVqaConfig.tiny() if not model_path or model_path.startswith("random") \
-            else pnp_mod.PnpVqaConfig()
-        params = pnp_mod.init(jax.random.PRNGKey(0), cfg)
         if model_path and not model_path.startswith("random"):
             raise NotImplementedError(
                 "pnp_vqa composes three checkpoints (BLIP-ITM, BLIP-caption, "
                 "UnifiedQAv2-T5); load them via convert_blip/convert_t5 and "
                 "assemble params={'itm','cap','qa'}"
             )
+        cfg = pnp_mod.PnpVqaConfig.tiny()
+        params = pnp_mod.init(jax.random.PRNGKey(0), cfg)
         super().__init__(params, cfg)
 
     def predict_answers(self, *args, **kw):
@@ -406,14 +416,14 @@ class Img2PromptModel(_ZooModel):
     def __init__(self, model_path: Optional[str] = None, **kw):
         from llava_align_tpu.models import img2prompt as i2p_mod
 
-        cfg = i2p_mod.Img2PromptConfig.tiny()
-        params = i2p_mod.init(jax.random.PRNGKey(0), cfg)
         if model_path and not model_path.startswith("random"):
             raise NotImplementedError(
                 "img2prompt_vqa composes BLIP-ITM + BLIP-caption + a T5 QG "
                 "checkpoint; load via convert_blip/convert_t5 and assemble "
                 "params={'itm','cap','qg'}"
             )
+        cfg = i2p_mod.Img2PromptConfig.tiny()
+        params = i2p_mod.init(jax.random.PRNGKey(0), cfg)
         super().__init__(params, cfg)
 
     def prompts_construction(self, *args, **kw):
@@ -436,7 +446,7 @@ def _blip_variant_factory(arch_name: str, variant: str):
 
             if model_path and not model_path.startswith("random"):
                 from llava_align_tpu.utils.hf_convert import (
-                    convert_blip, convert_blip_nlvr, load_state_dict,
+                    convert_blip_nlvr, convert_blip_variant, load_state_dict,
                 )
 
                 sd = load_state_dict(model_path)
@@ -445,7 +455,9 @@ def _blip_variant_factory(arch_name: str, variant: str):
                     params = convert_blip_nlvr(sd, cfg)
                 else:
                     cfg = blip_base.BlipConfig()
-                    params = convert_blip(sd, cfg)
+                    params = convert_blip_variant(
+                        sd, cfg, variant, num_classes=num_classes
+                    )
             else:
                 if variant == "nlvr":
                     cfg = bv_mod.NlvrConfig.tiny()
@@ -487,6 +499,11 @@ def _blip_variant_factory(arch_name: str, variant: str):
         def compute_sim_matrix(self, pixels, text_ids, text_mask, **kw):
             from llava_align_tpu.models import blip as blip_base
 
+            if self.variant not in ("retrieval", "pretrain"):
+                raise ValueError(
+                    f"compute_sim_matrix needs ITC projections; the "
+                    f"{self.variant!r} variant has none (use blip_retrieval)"
+                )
             return blip_base.compute_sim_matrix(
                 self.params, self.cfg, pixels, text_ids, text_mask, **kw
             )

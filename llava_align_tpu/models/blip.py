@@ -295,6 +295,11 @@ def med_forward(
     if mode == "text":
         lo, hi = 0, fl
     elif mode == "fusion":
+        if cfg.fusion_layer is None:
+            raise ValueError(
+                "mode='fusion' needs MedConfig.fusion_layer (BLIP configs "
+                "have none — use mode='multimodal')"
+            )
         lo, hi = fl, L
     else:
         lo, hi = 0, L

@@ -492,9 +492,11 @@ def pretrain_step(
         params["decoder"], cfg.text, dec_ids, mask,
         encoder_states=enc, encoder_mask=am, causal=True,
     )
+    # reference: CrossEntropyLoss(reduction="mean") over the flattened valid
+    # tokens (med.py:1238) — one token-mean, not a per-sample mean of means
     per = _lm_loss_per_sample(med_logits(params["decoder"], h), targets, 0.1)
-    n_tok = jnp.maximum((targets[:, 1:] != -100).sum(axis=-1), 1)
-    loss_lm = (per / n_tok).mean()
+    n_tok = jnp.maximum((targets[:, 1:] != -100).sum(), 1)
+    loss_lm = per.sum() / n_tok
     losses = dict(losses)
     losses["loss_lm"] = loss_lm
     losses["loss"] = losses["loss"] + loss_lm

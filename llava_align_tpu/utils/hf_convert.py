@@ -839,6 +839,33 @@ def convert_blip(sd: StateDict, cfg) -> Dict[str, Any]:
     return params
 
 
+def _pick_bert_prefix(sd: StateDict, base: str):
+    for p in (base + ".bert.", base + "."):
+        if p + "embeddings.word_embeddings.weight" in sd:
+            return p
+    return None
+
+
+def _zero_fill_cross(sd: StateDict, prefix: str, med_cfg) -> Dict[str, Any]:
+    """Synthesize zero crossattention.* keys for layers that lack them (the
+    pre-fusion ALBEF layers / every ALPRO layer) so convert_med's stacked
+    layout converts; the zero weights are inert under the mode gating."""
+    D = med_cfg.hidden_size
+    out = dict(sd)
+    tmpl = prefix + "encoder.layer.{i}.crossattention."
+    for i in range(med_cfg.num_layers):
+        base = tmpl.format(i=i)
+        if base + "self.query.weight" not in out:
+            for name in ("self.query", "self.key", "self.value", "output.dense"):
+                out[base + name + ".weight"] = np.zeros((D, D), np.float32)
+                out[base + name + ".bias"] = np.zeros((D,), np.float32)
+            out[base + "output.LayerNorm.weight"] = np.ones((D,), np.float32)
+            out[base + "output.LayerNorm.bias"] = np.zeros((D,), np.float32)
+    # convert_med detects cross from layer 0 — forced by construction
+    assert tmpl.format(i=0) + "self.query.weight" in out
+    return out
+
+
 def convert_albef(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, Any]:
     """LAVIS ALBEF checkpoint → models/albef params.
 
@@ -852,33 +879,10 @@ def convert_albef(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, A
     carries them separately."""
     t = _to(cfg.text.dtype)
 
-    def pick_prefix(base):
-        for p in (base + ".bert.", base + "."):
-            if p + "embeddings.word_embeddings.weight" in sd:
-                return p
-        return None
-
-    def zero_fill_cross(sd2, prefix, med_cfg):
-        fl = med_cfg.fusion_layer if med_cfg.fusion_layer is not None else 0
-        D = med_cfg.hidden_size
-        out = dict(sd2)
-        tmpl = prefix + "encoder.layer.{i}.crossattention."
-        for i in range(med_cfg.num_layers):
-            base = tmpl.format(i=i)
-            if base + "self.query.weight" not in out:
-                for name in ("self.query", "self.key", "self.value", "output.dense"):
-                    out[base + name + ".weight"] = np.zeros((D, D), np.float32)
-                    out[base + name + ".bias"] = np.zeros((D,), np.float32)
-                out[base + "output.LayerNorm.weight"] = np.ones((D,), np.float32)
-                out[base + "output.LayerNorm.bias"] = np.zeros((D,), np.float32)
-        # convert_med detects cross from layer 0 — force it by construction
-        assert tmpl.format(i=0) + "self.query.weight" in out
-        return out
-
-    text_prefix = pick_prefix("text_encoder")
+    text_prefix = _pick_bert_prefix(sd, "text_encoder")
     if text_prefix is None:
         raise KeyError("no text_encoder.* keys in ALBEF state dict")
-    sd_text = zero_fill_cross(sd, text_prefix, cfg.text)
+    sd_text = _zero_fill_cross(sd, text_prefix, cfg.text)
     params: Dict[str, Any] = {
         "visual": convert_blip_vit(sd, cfg.vision, prefix="visual_encoder."),
         "text": convert_med(sd_text, cfg.text, prefix=text_prefix, head_prefix="__none__."),
@@ -900,11 +904,11 @@ def convert_albef(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, A
             if "temp" in sd else jnp.asarray(0.07, jnp.float32)
         )
     if variant == "vqa":
-        dec_prefix = pick_prefix("text_decoder")
+        dec_prefix = _pick_bert_prefix(sd, "text_decoder")
         if dec_prefix is None:
             raise KeyError("vqa variant needs text_decoder.* keys")
         params["decoder"] = convert_med(
-            zero_fill_cross(sd, dec_prefix, cfg.decoder), cfg.decoder,
+            _zero_fill_cross(sd, dec_prefix, cfg.decoder), cfg.decoder,
             prefix=dec_prefix, head_prefix="text_decoder.cls.",
         )
     if variant in ("classification", "nlvr"):
@@ -1017,25 +1021,11 @@ def convert_alpro(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, A
     self-attention over the concatenated sequence)."""
     t = _to(cfg.text.dtype)
 
-    def pick_prefix(base):
-        for p in (base + ".bert.", base + "."):
-            if p + "embeddings.word_embeddings.weight" in sd:
-                return p
-        return None
-
-    text_prefix = pick_prefix("text_encoder")
+    text_prefix = _pick_bert_prefix(sd, "text_encoder")
     if text_prefix is None:
         raise KeyError("no text_encoder.* keys in ALPRO state dict")
-    sd_text = dict(sd)
+    sd_text = _zero_fill_cross(sd, text_prefix, cfg.text)
     D = cfg.text.hidden_size
-    for i in range(cfg.text.num_layers):
-        base = text_prefix + f"encoder.layer.{i}.crossattention."
-        if base + "self.query.weight" not in sd_text:
-            for name in ("self.query", "self.key", "self.value", "output.dense"):
-                sd_text[base + name + ".weight"] = np.zeros((D, D), np.float32)
-                sd_text[base + name + ".bias"] = np.zeros((D,), np.float32)
-            sd_text[base + "output.LayerNorm.weight"] = np.ones((D,), np.float32)
-            sd_text[base + "output.LayerNorm.bias"] = np.zeros((D,), np.float32)
 
     params: Dict[str, Any] = {
         "visual": convert_timesformer(sd, cfg.video),
@@ -1201,13 +1191,9 @@ def convert_blip_nlvr(sd: StateDict, cfg) -> Dict[str, Any]:
     tc = cfg.base.text
     L, D = tc.num_layers, tc.hidden_size
 
-    def pick_prefix(base):
-        for p in (base + ".bert.", base + "."):
-            if p + "embeddings.word_embeddings.weight" in sd:
-                return p
+    prefix = _pick_bert_prefix(sd, "text_encoder")
+    if prefix is None:
         raise KeyError("no text_encoder.* keys in NLVR state dict")
-
-    prefix = pick_prefix("text_encoder")
     base = convert_med(sd, tc, prefix=prefix, head_prefix="__none__.")
 
     def st(template):
@@ -1252,3 +1238,60 @@ def convert_blip_nlvr(sd: StateDict, cfg) -> Dict[str, Any]:
             "fc2": head_lin("cls_head.2", cfg.num_classes, D),
         },
     }
+
+
+def convert_blip_variant(
+    sd: StateDict, cfg, variant: str, num_classes: int = 2
+) -> Dict[str, Any]:
+    """LAVIS BLIP variant checkpoints → models/blip_variants params.
+
+    vqa: text_encoder (question encoder) + text_decoder (+cls head) as
+    separate med trees (blip_vqa.py:43-50 — convert_blip alone would load
+    the decoder into the encoder slot); classification: + cls_head.{0,2};
+    retrieval: convert_blip + temp scalar; pretrain: retrieval + decoder."""
+    tc = cfg.text
+    t = _to(tc.dtype)
+
+    def linear(name, o, i):
+        if name + ".weight" in sd:
+            return {"w": t(_np(sd[name + ".weight"])), "b": t(_np(sd[name + ".bias"]))}
+        return {"w": jnp.zeros((o, i), tc.dtype), "b": jnp.zeros((o,), tc.dtype)}
+
+    if variant in ("retrieval", "pretrain"):
+        params = convert_blip(sd, cfg)
+        params["temp"] = (
+            jnp.asarray(_np(sd["temp"]).reshape(()), jnp.float32)
+            if "temp" in sd else jnp.asarray(0.07, jnp.float32)
+        )
+        if variant == "pretrain":
+            dec_prefix = _pick_bert_prefix(sd, "text_decoder")
+            if dec_prefix is None:
+                raise KeyError("pretrain checkpoint lacks text_decoder.* keys")
+            params["decoder"] = convert_med(
+                sd, tc, prefix=dec_prefix, head_prefix="text_decoder.cls."
+            )
+        return params
+
+    enc_prefix = _pick_bert_prefix(sd, "text_encoder")
+    if enc_prefix is None:
+        raise KeyError(f"{variant} checkpoint lacks text_encoder.* keys")
+    params = {
+        "visual": convert_blip_vit(sd, cfg.vision, prefix="visual_encoder."),
+        "text": convert_med(sd, tc, prefix=enc_prefix, head_prefix="__none__."),
+    }
+    if variant == "vqa":
+        dec_prefix = _pick_bert_prefix(sd, "text_decoder")
+        if dec_prefix is None:
+            raise KeyError("vqa checkpoint lacks text_decoder.* keys")
+        params["decoder"] = convert_med(
+            sd, tc, prefix=dec_prefix, head_prefix="text_decoder.cls."
+        )
+    elif variant == "classification":
+        D = tc.hidden_size
+        params["cls_head"] = {
+            "fc1": linear("cls_head.0", D, D),
+            "fc2": linear("cls_head.2", num_classes, D),
+        }
+    else:
+        raise ValueError(f"unknown blip variant {variant!r}")
+    return params

@@ -239,3 +239,88 @@ def test_zoo_registers_blip_variant_archs():
     for arch in ("blip_retrieval", "blip_vqa", "blip_classification",
                  "blip_nlvr", "blip_pretrain"):
         assert registry.get_model_class(arch) is not None, arch
+
+
+def test_convert_blip_variant_separates_encoder_and_decoder():
+    """A VQA checkpoint carries both text_encoder.* and text_decoder.* — the
+    converter must keep them apart (review finding: convert_blip would load
+    the decoder into the encoder slot)."""
+    from transformers import BertConfig, BertLMHeadModel, BertModel
+    from llava_align_tpu.utils.hf_convert import convert_blip_variant
+
+    cfg = BlipConfig.tiny(V)
+    hf_cfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=cfg.text.num_layers,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, is_decoder=True, add_cross_attention=True,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        pad_token_id=0, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    enc = BertModel(hf_cfg, add_pooling_layer=False)
+    torch.manual_seed(1)
+    dec = BertLMHeadModel(hf_cfg)
+    sd = {}
+    for k, v in enc.state_dict().items():
+        sd[f"text_encoder.{k}"] = v.detach()
+    for k, v in dec.state_dict().items():
+        sd[f"text_decoder.{k}"] = v.detach()
+    # tiny vit keys
+    vit_hf = blip_mod.vit_init(jax.random.PRNGKey(0), cfg.vision)
+    sd.update({
+        "visual_encoder.cls_token": torch.zeros(1, 1, D),
+        "visual_encoder.pos_embed": torch.zeros(1, cfg.vision.num_patches + 1, D),
+        "visual_encoder.patch_embed.proj.weight": torch.zeros(D, 3, 16, 16),
+        "visual_encoder.patch_embed.proj.bias": torch.zeros(D),
+        "visual_encoder.norm.weight": torch.ones(D),
+        "visual_encoder.norm.bias": torch.zeros(D),
+    })
+    for i in range(cfg.vision.num_layers):
+        p = f"visual_encoder.blocks.{i}."
+        sd[p + "attn.qkv.weight"] = torch.zeros(3 * D, D)
+        sd[p + "attn.qkv.bias"] = torch.zeros(3 * D)
+        sd[p + "attn.proj.weight"] = torch.zeros(D, D)
+        sd[p + "attn.proj.bias"] = torch.zeros(D)
+        sd[p + "mlp.fc1.weight"] = torch.zeros(cfg.vision.ffn_dim, D)
+        sd[p + "mlp.fc1.bias"] = torch.zeros(cfg.vision.ffn_dim)
+        sd[p + "mlp.fc2.weight"] = torch.zeros(D, cfg.vision.ffn_dim)
+        sd[p + "mlp.fc2.bias"] = torch.zeros(D)
+        for ln in ("norm1", "norm2"):
+            sd[p + ln + ".weight"] = torch.ones(D)
+            sd[p + ln + ".bias"] = torch.zeros(D)
+
+    params = convert_blip_variant(sd, cfg, "vqa")
+    want_enc = enc.state_dict()["embeddings.word_embeddings.weight"].numpy()
+    want_dec = dec.state_dict()["bert.embeddings.word_embeddings.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(params["text"]["embeddings"]["word"]), want_enc, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["embeddings"]["word"]), want_dec, atol=1e-6
+    )
+    assert not np.allclose(want_enc, want_dec)
+    # decoder LM head converted from text_decoder.cls.*
+    want_head = dec.state_dict()["cls.predictions.transform.dense.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["head"]["transform"]["w"]), want_head, atol=1e-6
+    )
+
+    # classification: cls_head.{0,2} mapping
+    sd["cls_head.0.weight"] = torch.full((D, D), 0.5)
+    sd["cls_head.0.bias"] = torch.zeros(D)
+    sd["cls_head.2.weight"] = torch.full((3, D), 0.25)
+    sd["cls_head.2.bias"] = torch.zeros(3)
+    params = convert_blip_variant(sd, cfg, "classification", num_classes=3)
+    assert float(params["cls_head"]["fc2"]["w"][0, 0]) == 0.25
+
+
+def test_fusion_mode_requires_fusion_layer():
+    from llava_align_tpu.models.blip import med_forward, med_init
+
+    cfg = BlipConfig.tiny(V).text  # fusion_layer=None
+    params = blip_mod.med_init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="fusion_layer"):
+        med_forward(
+            params, cfg, None, jnp.ones((1, 4), jnp.int32),
+            mode="fusion", input_embeds=jnp.zeros((1, 4, cfg.hidden_size)),
+        )
