@@ -5,3 +5,4 @@ from llava_align_tpu.framework.registry import registry  # noqa: F401
 # only through `registry.get_task_class(...)` must not get None.
 from llava_align_tpu.framework import tasks as _tasks  # noqa: E402,F401
 from llava_align_tpu.framework import model_zoo as _model_zoo  # noqa: E402,F401
+from llava_align_tpu.framework import datasets as _datasets  # noqa: E402,F401

@@ -1,0 +1,339 @@
+"""Dataset classes + registry-assembled builders (LAVIS datasets layer).
+
+Capability parity: the reference's vendored LAVIS dataset subsystem
+(lavis/datasets/datasets/{caption_datasets.py, coco_vqa_datasets.py,
+retrieval_datasets.py, image_text_pair_datasets.py,
+multimodal_classification_datasets.py, nlvr_datasets.py} and
+lavis/datasets/builders/*): annotation-file datasets that pair a visual
+processor and a text processor, and `@registry.register_builder` classes
+that BaseTask.build_datasets assembles by name from config. The reference's
+own experiments consume plain jsonl question files (handled by
+framework/data.py + runners); these classes cover the LAVIS trainer/task
+surface the zoo models plug into.
+
+Semantics mirrored exactly:
+  * CaptionDataset remaps image_id → dense ids (caption_datasets.py:42-48).
+  * VQADataset turns the answer list into (answers, weights) by frequency
+    (coco_vqa_datasets.py:46-54); VQAEvalDataset carries an optional
+    answer_list for rank-based prediction.
+  * RetrievalEvalDataset flattens multi-caption ground truth into
+    .text/.image/.txt2img/.img2txt (retrieval_datasets.py:88-104) — the
+    exact inputs RetrievalTask.report_metrics and compute_sim_matrix need.
+  * NLVRDataset pairs two images with a sentence and a binary label
+    (nlvr_datasets.py).
+
+Offline behavior: `synthetic_images=True` substitutes missing image files
+with the same deterministic per-path noise the runners use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from llava_align_tpu.framework.registry import registry
+
+
+def _load_annotations(ann_paths: Sequence[str]) -> List[dict]:
+    rows: List[dict] = []
+    for path in ann_paths:
+        with open(path) as f:
+            head = f.read(1)
+            f.seek(0)
+            if head == "[":
+                rows.extend(json.load(f))
+            else:  # jsonl (tolerating trailing commas like framework/data.py)
+                for line in f:
+                    line = line.strip().rstrip(",")
+                    if line:
+                        rows.append(json.loads(line))
+    return rows
+
+
+def _load_image(
+    vis_root: str, image_file: str, *, synthetic_ok: bool = False
+):
+    path = os.path.join(vis_root, image_file) if vis_root else image_file
+    if os.path.exists(path):
+        from PIL import Image
+
+        return Image.open(path).convert("RGB")
+    if not synthetic_ok:
+        raise FileNotFoundError(path)
+    from PIL import Image
+
+    rng = np.random.default_rng(abs(hash(image_file)) % (2**31))
+    return Image.fromarray(
+        rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
+    )
+
+
+class BaseAnnotationDataset:
+    """lavis BaseDataset: annotation rows + (vis_processor, text_processor)."""
+
+    def __init__(
+        self,
+        vis_processor: Optional[Callable] = None,
+        text_processor: Optional[Callable] = None,
+        vis_root: str = "",
+        ann_paths: Sequence[str] = (),
+        *,
+        synthetic_images: bool = False,
+    ):
+        self.vis_processor = vis_processor or (lambda x: np.asarray(x, np.float32))
+        self.text_processor = text_processor or (lambda s: s)
+        self.vis_root = vis_root
+        self.annotation = _load_annotations(ann_paths)
+        self.synthetic_images = synthetic_images
+        for i, ann in enumerate(self.annotation):
+            ann.setdefault("instance_id", i)
+
+    def __len__(self) -> int:
+        return len(self.annotation)
+
+    def _image(self, image_file: str):
+        img = _load_image(
+            self.vis_root, image_file, synthetic_ok=self.synthetic_images
+        )
+        return self.vis_processor(img)
+
+    @staticmethod
+    def collater(samples: List[dict]) -> Dict[str, Any]:
+        """Stack array fields, list the rest (lavis default_collate shape)."""
+        out: Dict[str, Any] = {}
+        for key in samples[0]:
+            vals = [s[key] for s in samples]
+            if isinstance(vals[0], np.ndarray):
+                out[key] = np.stack(vals)
+            else:
+                out[key] = vals
+        return out
+
+
+class CaptionDataset(BaseAnnotationDataset):
+    """caption_datasets.py CaptionDataset: dense image ids for ITC targets."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.img_ids: Dict[Any, int] = {}
+        for ann in self.annotation:
+            self.img_ids.setdefault(ann["image_id"], len(self.img_ids))
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        return {
+            "image": self._image(ann["image"]),
+            "text_input": self.text_processor(ann["caption"]),
+            "image_id": self.img_ids[ann["image_id"]],
+        }
+
+
+class CaptionEvalDataset(BaseAnnotationDataset):
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        return {
+            "image": self._image(ann["image"]),
+            "image_id": ann["image_id"],
+            "instance_id": ann["instance_id"],
+        }
+
+
+class VQADataset(BaseAnnotationDataset):
+    """coco_vqa_datasets.py: per-question (answers, frequency weights)."""
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        answer_weight: Dict[str, float] = {}
+        for answer in ann["answer"]:
+            answer_weight[answer] = answer_weight.get(answer, 0.0) + 1 / len(ann["answer"])
+        return {
+            "image": self._image(ann["image"]),
+            "text_input": self.text_processor(ann["question"]),
+            "answers": list(answer_weight.keys()),
+            "weights": list(answer_weight.values()),
+        }
+
+
+class VQAEvalDataset(BaseAnnotationDataset):
+    def __init__(self, *args, answer_list_path: Optional[str] = None, **kw):
+        super().__init__(*args, **kw)
+        self.answer_list = None
+        if answer_list_path and os.path.exists(answer_list_path):
+            self.answer_list = json.load(open(answer_list_path))
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        return {
+            "image": self._image(ann["image"]),
+            "text_input": self.text_processor(ann["question"]),
+            "question_id": ann["question_id"],
+            "instance_id": ann["instance_id"],
+        }
+
+
+class ImageTextPairDataset(BaseAnnotationDataset):
+    """image_text_pair_datasets.py (pretraining pairs)."""
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        return {
+            "image": self._image(ann["image"]),
+            "text_input": self.text_processor(ann["caption"]),
+        }
+
+
+class RetrievalDataset(CaptionDataset):
+    """retrieval_datasets.py train split — caption rows + instance ids."""
+
+    def __getitem__(self, index: int) -> dict:
+        sample = super().__getitem__(index)
+        sample["instance_id"] = self.annotation[index]["instance_id"]
+        return sample
+
+
+class RetrievalEvalDataset(BaseAnnotationDataset):
+    """retrieval_datasets.py:79-112: flattened multi-caption ground truth."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.text: List[str] = []
+        self.image: List[str] = []
+        self.txt2img: Dict[int, int] = {}
+        self.img2txt: Dict[int, List[int]] = {}
+        txt_id = 0
+        for img_id, ann in enumerate(self.annotation):
+            self.image.append(ann["image"])
+            self.img2txt[img_id] = []
+            captions = ann["caption"]
+            if isinstance(captions, str):
+                captions = [captions]
+            for caption in captions:
+                self.text.append(self.text_processor(caption))
+                self.img2txt[img_id].append(txt_id)
+                self.txt2img[txt_id] = img_id
+                txt_id += 1
+
+    def __getitem__(self, index: int) -> dict:
+        return {
+            "image": self._image(self.annotation[index]["image"]),
+            "index": index,
+        }
+
+
+class MultimodalClassificationDataset(BaseAnnotationDataset):
+    """multimodal_classification_datasets.py: (image, sentence, label)."""
+
+    def __init__(self, *args, classnames: Sequence[str] = (), **kw):
+        super().__init__(*args, **kw)
+        self.classnames = list(classnames)
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        label = ann["label"]
+        if self.classnames and isinstance(label, str):
+            label = self.classnames.index(label)
+        return {
+            "image": self._image(ann["image"]),
+            "text_input": self.text_processor(ann.get("sentence", ann.get("text_input", ""))),
+            "label": label,
+            "instance_id": ann["instance_id"],
+        }
+
+
+class NLVRDataset(BaseAnnotationDataset):
+    """nlvr_datasets.py: two images + sentence + True/False label."""
+
+    LABELS = {"True": 1, "False": 0, True: 1, False: 0, 1: 1, 0: 0}
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        images = ann["images"]
+        return {
+            "image0": self._image(images[0]),
+            "image1": self._image(images[1]),
+            "text_input": self.text_processor(ann["sentence"]),
+            "label": self.LABELS[ann["label"]],
+        }
+
+
+# ---------------------------------------------------------------------------
+# builders (lavis/datasets/builders pattern: config → {split: dataset})
+# ---------------------------------------------------------------------------
+
+
+class BaseDatasetBuilder:
+    """lavis BaseDatasetBuilder capability: build every configured split with
+    the right (train/eval) dataset class and processors. `build_info` maps
+    split name → {"ann_paths": [...], "vis_root": str, ...extra}."""
+
+    train_cls = BaseAnnotationDataset
+    eval_cls = BaseAnnotationDataset
+
+    def __init__(
+        self,
+        build_info: Dict[str, Dict[str, Any]],
+        vis_processors: Optional[Dict[str, Callable]] = None,
+        text_processors: Optional[Dict[str, Callable]] = None,
+        **kw,
+    ):
+        self.build_info = build_info
+        self.vis_processors = vis_processors or {}
+        self.text_processors = text_processors or {}
+        self.extra = kw
+
+    def build(self) -> Dict[str, Any]:
+        datasets = {}
+        for split, info in self.build_info.items():
+            is_train = split == "train"
+            cls = self.train_cls if is_train else self.eval_cls
+            key = "train" if is_train else "eval"
+            info = dict(info)
+            ann_paths = info.pop("ann_paths")
+            vis_root = info.pop("vis_root", "")
+            datasets[split] = cls(
+                self.vis_processors.get(key),
+                self.text_processors.get(key),
+                vis_root,
+                ann_paths,
+                **{**self.extra, **info},
+            )
+        return datasets
+
+
+@registry.register_builder("caption")
+class CaptionBuilder(BaseDatasetBuilder):
+    train_cls = CaptionDataset
+    eval_cls = CaptionEvalDataset
+
+
+@registry.register_builder("vqa")
+class VQABuilder(BaseDatasetBuilder):
+    train_cls = VQADataset
+    eval_cls = VQAEvalDataset
+
+
+@registry.register_builder("retrieval")
+class RetrievalBuilder(BaseDatasetBuilder):
+    train_cls = RetrievalDataset
+    eval_cls = RetrievalEvalDataset
+
+
+@registry.register_builder("image_text_pair")
+class ImageTextPairBuilder(BaseDatasetBuilder):
+    train_cls = ImageTextPairDataset
+    eval_cls = ImageTextPairDataset
+
+
+@registry.register_builder("multimodal_classification")
+class MultimodalClassificationBuilder(BaseDatasetBuilder):
+    train_cls = MultimodalClassificationDataset
+    eval_cls = MultimodalClassificationDataset
+
+
+@registry.register_builder("nlvr")
+class NLVRBuilder(BaseDatasetBuilder):
+    train_cls = NLVRDataset
+    eval_cls = NLVRDataset

@@ -66,12 +66,15 @@ class BaseTask:
         return model_cls(**{k: v for k, v in model_cfg.items() if k != "arch"})
 
     def build_datasets(self, datasets_cfg: Dict[str, Any]) -> Dict[str, Any]:
+        """name → {split: dataset} via registered builders (the reference's
+        lavis BaseTask.build_datasets → builder.build_datasets())."""
         datasets = {}
         for name, dcfg in datasets_cfg.items():
             builder_cls = registry.get_builder_class(dcfg.get("builder", name))
             if builder_cls is None:
                 raise KeyError(f"unknown dataset builder {name!r}")
-            datasets[name] = builder_cls(**{k: v for k, v in dcfg.items() if k != "builder"})
+            builder = builder_cls(**{k: v for k, v in dcfg.items() if k != "builder"})
+            datasets[name] = builder.build() if hasattr(builder, "build") else builder
         return datasets
 
     # -- training ------------------------------------------------------------

@@ -1,0 +1,130 @@
+"""framework/datasets.py: LAVIS dataset classes + builders, and the
+datasets → tasks → zoo integration (ALBEF retrieval eval end-to-end on
+synthetic images)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import llava_align_tpu  # noqa: F401 — registers tasks/models/builders
+from llava_align_tpu.framework import datasets as ds
+from llava_align_tpu.framework.registry import registry
+from llava_align_tpu.framework.tasks import BaseTask, RetrievalTask
+
+
+@pytest.fixture()
+def ann_dir(tmp_path):
+    cap = [
+        {"image": "a.jpg", "caption": "a dog on a couch", "image_id": "x1"},
+        {"image": "a.jpg", "caption": "a sleeping dog", "image_id": "x1"},
+        {"image": "b.jpg", "caption": "a red bicycle", "image_id": "x2"},
+    ]
+    (tmp_path / "cap.json").write_text(json.dumps(cap))
+    vqa = [
+        {"image": "a.jpg", "question": "What animal?", "question_id": 7,
+         "answer": ["dog", "dog", "puppy"]},
+    ]
+    (tmp_path / "vqa.json").write_text(json.dumps(vqa))
+    ret_eval = [
+        {"image": "a.jpg", "caption": ["a dog on a couch", "a sleeping dog"]},
+        {"image": "b.jpg", "caption": ["a red bicycle"]},
+    ]
+    (tmp_path / "ret.json").write_text(json.dumps(ret_eval))
+    nlvr = [
+        {"images": ["a.jpg", "b.jpg"], "sentence": "left is a dog", "label": "True"},
+    ]
+    (tmp_path / "nlvr.json").write_text(json.dumps(nlvr))
+    return tmp_path
+
+
+def test_caption_dataset_dense_ids(ann_dir):
+    d = ds.CaptionDataset(
+        None, None, "", [str(ann_dir / "cap.json")], synthetic_images=True
+    )
+    assert len(d) == 3
+    s0, s2 = d[0], d[2]
+    assert s0["image_id"] == 0 and s2["image_id"] == 1  # dense remap
+    assert s0["text_input"] == "a dog on a couch"
+    batch = d.collater([d[0], d[2]])
+    assert batch["image"].shape[0] == 2
+    assert batch["image_id"] == [0, 1]
+
+
+def test_vqa_answer_weights(ann_dir):
+    d = ds.VQADataset(None, None, "", [str(ann_dir / "vqa.json")], synthetic_images=True)
+    s = d[0]
+    w = dict(zip(s["answers"], s["weights"]))
+    np.testing.assert_allclose(w["dog"], 2 / 3)
+    np.testing.assert_allclose(w["puppy"], 1 / 3)
+
+
+def test_retrieval_eval_flattening(ann_dir):
+    d = ds.RetrievalEvalDataset(
+        None, None, "", [str(ann_dir / "ret.json")], synthetic_images=True
+    )
+    assert d.text == ["a dog on a couch", "a sleeping dog", "a red bicycle"]
+    assert d.image == ["a.jpg", "b.jpg"]
+    assert d.img2txt == {0: [0, 1], 1: [2]}
+    assert d.txt2img == {0: 0, 1: 0, 2: 1}
+
+
+def test_nlvr_dataset(ann_dir):
+    d = ds.NLVRDataset(None, None, "", [str(ann_dir / "nlvr.json")], synthetic_images=True)
+    s = d[0]
+    assert s["label"] == 1
+    assert s["image0"].shape == s["image1"].shape
+
+
+def test_builders_via_task(ann_dir):
+    task = BaseTask()
+    built = task.build_datasets({
+        "coco_caption": {
+            "builder": "caption",
+            "build_info": {
+                "train": {"ann_paths": [str(ann_dir / "cap.json")]},
+                "val": {"ann_paths": [str(ann_dir / "cap.json")]},
+            },
+            "synthetic_images": True,
+        },
+        "flickr": {
+            "builder": "retrieval",
+            "build_info": {"test": {"ann_paths": [str(ann_dir / "ret.json")]}},
+            "synthetic_images": True,
+        },
+    })
+    assert isinstance(built["coco_caption"]["train"], ds.CaptionDataset)
+    assert isinstance(built["coco_caption"]["val"], ds.CaptionEvalDataset)
+    assert isinstance(built["flickr"]["test"], ds.RetrievalEvalDataset)
+
+
+def test_retrieval_task_end_to_end_with_albef(ann_dir):
+    """datasets → zoo model → RetrievalTask metrics, offline."""
+    from llava_align_tpu.framework.processors import BlipImageEvalProcessor
+
+    proc = BlipImageEvalProcessor(image_size=32)
+    d = ds.RetrievalEvalDataset(
+        proc, None, "", [str(ann_dir / "ret.json")], synthetic_images=True
+    )
+    model = registry.get_model_class("albef_retrieval")(model_path=None)
+
+    # mock tokenizer over the flattened caption list
+    V = 64
+    ids = np.zeros((len(d.text), 6), np.int64)
+    for i, t in enumerate(d.text):
+        for j, w in enumerate(t.split()[:6]):
+            ids[i, j] = abs(hash(w)) % (V - 2) + 1
+    mask = (ids != 0).astype(np.int64)
+
+    pixels = np.stack([d[i]["image"] for i in range(len(d.image))])
+    task = RetrievalTask(sim_fn=lambda params, loader: model.compute_sim_matrix(
+        jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask), k_test=2
+    ))
+    results = task.evaluation(model.params, loader=None)
+    metrics = task.after_evaluation(results, txt2img=d.txt2img, img2txt=d.img2txt)
+    for k in ("txt_r1", "img_r1", "r_mean", "agg_metrics"):
+        assert k in metrics and np.isfinite(metrics[k])
+    assert results["scores_i2t"].shape == (2, 3)
