@@ -128,3 +128,67 @@ def test_retrieval_task_end_to_end_with_albef(ann_dir):
     for k in ("txt_r1", "img_r1", "r_mean", "agg_metrics"):
         assert k in metrics and np.isfinite(metrics[k])
     assert results["scores_i2t"].shape == (2, 3)
+
+
+def test_evaluate_cli_retrieval_end_to_end(ann_dir, tmp_path, capsys):
+    """runners/evaluate.py: YAML → registry task/model/datasets → metrics."""
+    import yaml
+
+    cfg = {
+        "run": {"task": "retrieval", "split": "test", "k_test": 2},
+        "model": {"arch": "albef_retrieval", "model_path": None},
+        "datasets": {
+            "tiny_flickr": {
+                "builder": "retrieval",
+                "synthetic_images": True,
+                "build_info": {
+                    "test": {"ann_paths": [str(ann_dir / "ret.json")], "vis_root": ""},
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "eval.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from llava_align_tpu.runners.evaluate import main
+
+    metrics = main(["--cfg-path", str(cfg_path)])
+    assert "r_mean" in metrics and np.isfinite(metrics["r_mean"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["dataset"] == "tiny_flickr" and payload["split"] == "test"
+    assert "txt_r1" in payload
+
+    # dot-list override flows through (k_test=0 → pure ITC sims)
+    metrics0 = main(["--cfg-path", str(cfg_path), "--options", "run.k_test=0"])
+    assert np.isfinite(metrics0["r_mean"])
+
+
+def test_evaluate_cli_classification(ann_dir, tmp_path):
+    import yaml
+
+    ann = [
+        {"image": "a.jpg", "sentence": "a dog", "label": 0},
+        {"image": "b.jpg", "sentence": "a bike", "label": 1},
+    ]
+    (ann_dir / "cls.json").write_text(json.dumps(ann))
+    cfg = {
+        "run": {"task": "multimodal_classification", "split": "test"},
+        "model": {"arch": "albef_classification", "model_path": None,
+                  "num_classes": 2},
+        "datasets": {
+            "tiny_cls": {
+                "builder": "multimodal_classification",
+                "synthetic_images": True,
+                "build_info": {
+                    "test": {"ann_paths": [str(ann_dir / "cls.json")]},
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "cls.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from llava_align_tpu.runners.evaluate import main
+
+    metrics = main(["--cfg-path", str(cfg_path)])
+    assert 0.0 <= metrics["acc"] <= 100.0 and metrics["n"] == 2
