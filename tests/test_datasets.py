@@ -192,3 +192,81 @@ def test_evaluate_cli_classification(ann_dir, tmp_path):
 
     metrics = main(["--cfg-path", str(cfg_path)])
     assert 0.0 <= metrics["acc"] <= 100.0 and metrics["n"] == 2
+
+
+def test_train_cli_albef_retrieval(ann_dir, tmp_path):
+    """runners/train.py: YAML → jitted family train step → Runner epochs +
+    orbax checkpointing."""
+    import yaml
+
+    # 4 rows so one batch of 4 per epoch (queue_size 16 wraps cleanly)
+    cap = [
+        {"image": f"{i}.jpg", "caption": f"caption number {i}", "image_id": i}
+        for i in range(4)
+    ]
+    (ann_dir / "train.json").write_text(json.dumps(cap))
+    cfg = {
+        "run": {
+            "task": "retrieval", "max_epoch": 2, "batch_size_train": 4,
+            "init_lr": 1e-3, "output_dir": str(tmp_path / "out"),
+        },
+        "model": {"arch": "albef_retrieval", "model_path": None},
+        "datasets": {
+            "tiny": {
+                "builder": "retrieval",
+                "synthetic_images": True,
+                "build_info": {
+                    "train": {"ann_paths": [str(ann_dir / "train.json")]},
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from llava_align_tpu.runners.train import main
+
+    stats = main(["--cfg-path", str(cfg_path)])
+    assert np.isfinite(stats["loss"])
+    import os
+
+    assert os.path.exists(tmp_path / "out" / "checkpoint_last")
+
+
+def test_train_cli_classification_loss_decreases(ann_dir, tmp_path):
+    import yaml
+
+    ann = [
+        {"image": "a.jpg", "sentence": "a dog sits", "label": 0},
+        {"image": "b.jpg", "sentence": "a red bike", "label": 1},
+        {"image": "c.jpg", "sentence": "dog again here", "label": 0},
+        {"image": "d.jpg", "sentence": "bike once more", "label": 1},
+    ]
+    (ann_dir / "clstrain.json").write_text(json.dumps(ann))
+    base = {
+        "run": {
+            "task": "multimodal_classification", "batch_size_train": 4,
+            "init_lr": 5e-3, "output_dir": str(tmp_path / "out2"),
+            "max_epoch": 1,
+        },
+        "model": {"arch": "albef_classification", "model_path": None,
+                  "num_classes": 2},
+        "datasets": {
+            "tiny": {
+                "builder": "multimodal_classification",
+                "synthetic_images": True,
+                "build_info": {
+                    "train": {"ann_paths": [str(ann_dir / "clstrain.json")]},
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "cls_train.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+    from llava_align_tpu.runners.train import main
+
+    first = main(["--cfg-path", str(cfg_path)])["loss"]
+    last = main([
+        "--cfg-path", str(cfg_path), "--options", "run.max_epoch=8",
+    ])["loss"]
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first  # same data, more epochs → lower final-epoch loss
