@@ -337,3 +337,69 @@ class MultimodalClassificationBuilder(BaseDatasetBuilder):
 class NLVRBuilder(BaseDatasetBuilder):
     train_cls = NLVRDataset
     eval_cls = NLVRDataset
+
+
+class VideoQADataset(BaseAnnotationDataset):
+    """video_vqa_datasets.py capability: (video, question, answer-class).
+    `video` in annotations points at a frame directory or a pre-extracted
+    [T, H, W, 3] .npy (the reference decodes raw videos with decord, which
+    is not installed in this environment)."""
+
+    def __init__(self, *args, answer_list: Sequence[str] = (), **kw):
+        super().__init__(*args, **kw)
+        self.answer_list = list(answer_list)
+
+    def _video(self, video_ref: str):
+        if video_ref.endswith(".npy") and os.path.exists(video_ref):
+            return self.vis_processor(np.load(video_ref))
+        path = os.path.join(self.vis_root, video_ref) if self.vis_root else video_ref
+        if os.path.isdir(path) or os.path.exists(path):
+            return self.vis_processor(path)
+        if not self.synthetic_images:
+            raise FileNotFoundError(path)
+        rng = np.random.default_rng(abs(hash(video_ref)) % (2**31))
+        return self.vis_processor(
+            rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+        )
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        answer = ann["answer"]
+        if self.answer_list and isinstance(answer, str):
+            answer = self.answer_list.index(answer)
+        return {
+            "video": self._video(ann["video"]),
+            "text_input": self.text_processor(ann["question"]),
+            "answers": answer,
+            "question_id": ann.get("question_id", ann["instance_id"]),
+        }
+
+
+class VideoRetrievalDataset(RetrievalEvalDataset):
+    """retrieval over videos: same flattened .text/.txt2img ground truth,
+    frames loaded like VideoQADataset."""
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        video_ref = ann.get("video", ann.get("image"))
+        path = os.path.join(self.vis_root, video_ref) if self.vis_root else video_ref
+        if os.path.exists(path):
+            src = path if not path.endswith(".npy") else np.load(path)
+        elif self.synthetic_images:
+            rng = np.random.default_rng(abs(hash(video_ref)) % (2**31))
+            src = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+        else:
+            raise FileNotFoundError(path)
+        return {"video": self.vis_processor(src), "index": index}
+
+
+@registry.register_builder("video_qa")
+class VideoQABuilder(BaseDatasetBuilder):
+    train_cls = VideoQADataset
+    eval_cls = VideoQADataset
+
+
+@registry.register_builder("video_retrieval")
+class VideoRetrievalBuilder(BaseDatasetBuilder):
+    train_cls = VideoRetrievalDataset
+    eval_cls = VideoRetrievalDataset

@@ -83,3 +83,50 @@ class BlipCaptionProcessor:
         if len(words) > self.max_words:
             caption = " ".join(words[: self.max_words])
         return self.prompt + caption
+
+
+@registry.register_processor("alpro_video_eval")
+class AlproVideoEvalProcessor:
+    """Video eval processor (reference lavis/processors/alpro_processors.py
+    AlproVideoEvalProcessor: uniformly sample n_frms, resize, CLIP-normalize
+    → [3, T, H, W]). The reference decodes videos with decord (not installed
+    here); this processor consumes what the environment can provide offline:
+    a directory of frame images, a list of PIL images, or a [T, H, W, 3]
+    uint8/float array (e.g. pre-extracted .npy frames)."""
+
+    def __init__(self, image_size: int = 224, n_frms: int = 8,
+                 mean=OPENAI_CLIP_MEAN, std=OPENAI_CLIP_STD):
+        self.image_size = image_size
+        self.n_frms = n_frms
+        self.mean = mean
+        self.std = std
+
+    def _frame(self, pil_img) -> np.ndarray:
+        from PIL import Image
+
+        img = pil_img.convert("RGB").resize(
+            (self.image_size, self.image_size), resample=Image.BICUBIC
+        )
+        return _normalize(np.asarray(img), self.mean, self.std)  # [3, H, W]
+
+    def __call__(self, video) -> np.ndarray:
+        import os
+
+        from PIL import Image
+
+        if isinstance(video, str):  # directory of frame images
+            files = sorted(
+                os.path.join(video, f) for f in os.listdir(video)
+                if f.lower().endswith((".jpg", ".jpeg", ".png"))
+            )
+            frames = [Image.open(f) for f in files]
+        elif isinstance(video, np.ndarray):  # [T, H, W, 3]
+            frames = [Image.fromarray(np.asarray(f, np.uint8)) for f in video]
+        else:  # sequence of PIL images
+            frames = list(video)
+        if not frames:
+            raise ValueError("empty video input")
+        # uniform temporal sampling to n_frms (alpro_processors.py load_video)
+        idx = np.linspace(0, len(frames) - 1, self.n_frms).round().astype(int)
+        arr = np.stack([self._frame(frames[i]) for i in idx])  # [T, 3, H, W]
+        return arr.transpose(1, 0, 2, 3)  # [3, T, H, W]

@@ -270,3 +270,42 @@ def test_train_cli_classification_loss_decreases(ann_dir, tmp_path):
     ])["loss"]
     assert np.isfinite(first) and np.isfinite(last)
     assert last < first  # same data, more epochs → lower final-epoch loss
+
+
+def test_video_processor_and_dataset(tmp_path):
+    from llava_align_tpu.framework.processors import AlproVideoEvalProcessor
+    from llava_align_tpu.models import alpro
+    from llava_align_tpu.models.alpro import AlproConfig
+
+    proc = AlproVideoEvalProcessor(image_size=32, n_frms=3)
+    # array input
+    vid = np.random.default_rng(0).integers(0, 256, (7, 48, 48, 3), dtype=np.uint8)
+    out = proc(vid)
+    assert out.shape == (3, 3, 32, 32)
+    # frame-directory input
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(5):
+        Image.fromarray(vid[i]).save(d / f"f{i:03d}.jpg")
+    out2 = proc(str(d))
+    assert out2.shape == (3, 3, 32, 32)
+
+    ann = [{"video": "missing_clip", "question": "what happens?", "answer": 1}]
+    (tmp_path / "vqa.json").write_text(json.dumps(ann))
+    ds_v = ds.VideoQADataset(
+        proc, None, "", [str(tmp_path / "vqa.json")], synthetic_images=True
+    )
+    s = ds_v[0]
+    assert s["video"].shape == (3, 3, 32, 32) and s["answers"] == 1
+
+    # feed straight into the ALPRO QA model
+    cfg = AlproConfig.tiny(num_classes=2)
+    params = alpro.init(jax.random.PRNGKey(0), cfg, variant="qa")
+    ids = np.ones((1, 4), np.int64)
+    logits = alpro.qa_logits(
+        params, cfg, jnp.asarray(s["video"][None]), jnp.asarray(ids),
+        jnp.asarray(np.ones_like(ids)),
+    )
+    assert logits.shape == (1, 2)
