@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -65,7 +66,7 @@ def _load_image(
         raise FileNotFoundError(path)
     from PIL import Image
 
-    rng = np.random.default_rng(abs(hash(image_file)) % (2**31))
+    rng = np.random.default_rng(zlib.crc32(image_file.encode()))
     return Image.fromarray(
         rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
     )
@@ -350,14 +351,14 @@ class VideoQADataset(BaseAnnotationDataset):
         self.answer_list = list(answer_list)
 
     def _video(self, video_ref: str):
-        if video_ref.endswith(".npy") and os.path.exists(video_ref):
-            return self.vis_processor(np.load(video_ref))
         path = os.path.join(self.vis_root, video_ref) if self.vis_root else video_ref
+        if path.endswith(".npy") and os.path.exists(path):
+            return self.vis_processor(np.load(path))
         if os.path.isdir(path) or os.path.exists(path):
             return self.vis_processor(path)
         if not self.synthetic_images:
             raise FileNotFoundError(path)
-        rng = np.random.default_rng(abs(hash(video_ref)) % (2**31))
+        rng = np.random.default_rng(zlib.crc32(video_ref.encode()))
         return self.vis_processor(
             rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
         )
@@ -386,7 +387,7 @@ class VideoRetrievalDataset(RetrievalEvalDataset):
         if os.path.exists(path):
             src = path if not path.endswith(".npy") else np.load(path)
         elif self.synthetic_images:
-            rng = np.random.default_rng(abs(hash(video_ref)) % (2**31))
+            rng = np.random.default_rng(zlib.crc32(video_ref.encode()))
             src = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
         else:
             raise FileNotFoundError(path)

@@ -369,7 +369,9 @@ def _clip_factory(arch_name: str):
 
             return clip_mod.zero_shot_predict(self.params, self.cfg, pixels, classifier)
 
-        def compute_sim_matrix(self, pixels, text_ids, **kw):
+        def compute_sim_matrix(self, pixels, text_ids, text_mask=None, **kw):
+            # text_mask accepted for signature parity with the other
+            # retrieval archs; CLIP pools at the EOT position and needs none
             from llava_align_tpu.models import clip as clip_mod
 
             return clip_mod.compute_sim_matrix(self.params, self.cfg, pixels, text_ids)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -144,7 +145,7 @@ def _load_image(args, image_file: str, cfg) -> np.ndarray:
         return clip_preprocess_pil(Image.open(path), cfg.vision.image_size)
     if not args.synthetic_images:
         raise FileNotFoundError(path)
-    rng = np.random.default_rng(abs(hash(image_file)) % (2**31))
+    rng = np.random.default_rng(zlib.crc32(image_file.encode()))
     raw = rng.integers(0, 256, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8)
     from PIL import Image
 

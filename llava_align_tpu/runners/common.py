@@ -12,6 +12,7 @@ import dataclasses
 import json
 import math
 import os
+import zlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -166,7 +167,7 @@ def load_image_tensor(
         return clip_preprocess_pil(img, image_size, image_aspect_ratio)
     if not synthetic_ok:
         raise FileNotFoundError(path)
-    rng = np.random.default_rng(abs(hash(image_file)) % (2**31))
+    rng = np.random.default_rng(zlib.crc32(image_file.encode()))
     raw = rng.integers(0, 256, (image_size, image_size, 3), dtype=np.uint8)
     from PIL import Image
 
@@ -272,3 +273,48 @@ def make_generation_config(args, **overrides) -> GenerationConfig:
     )
     kw.update(overrides)
     return GenerationConfig(**kw)
+
+
+def mock_tokenize(texts, vocab: int = 64, length: int = 16):
+    """Deterministic offline-smoke tokenizer shared by the config-driven
+    train/evaluate CLIs: stable crc32 word hashing (process-independent,
+    unlike str hash) → ([N, length] ids, mask). Real checkpoints need a real
+    tokenizer — pass run.tokenizer_path in the CLI configs."""
+    import zlib
+
+    import numpy as np
+
+    vocab = min(int(vocab), 30000)
+    ids = np.zeros((len(texts), length), np.int64)
+    for i, t in enumerate(texts):
+        for j, w in enumerate(str(t).split()[:length]):
+            ids[i, j] = zlib.crc32(w.encode()) % (vocab - 2) + 1
+    return ids, (ids != 0).astype(np.int64)
+
+
+def resolve_tokenizer(run_cfg, vocab: int):
+    """run.tokenizer_path → BertTokenizerFast over a local vocab file;
+    otherwise the crc32 mock (offline smoke). Returns texts → (ids, mask)."""
+    import numpy as np
+
+    path = run_cfg.get("tokenizer_path")
+    if path:
+        from transformers import BertTokenizerFast
+
+        tok = BertTokenizerFast(vocab_file=path)
+
+        def real(texts, length: int = 32):
+            out = tok(
+                list(map(str, texts)), padding="max_length", truncation=True,
+                max_length=length, return_tensors="np",
+            )
+            return out["input_ids"].astype(np.int64), out["attention_mask"].astype(np.int64)
+
+        return real
+    import logging
+
+    logging.getLogger(__name__).info(
+        "no run.tokenizer_path — using the offline crc32 mock tokenizer "
+        "(metrics are smoke-only for real checkpoints)"
+    )
+    return lambda texts, length=16: mock_tokenize(texts, vocab=vocab, length=length)

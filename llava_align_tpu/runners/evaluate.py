@@ -22,9 +22,11 @@ same loop on the registry in framework/: a YAML of the shape
         build_info:
           test: {ann_paths: [/path/ann.json], vis_root: ""}
 
-evaluates and prints one JSON metrics line. Tokenization for zoo models
-without a bundled tokenizer uses a deterministic hash mock (the offline
-smoke configuration used across tests) unless the model provides one.
+evaluates every configured dataset and prints one JSON metrics line per
+dataset. Text tokenization: pass `run.tokenizer_path` (a local BERT vocab
+file) for real checkpoints; without it a deterministic crc32 mock is used
+— the offline smoke configuration, whose metrics are meaningful only for
+random-weight models.
 """
 
 from __future__ import annotations
@@ -37,21 +39,18 @@ from typing import Any, Dict
 
 import numpy as np
 
-
-def _mock_tokenize(texts, vocab: int = 64, length: int = 16):
-    ids = np.zeros((len(texts), length), np.int64)
-    for i, t in enumerate(texts):
-        for j, w in enumerate(str(t).split()[:length]):
-            ids[i, j] = abs(hash(w)) % (vocab - 2) + 1
-    return ids, (ids != 0).astype(np.int64)
+from llava_align_tpu.runners.common import resolve_tokenizer
 
 
-def _eval_retrieval(task, model, dataset, run_cfg: Dict[str, Any]) -> Dict[str, float]:
+def _eval_retrieval(task, model, dataset, run_cfg: Dict[str, Any], tokenize) -> Dict[str, float]:
     import jax.numpy as jnp
 
-    pixels = np.stack([dataset[i]["image"] for i in range(len(dataset.image))])
-    vocab = getattr(model.cfg.text, "vocab_size", 64) if hasattr(model.cfg, "text") else 64
-    ids, mask = _mock_tokenize(dataset.text, vocab=min(vocab, 30000))
+    def visual(i):
+        s = dataset[i]
+        return s["image"] if "image" in s else s["video"]
+
+    pixels = np.stack([visual(i) for i in range(len(dataset.image))])
+    ids, mask = tokenize(dataset.text)
     k_test = int(run_cfg.get("k_test", 0))
     task.sim_fn = lambda params, loader: model.compute_sim_matrix(
         jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask), k_test=k_test
@@ -62,14 +61,13 @@ def _eval_retrieval(task, model, dataset, run_cfg: Dict[str, Any]) -> Dict[str, 
     )
 
 
-def _eval_classification(task, model, dataset, run_cfg) -> Dict[str, float]:
+def _eval_classification(task, model, dataset, run_cfg, tokenize) -> Dict[str, float]:
     import jax.numpy as jnp
 
     correct = total = 0
     for i in range(len(dataset)):
         s = dataset[i]
-        vocab = getattr(getattr(model.cfg, "text", None), "vocab_size", 64) or 64
-        ids, mask = _mock_tokenize([s["text_input"]], vocab=min(vocab, 30000))
+        ids, mask = tokenize([s["text_input"]])
         logits = model.predict(
             jnp.asarray(s["image"][None]), jnp.asarray(ids), jnp.asarray(mask)
         )
@@ -102,45 +100,80 @@ def main(argv=None) -> Dict[str, float]:
     task = task_cls.setup_task(run_cfg)
 
     model = task.build_model(cfg.model_cfg)
+    datasets = build_datasets_with_processors(task, model, cfg.datasets_cfg, cfg.model_cfg)
 
-    # default image processor sized to the model's vision tower when the
-    # config doesn't name one (LAVIS resolves processors from the registry)
-    from llava_align_tpu.framework.processors import BlipImageEvalProcessor
+    vocab = getattr(getattr(model.cfg, "text", None), "vocab_size", 64) or 64
+    tokenize = resolve_tokenizer(run_cfg, vocab)
+    split = run_cfg.get("split", "test")
+    metrics: Dict[str, float] = {}
+    for name, splits in datasets.items():
+        if split not in splits:
+            raise KeyError(
+                f"dataset {name!r} has no split {split!r} (has {list(splits)})"
+            )
+        dataset = splits[split]
+        if task_name == "retrieval":
+            metrics = _eval_retrieval(task, model, dataset, run_cfg, tokenize)
+        elif task_name == "multimodal_classification":
+            metrics = _eval_classification(task, model, dataset, run_cfg, tokenize)
+        else:
+            results = task.evaluation(model.params, loader=(
+                dataset[i] for i in range(len(dataset))
+            ))
+            metrics = task.after_evaluation(results, split_name=split)
+        print(json.dumps({"dataset": name, "split": split, **{
+            k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+            for k, v in metrics.items()
+        }}))
+    return metrics
+
+
+def build_datasets_with_processors(task, model, datasets_cfg, model_cfg):
+    """Builds every configured dataset, resolving processor NAMES through
+    the registry (LAVIS behavior) and defaulting to an image/video
+    processor sized to the model's tower."""
+    from llava_align_tpu.framework.processors import (
+        AlproVideoEvalProcessor,
+        BlipImageEvalProcessor,
+    )
+    from llava_align_tpu.framework.registry import registry as _registry
 
     mcfg = model.cfg
     vision = getattr(mcfg, "vision", None) or getattr(
         getattr(mcfg, "base", None), "vision", None
     )
-    img_size = getattr(vision, "image_size", 224)
-    default_proc = BlipImageEvalProcessor(image_size=img_size)
-    datasets_cfg = {}
-    for name, dcfg in cfg.datasets_cfg.items():
-        dcfg = dict(dcfg)
-        dcfg.setdefault(
-            "vis_processors", {"train": default_proc, "eval": default_proc}
+    video_cfg = getattr(mcfg, "video", None)
+    if video_cfg is not None:  # ALPRO family: TimeSformer tower
+        default_proc = AlproVideoEvalProcessor(
+            image_size=video_cfg.image_size, n_frms=video_cfg.num_frames
         )
-        datasets_cfg[name] = dcfg
-    datasets = task.build_datasets(datasets_cfg)
-    split = run_cfg.get("split", "test")
-    name, splits = next(iter(datasets.items()))
-    if split not in splits:
-        raise KeyError(f"dataset {name!r} has no split {split!r} (has {list(splits)})")
-    dataset = splits[split]
-
-    if task_name == "retrieval":
-        metrics = _eval_retrieval(task, model, dataset, run_cfg)
-    elif task_name == "multimodal_classification":
-        metrics = _eval_classification(task, model, dataset, run_cfg)
     else:
-        results = task.evaluation(model.params, loader=(
-            dataset[i] for i in range(len(dataset))
-        ))
-        metrics = task.after_evaluation(results, split_name=split)
-    print(json.dumps({"dataset": name, "split": split, **{
-        k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
-        for k, v in metrics.items()
-    }}))
-    return metrics
+        default_proc = BlipImageEvalProcessor(
+            image_size=getattr(vision, "image_size", 224)
+        )
+
+    def resolve(proc):
+        if isinstance(proc, str):
+            cls = _registry.get_processor_class(proc)
+            if cls is None:
+                raise KeyError(f"unknown processor {proc!r}")
+            return cls()
+        return proc
+
+    out_cfg = {}
+    for name, dcfg in datasets_cfg.items():
+        dcfg = dict(dcfg)
+        procs = dcfg.get("vis_processors")
+        if procs is None:
+            dcfg["vis_processors"] = {"train": default_proc, "eval": default_proc}
+        else:
+            dcfg["vis_processors"] = {k: resolve(v) for k, v in procs.items()}
+        if "text_processors" in dcfg:
+            dcfg["text_processors"] = {
+                k: resolve(v) for k, v in dcfg["text_processors"].items()
+            }
+        out_cfg[name] = dcfg
+    return task.build_datasets(out_cfg)
 
 
 if __name__ == "__main__":

@@ -15,8 +15,10 @@ Supported arches (the families with functional training losses):
   * albef_classification / blip_classification — fused-cls cross-entropy.
   * clip — symmetric InfoNCE.
 
-Text is tokenized with the model's tokenizer when one is bundled, else the
-deterministic hash mock (the offline smoke configuration).
+Text tokenization: pass `run.tokenizer_path` (a local BERT vocab file) for
+real checkpoints; without it the deterministic crc32 mock is used (offline
+smoke — training on mock tokens is only meaningful for random-weight
+models). Batches are reshuffled every epoch with a seeded permutation.
 """
 
 from __future__ import annotations
@@ -29,25 +31,27 @@ from typing import Any, Dict, Iterable, List
 
 import numpy as np
 
-
-def _mock_tokenize(texts, vocab: int = 64, length: int = 16):
-    ids = np.zeros((len(texts), length), np.int64)
-    for i, t in enumerate(texts):
-        for j, w in enumerate(str(t).split()[:length]):
-            ids[i, j] = abs(hash(w)) % (vocab - 2) + 1
-    return ids, (ids != 0).astype(np.int64)
+from llava_align_tpu.runners.common import resolve_tokenizer
 
 
-def _batches(dataset, batch_size: int, *, vocab: int, drop_last: bool = True):
-    idx = list(range(len(dataset)))
+def _batches(dataset, batch_size: int, *, tokenize, epoch: int = 0,
+             drop_last: bool = True):
+    """Seeded per-epoch shuffle (contrastive losses need fresh in-batch
+    negative sets each epoch); a trailing partial batch is dropped only when
+    at least one full batch was produced — a dataset smaller than
+    batch_size still yields its single partial batch."""
+    rng = np.random.default_rng(epoch)
+    idx = rng.permutation(len(dataset))
+    yielded = False
     for lo in range(0, len(idx), batch_size):
-        rows = [dataset[i] for i in idx[lo : lo + batch_size]]
-        if drop_last and len(rows) < batch_size:
+        rows = [dataset[int(i)] for i in idx[lo : lo + batch_size]]
+        if drop_last and len(rows) < batch_size and yielded:
             return
         batch = dataset.collater(rows)
         if "text_input" in batch:
-            ids, mask = _mock_tokenize(batch["text_input"], vocab=vocab)
+            ids, mask = tokenize(batch["text_input"])
             batch["text_ids"], batch["text_mask"] = ids, mask
+        yielded = True
         yield batch
 
 
@@ -178,7 +182,6 @@ def main(argv=None) -> Dict[str, float]:
 
     import llava_align_tpu  # noqa: F401
     from llava_align_tpu.framework.config import Config
-    from llava_align_tpu.framework.processors import BlipImageEvalProcessor
     from llava_align_tpu.framework.registry import registry
     from llava_align_tpu.framework.runner import Runner, RunnerConfig
 
@@ -189,28 +192,34 @@ def main(argv=None) -> Dict[str, float]:
     model = task.build_model(cfg.model_cfg)
     arch = cfg.model_cfg.get("arch")
 
-    vision = getattr(model.cfg, "vision", None) or getattr(
-        getattr(model.cfg, "base", None), "vision", None
+    from llava_align_tpu.runners.evaluate import build_datasets_with_processors
+
+    datasets = build_datasets_with_processors(
+        task, model, cfg.datasets_cfg, cfg.model_cfg
     )
-    proc = BlipImageEvalProcessor(image_size=getattr(vision, "image_size", 224))
-    datasets_cfg = {}
-    for name, dcfg in cfg.datasets_cfg.items():
-        dcfg = dict(dcfg)
-        dcfg.setdefault("vis_processors", {"train": proc, "eval": proc})
-        datasets_cfg[name] = dcfg
-    datasets = task.build_datasets(datasets_cfg)
-    _, splits = next(iter(datasets.items()))
-    train_ds = splits["train"]
+    train_sets = [
+        splits["train"] for splits in datasets.values() if "train" in splits
+    ]
+    if not train_sets:
+        raise KeyError("no configured dataset has a 'train' split")
 
     lr = float(run_cfg.get("init_lr", 1e-4))
     batch_size = int(run_cfg.get("batch_size_train", 4))
     step, init_state, prep = _make_train_step(arch, model, lr)
 
-    text_cfg = getattr(model.cfg, "text", None)
-    vocab = min(getattr(text_cfg, "vocab_size", 64) or 64, 30000)
+    vocab = getattr(getattr(model.cfg, "text", None), "vocab_size", 64) or 64
+    tokenize = resolve_tokenizer(run_cfg, vocab)
 
     def loader_fn(epoch: int) -> Iterable:
-        return (prep(b) for b in _batches(train_ds, batch_size, vocab=vocab))
+        import itertools
+
+        return (
+            prep(b)
+            for b in itertools.chain.from_iterable(
+                _batches(ds, batch_size, tokenize=tokenize, epoch=epoch)
+                for ds in train_sets
+            )
+        )
 
     runner = Runner(
         RunnerConfig(
