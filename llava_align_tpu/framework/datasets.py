@@ -206,7 +206,7 @@ class RetrievalEvalDataset(BaseAnnotationDataset):
         self.img2txt: Dict[int, List[int]] = {}
         txt_id = 0
         for img_id, ann in enumerate(self.annotation):
-            self.image.append(ann["image"])
+            self.image.append(ann.get("image", ann.get("video")))
             self.img2txt[img_id] = []
             captions = ann["caption"]
             if isinstance(captions, str):

@@ -309,3 +309,52 @@ def test_video_processor_and_dataset(tmp_path):
         jnp.asarray(np.ones_like(ids)),
     )
     assert logits.shape == (1, 2)
+
+
+def test_evaluate_cli_clip_and_video_archs(ann_dir, tmp_path):
+    """The two signature corners the review flagged: clip (no text_mask) and
+    alpro_retrieval (video samples + video processor default)."""
+    import yaml
+
+    base = {
+        "run": {"task": "retrieval", "split": "test", "k_test": 0},
+        "model": {"arch": "clip", "model_path": None},
+        "datasets": {
+            "tiny": {
+                "builder": "retrieval",
+                "synthetic_images": True,
+                "build_info": {
+                    "test": {"ann_paths": [str(ann_dir / "ret.json")]},
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "clip.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+    from llava_align_tpu.runners.evaluate import main
+
+    metrics = main(["--cfg-path", str(cfg_path)])
+    assert np.isfinite(metrics["r_mean"])
+
+    vid_ann = [
+        {"video": "clip_a", "caption": ["a dog runs", "dog running fast"]},
+        {"video": "clip_b", "caption": ["a red bike"]},
+    ]
+    (ann_dir / "vret.json").write_text(json.dumps(vid_ann))
+    vcfg = {
+        "run": {"task": "retrieval", "split": "test", "k_test": 2},
+        "model": {"arch": "alpro_retrieval", "model_path": None},
+        "datasets": {
+            "tiny_video": {
+                "builder": "video_retrieval",
+                "synthetic_images": True,
+                "build_info": {
+                    "test": {"ann_paths": [str(ann_dir / "vret.json")]},
+                },
+            },
+        },
+    }
+    cfg_path2 = tmp_path / "alpro.yaml"
+    cfg_path2.write_text(yaml.safe_dump(vcfg))
+    metrics = main(["--cfg-path", str(cfg_path2)])
+    assert np.isfinite(metrics["r_mean"])
