@@ -14,6 +14,9 @@ Supported arches (the families with functional training losses):
     contract.
   * albef_classification / blip_classification — fused-cls cross-entropy.
   * clip — symmetric InfoNCE.
+  * llava — multimodal next-token LM over spliced image+caption sequences
+    (train/trainer.py multimodal_lm_loss; under a mesh GSPMD shards it
+    DP/TP like __graft_entry__.dryrun_multichip).
 
 Text tokenization: pass `run.tokenizer_path` (a local BERT vocab file) for
 real checkpoints; without it the deterministic crc32 mock is used (offline
@@ -168,9 +171,43 @@ def _make_train_step(arch: str, model, lr: float):
 
         return step, init_state, prep
 
+    if arch == "llava":
+        from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+        from llava_align_tpu.train import trainer
+
+        cfg = model.cfg
+        step = trainer.make_train_step(cfg, tx, donate=False)
+
+        def init_state(params):
+            return tx.init(params)
+
+        def prep(batch):
+            # caption rows → "<image> caption" LM sequences
+            # (reference llava pretraining objective; llava_arch.py splice)
+            samples = []
+            for ids_row, img in zip(batch["text_ids"], batch["image"]):
+                toks = [int(t) for t in np.asarray(ids_row).tolist() if t != 0]
+                samples.append({
+                    "input_ids": np.asarray(
+                        [IMAGE_TOKEN_INDEX] + toks, np.int32
+                    ),
+                    "images": np.asarray(img),
+                })
+            max_txt = max(len(s["input_ids"]) for s in samples)
+            # bucket to multiples of 16 so drifting caption lengths don't
+            # re-jit the train step every batch (engine compile-cache rule)
+            pad_to = cfg.num_image_tokens + ((max_txt + 15) // 16) * 16
+            b = trainer.build_train_batch(cfg, samples, pad_to)
+            import jax.numpy as jnp
+
+            return {k: jnp.asarray(v) for k, v in b.items()}
+
+        return step, init_state, prep
+
     raise ValueError(
         f"no config-driven train step for arch {arch!r}; supported: "
-        "albef_retrieval, albef_classification, blip_classification, clip"
+        "albef_retrieval, albef_classification, blip_classification, clip, "
+        "llava"
     )
 
 

@@ -358,3 +358,37 @@ def test_evaluate_cli_clip_and_video_archs(ann_dir, tmp_path):
     cfg_path2.write_text(yaml.safe_dump(vcfg))
     metrics = main(["--cfg-path", str(cfg_path2)])
     assert np.isfinite(metrics["r_mean"])
+
+
+def test_train_cli_llava_multimodal_lm(ann_dir, tmp_path):
+    """LLaVA fine-tuning through the config CLI: caption rows become
+    <image>-spliced LM sequences via train/trainer.py."""
+    import yaml
+
+    cap = [
+        {"image": f"im{i}.jpg", "caption": f"a photo number {i}", "image_id": i}
+        for i in range(4)
+    ]
+    (ann_dir / "llava_train.json").write_text(json.dumps(cap))
+    cfg = {
+        "run": {
+            "task": "captioning", "max_epoch": 2, "batch_size_train": 2,
+            "init_lr": 1e-3, "output_dir": str(tmp_path / "out_llava"),
+        },
+        "model": {"arch": "llava", "model_path": None},
+        "datasets": {
+            "tiny": {
+                "builder": "caption",
+                "synthetic_images": True,
+                "build_info": {
+                    "train": {"ann_paths": [str(ann_dir / "llava_train.json")]},
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "llava_train.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from llava_align_tpu.runners.train import main
+
+    stats = main(["--cfg-path", str(cfg_path)])
+    assert np.isfinite(stats["loss"])
