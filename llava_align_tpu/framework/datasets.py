@@ -404,3 +404,51 @@ class VideoQABuilder(BaseDatasetBuilder):
 class VideoRetrievalBuilder(BaseDatasetBuilder):
     train_cls = VideoRetrievalDataset
     eval_cls = VideoRetrievalDataset
+
+
+def build_datasets_for_model(task, model, datasets_cfg):
+    """Builds every configured dataset, resolving processor NAMES through
+    the registry (LAVIS behavior) and defaulting to an image/video
+    processor sized to the model's tower."""
+    from llava_align_tpu.framework.processors import (
+        AlproVideoEvalProcessor,
+        BlipImageEvalProcessor,
+    )
+    from llava_align_tpu.framework.registry import registry as _registry
+
+    mcfg = model.cfg
+    vision = getattr(mcfg, "vision", None) or getattr(
+        getattr(mcfg, "base", None), "vision", None
+    )
+    video_cfg = getattr(mcfg, "video", None)
+    if video_cfg is not None:  # ALPRO family: TimeSformer tower
+        default_proc = AlproVideoEvalProcessor(
+            image_size=video_cfg.image_size, n_frms=video_cfg.num_frames
+        )
+    else:
+        default_proc = BlipImageEvalProcessor(
+            image_size=getattr(vision, "image_size", 224)
+        )
+
+    def resolve(proc):
+        if isinstance(proc, str):
+            cls = registry.get_processor_class(proc)
+            if cls is None:
+                raise KeyError(f"unknown processor {proc!r}")
+            return cls()
+        return proc
+
+    out_cfg = {}
+    for name, dcfg in datasets_cfg.items():
+        dcfg = dict(dcfg)
+        procs = dcfg.get("vis_processors")
+        if procs is None:
+            dcfg["vis_processors"] = {"train": default_proc, "eval": default_proc}
+        else:
+            dcfg["vis_processors"] = {k: resolve(v) for k, v in procs.items()}
+        if "text_processors" in dcfg:
+            dcfg["text_processors"] = {
+                k: resolve(v) for k, v in dcfg["text_processors"].items()
+            }
+        out_cfg[name] = dcfg
+    return task.build_datasets(out_cfg)

@@ -42,6 +42,11 @@ from llava_align_tpu.models.blip import (
     vit_forward,
     vit_init,
 )
+from llava_align_tpu.ops.layers import (
+    l2_normalize as _norm,
+    linear_bias as _proj,
+    sample_hard_negative_indices,
+)
 
 Params = Dict[str, Any]
 
@@ -130,12 +135,6 @@ def init(rng: jax.Array, cfg: AlbefConfig, variant: str = "retrieval") -> Params
     return p
 
 
-def _proj(x, p):
-    return jnp.einsum("...d,od->...o", x, p["w"]) + p["b"]
-
-
-def _norm(x):
-    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
 
 def _cls_head(p, cls):
@@ -534,8 +533,8 @@ def retrieval_train_step(
     w_i2t = jnp.where(same, 0.0, w_i2t)
     w_t2i = jnp.where(same, 0.0, w_t2i)
     k1, k2 = jax.random.split(rng)
-    neg_img = jax.random.categorical(k1, jnp.log(w_t2i + 1e-20), axis=1)  # [bs]
-    neg_txt = jax.random.categorical(k2, jnp.log(w_i2t + 1e-20), axis=1)
+    neg_img = sample_hard_negative_indices(k1, w_t2i)
+    neg_txt = sample_hard_negative_indices(k2, w_i2t)
 
     text_embeds_all = jnp.concatenate([text_embeds, text_embeds[neg_txt]], axis=0)
     text_mask_all = jnp.concatenate([mask, mask[neg_txt]], axis=0)

@@ -26,6 +26,11 @@ import numpy as np
 from llava_align_tpu.models.blip import MedConfig, med_forward
 from llava_align_tpu.models.timesformer import TimeSformerConfig, forward_features
 from llava_align_tpu.models import timesformer as tsf
+from llava_align_tpu.ops.layers import (
+    l2_normalize as _norm,
+    linear_bias as _proj,
+    sample_hard_negative_indices,
+)
 
 Params = Dict[str, Any]
 
@@ -82,12 +87,6 @@ def init(rng: jax.Array, cfg: AlproConfig, variant: str = "retrieval") -> Params
     return p
 
 
-def _proj(x, p):
-    return jnp.einsum("...d,od->...o", x, p["w"]) + p["b"]
-
-
-def _norm(x):
-    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
 
 def encode_text(params: Params, cfg: AlproConfig, ids, mask) -> jax.Array:
@@ -202,8 +201,8 @@ def retrieval_train_step(
     w_v2t = jax.nn.softmax(jnp.where(eye, -jnp.inf, local_v2t), axis=1)
     w_t2v = jax.nn.softmax(jnp.where(eye, -jnp.inf, local_t2v), axis=1)
     k1, k2 = jax.random.split(rng)
-    neg_vid = jax.random.categorical(k1, jnp.log(w_t2v + 1e-20), axis=1)
-    neg_txt = jax.random.categorical(k2, jnp.log(w_v2t + 1e-20), axis=1)
+    neg_vid = sample_hard_negative_indices(k1, w_t2v)
+    neg_txt = sample_hard_negative_indices(k2, w_v2t)
 
     text_all = jnp.concatenate([text_embeds, text_embeds[neg_txt]], axis=0)
     mask_all = jnp.concatenate([mask, mask[neg_txt]], axis=0)

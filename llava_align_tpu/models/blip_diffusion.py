@@ -42,6 +42,7 @@ from llava_align_tpu.models import clip_vit, qformer
 from llava_align_tpu.models.clip import ClipConfig
 from llava_align_tpu.models.qformer import QFormerConfig
 from llava_align_tpu.config import ClipVisionConfig
+from llava_align_tpu.ops.layers import layer_norm, linear_bias as _proj, quick_gelu
 
 Params = Dict[str, Any]
 
@@ -137,14 +138,8 @@ def init(rng: jax.Array, cfg: BlipDiffusionConfig) -> Params:
     }
 
 
-def _proj(x, p):
-    return jnp.einsum("...d,od->...o", x, p["w"]) + p["b"]
-
-
 def proj_layer(params_proj: Params, x: jax.Array) -> jax.Array:
     """LN → dense1 → QuickGELU → dense2 → dropout(0) → +residual (:50-56)."""
-    from llava_align_tpu.ops.layers import layer_norm, quick_gelu
-
     h = layer_norm(x, params_proj["ln"]["scale"], params_proj["ln"]["bias"], 1e-12)
     h = _proj(quick_gelu(_proj(h, params_proj["fc1"])), params_proj["fc2"])
     return h + x

@@ -49,6 +49,11 @@ from llava_align_tpu.models.blip import (
     _mha,
 )
 from llava_align_tpu.ops.layers import layer_norm
+from llava_align_tpu.ops.layers import (
+    l2_normalize as _norm,
+    linear_bias as _proj,
+    sample_hard_negative_indices,
+)
 
 Params = Dict[str, Any]
 
@@ -61,12 +66,6 @@ __all__ = [
 ]
 
 
-def _proj(x, p):
-    return jnp.einsum("...d,od->...o", x, p["w"]) + p["b"]
-
-
-def _norm(x):
-    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
 
 def _itc_feats(params: Params, cfg: BlipConfig, pixels, ids, mask):
@@ -167,8 +166,8 @@ def retrieval_train_step(
     w_i2t = jnp.where(same, 0.0, jax.nn.softmax(image_feat @ g_txt_feat.T / temp, axis=1))
     w_t2i = jnp.where(same, 0.0, jax.nn.softmax(text_feat @ g_img_feat.T / temp, axis=1))
     k1, k2 = jax.random.split(rng)
-    neg_img = jax.random.categorical(k1, jnp.log(w_t2i + 1e-20), axis=1)
-    neg_txt = jax.random.categorical(k2, jnp.log(w_i2t + 1e-20), axis=1)
+    neg_img = sample_hard_negative_indices(k1, w_t2i)
+    neg_txt = sample_hard_negative_indices(k2, w_i2t)
 
     text_ids_all = jnp.concatenate([enc_ids, g_enc_ids[neg_txt]], axis=0)
     text_mask_all = jnp.concatenate([mask, g_mask[neg_txt]], axis=0)

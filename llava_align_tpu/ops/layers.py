@@ -71,3 +71,20 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     cos_b = cos[..., None, :]  # broadcast over heads
     sin_b = sin[..., None, :]
     return (x32 * cos_b + rotated * sin_b).astype(dtype)
+
+
+def linear_bias(x: jax.Array, p) -> jax.Array:
+    """x @ W.T + b for torch-layout params {"w": [out, in], "b": [out]} —
+    the shared Linear used across the LAVIS zoo modules."""
+    return jnp.einsum("...d,od->...o", x, p["w"]) + p["b"]
+
+
+def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def sample_hard_negative_indices(rng: jax.Array, weights: jax.Array) -> jax.Array:
+    """Per-row categorical draw over (already positive-masked) mining
+    weights — the in-batch hard-negative selection shared by the
+    ALBEF/ALPRO/BLIP retrieval train steps (torch.multinomial equivalent)."""
+    return jax.random.categorical(rng, jnp.log(weights + 1e-20), axis=1)

@@ -99,8 +99,10 @@ def main(argv=None) -> Dict[str, float]:
         raise KeyError(f"unknown task {task_name!r}")
     task = task_cls.setup_task(run_cfg)
 
+    from llava_align_tpu.framework.datasets import build_datasets_for_model
+
     model = task.build_model(cfg.model_cfg)
-    datasets = build_datasets_with_processors(task, model, cfg.datasets_cfg, cfg.model_cfg)
+    datasets = build_datasets_for_model(task, model, cfg.datasets_cfg)
 
     vocab = getattr(getattr(model.cfg, "text", None), "vocab_size", 64) or 64
     tokenize = resolve_tokenizer(run_cfg, vocab)
@@ -126,54 +128,6 @@ def main(argv=None) -> Dict[str, float]:
             for k, v in metrics.items()
         }}))
     return metrics
-
-
-def build_datasets_with_processors(task, model, datasets_cfg, model_cfg):
-    """Builds every configured dataset, resolving processor NAMES through
-    the registry (LAVIS behavior) and defaulting to an image/video
-    processor sized to the model's tower."""
-    from llava_align_tpu.framework.processors import (
-        AlproVideoEvalProcessor,
-        BlipImageEvalProcessor,
-    )
-    from llava_align_tpu.framework.registry import registry as _registry
-
-    mcfg = model.cfg
-    vision = getattr(mcfg, "vision", None) or getattr(
-        getattr(mcfg, "base", None), "vision", None
-    )
-    video_cfg = getattr(mcfg, "video", None)
-    if video_cfg is not None:  # ALPRO family: TimeSformer tower
-        default_proc = AlproVideoEvalProcessor(
-            image_size=video_cfg.image_size, n_frms=video_cfg.num_frames
-        )
-    else:
-        default_proc = BlipImageEvalProcessor(
-            image_size=getattr(vision, "image_size", 224)
-        )
-
-    def resolve(proc):
-        if isinstance(proc, str):
-            cls = _registry.get_processor_class(proc)
-            if cls is None:
-                raise KeyError(f"unknown processor {proc!r}")
-            return cls()
-        return proc
-
-    out_cfg = {}
-    for name, dcfg in datasets_cfg.items():
-        dcfg = dict(dcfg)
-        procs = dcfg.get("vis_processors")
-        if procs is None:
-            dcfg["vis_processors"] = {"train": default_proc, "eval": default_proc}
-        else:
-            dcfg["vis_processors"] = {k: resolve(v) for k, v in procs.items()}
-        if "text_processors" in dcfg:
-            dcfg["text_processors"] = {
-                k: resolve(v) for k, v in dcfg["text_processors"].items()
-            }
-        out_cfg[name] = dcfg
-    return task.build_datasets(out_cfg)
 
 
 if __name__ == "__main__":

@@ -229,11 +229,9 @@ def main(argv=None) -> Dict[str, float]:
     model = task.build_model(cfg.model_cfg)
     arch = cfg.model_cfg.get("arch")
 
-    from llava_align_tpu.runners.evaluate import build_datasets_with_processors
+    from llava_align_tpu.framework.datasets import build_datasets_for_model
 
-    datasets = build_datasets_with_processors(
-        task, model, cfg.datasets_cfg, cfg.model_cfg
-    )
+    datasets = build_datasets_for_model(task, model, cfg.datasets_cfg)
     train_sets = [
         splits["train"] for splits in datasets.values() if "train" in splits
     ]
