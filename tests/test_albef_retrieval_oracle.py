@@ -1,0 +1,236 @@
+"""ALBEF retrieval TRAINING parity vs the reference AlbefRetrieval class.
+
+The reference class itself (albef_models/albef_retrieval.py, loaded
+read-only with omegaconf/timm/fairscale stubs and a fake tokenizer) is run
+forward on tiny random weights; our functional retrieval_train_step runs on
+the converted state dict with the reference's own queue buffers copied in.
+The deterministic pieces must match: ITC loss (momentum features, queue
+negatives, distilled soft targets) and the queue update. The ITM term draws
+hard negatives stochastically (torch.multinomial vs jax categorical) and is
+compared only for finiteness.
+"""
+
+import importlib.machinery
+import importlib.util
+import sys
+import types
+from functools import partial
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from llava_align_tpu.models import albef
+from llava_align_tpu.models.albef import AlbefConfig
+from llava_align_tpu.models.blip import BlipVitConfig, MedConfig
+from llava_align_tpu.utils.hf_convert import convert_albef
+
+V, D = 64, 32
+
+
+def _stub(name, **attrs):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_albef_retrieval():
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as pu
+
+    for fn in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
+               "prune_linear_layer"):
+        if not hasattr(mu, fn):
+            setattr(mu, fn, getattr(pu, fn))
+
+    class Registry:
+        @staticmethod
+        def register_model(name):
+            return lambda c: c
+
+    class MetricLogger:
+        def __init__(self, *a, **k):
+            pass
+
+        def log_every(self, it, *a, **k):
+            return iter(it)
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, img_size=224, patch_size=16, in_chans=3, embed_dim=768):
+            super().__init__()
+            self.num_patches = (img_size // patch_size) ** 2
+            self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                                  stride=patch_size)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    def trunc_normal_(t, std=1.0, **k):
+        with torch.no_grad():
+            t.normal_(0, std)
+        return t
+
+    class DropPath(nn.Module):
+        def forward(self, x):
+            return x
+
+    _stub("omegaconf", OmegaConf=types.SimpleNamespace(
+        load=lambda *a: {}, create=lambda *a, **k: {}
+    ))
+    for name in ("lavis", "lavis.common"):
+        if name not in sys.modules:
+            _stub(name)
+    _stub("lavis.common.utils", get_abs_path=lambda p: p, is_url=lambda u: False)
+    _stub(
+        "lavis.common.dist_utils",
+        download_cached_file=lambda *a, **k: None,
+        is_dist_avail_and_initialized=lambda: False,
+        get_world_size=lambda: 1, get_rank=lambda: 0,
+        is_main_process=lambda: True, main_process=lambda f: f,
+    )
+    _stub("lavis.common.logger", MetricLogger=MetricLogger)
+    _stub("lavis.common.registry", registry=Registry)
+    _stub("timm")
+    _stub("timm.models")
+    _stub("timm.models.vision_transformer", _cfg=lambda *a, **k: {}, PatchEmbed=PatchEmbed)
+    _stub("timm.models.registry", register_model=lambda f: f)
+    _stub("timm.models.layers", trunc_normal_=trunc_normal_, DropPath=DropPath,
+          to_2tuple=lambda x: (x, x))
+    _stub("timm.models.helpers", named_apply=lambda *a, **k: None,
+          adapt_input_conv=lambda *a, **k: None)
+    _stub("fairscale")
+    _stub("fairscale.nn")
+    _stub("fairscale.nn.checkpoint")
+    _stub("fairscale.nn.checkpoint.checkpoint_activations",
+          checkpoint_wrapper=lambda m, *a, **k: m)
+
+    ROOT = "/root/reference/experiments/lavis/models/"
+    if "lavis.models" not in sys.modules:
+        _stub("lavis.models")
+    _load("lavis.models.base_model", ROOT + "base_model.py")
+    med = _load("lavis.models.med", ROOT + "med.py")
+    vit = _load("lavis.models.vit", ROOT + "vit.py")
+    _load("lavis.models.albef_models", ROOT + "albef_models/__init__.py")
+    _load("lavis.models.albef_models.albef_outputs",
+          ROOT + "albef_models/albef_outputs.py")
+    ret_mod = _load("ref_albef_retrieval", ROOT + "albef_models/albef_retrieval.py")
+    return ret_mod, med, vit
+
+
+class _FakeBatch:
+    def __init__(self, ids, mask):
+        self.input_ids = ids
+        self.attention_mask = mask
+
+    def to(self, device):
+        return self
+
+
+def test_retrieval_itc_and_queue_match_reference(ref_albef_retrieval):
+    ret_mod, med, vit = ref_albef_retrieval
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.fusion_layer = 2
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = False
+    bcfg.add_cross_attention = True
+    torch.manual_seed(0)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=2.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+    ret_mod.AlbefRetrieval.init_tokenizer = classmethod(lambda cls: None)
+    model = ret_mod.AlbefRetrieval(
+        image_encoder=img_enc, text_encoder=text_enc, queue_size=16,
+        embed_dim=16, temp=0.07, use_distill=True, momentum=0.995, alpha=0.4,
+        max_txt_len=8,
+    ).eval()
+
+    rng = np.random.default_rng(0)
+    b, s = 4, 6
+    ids = torch.tensor(rng.integers(1, V, (b, s)))
+    mask = torch.ones((b, s), dtype=torch.long)
+    model.tokenizer = lambda caption, **k: _FakeBatch(ids, mask)
+    imgs = torch.tensor(rng.normal(size=(b, 3, 32, 32)).astype(np.float32))
+    idx = torch.tensor([0, 1, 2, 1])
+
+    # snapshot the reference's randomly-initialized queues BEFORE forward
+    q_img0 = model.image_queue.clone().numpy()
+    q_txt0 = model.text_queue.clone().numpy()
+
+    with torch.no_grad():
+        out = model({
+            "image": imgs, "text_input": ["x"] * b, "image_id": idx,
+            "epoch": 5, "iters": 0, "num_iters_per_epoch": 1,
+        })
+    want_itc = float(out.loss_itc)
+    want_q_img = model.image_queue.clone().numpy()
+    want_q_txt = model.text_queue.clone().numpy()
+    want_ptr = int(model.queue_ptr)
+
+    # --- ours on the converted weights + identical queue state ---
+    cfg = AlbefConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=2.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=4, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=2,
+        ),
+        embed_dim=16, queue_size=16,
+    )
+    params = convert_albef(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg,
+        variant="retrieval",
+    )
+    m_params = jax.tree_util.tree_map(jnp.copy, params)
+    state = {
+        "image_queue": jnp.asarray(q_img0),
+        "text_queue": jnp.asarray(q_txt0),
+        "idx_queue": jnp.full((1, 16), -100, jnp.int32),
+        "ptr": jnp.zeros((), jnp.int32),
+    }
+    losses, _, new_state = albef.retrieval_train_step(
+        params, m_params, state, cfg, jax.random.PRNGKey(0),
+        jnp.asarray(imgs.numpy()), jnp.asarray(ids.numpy()),
+        jnp.asarray(mask.numpy()), jnp.asarray(idx.numpy()),
+        alpha=0.4, momentum=0.995, use_distill=True,
+    )
+    np.testing.assert_allclose(float(losses["loss_itc"]), want_itc, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_state["image_queue"]), want_q_img, atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["text_queue"]), want_q_txt, atol=2e-4, rtol=1e-3
+    )
+    assert int(new_state["ptr"]) == want_ptr
+    assert np.isfinite(float(losses["loss_itm"]))  # stochastic negatives — finite only
+    np.testing.assert_array_equal(
+        np.asarray(new_state["idx_queue"])[0, :b], idx.numpy()
+    )
