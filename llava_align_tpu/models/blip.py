@@ -76,6 +76,12 @@ class MedConfig:
     # [0, fusion_layer), mode "fusion" runs [fusion_layer, L)). None = BLIP
     # behavior: cross-attention in every layer, "text" runs all layers.
     fusion_layer: Optional[int] = None
+    # med.py BertEmbeddings adds token-type embeddings ONLY when
+    # token_type_ids are explicitly passed (med.py:111-115) — BLIP callers
+    # never pass them (no type vector added, unlike HF Bert's zeros
+    # default), ALPRO passes zeros (type[0] added). True = HF/ALPRO
+    # behavior; set False for BLIP-family configs.
+    use_type_embeddings: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -92,13 +98,19 @@ class MedConfig:
 @dataclasses.dataclass(frozen=True)
 class BlipConfig:
     vision: BlipVitConfig = dataclasses.field(default_factory=BlipVitConfig)
-    text: MedConfig = dataclasses.field(default_factory=MedConfig)
+    # BLIP callers never pass token_type_ids → med.py adds no type vector
+    text: MedConfig = dataclasses.field(
+        default_factory=lambda: MedConfig(use_type_embeddings=False)
+    )
     embed_dim: int = 256  # ITC projection width
 
     @staticmethod
     def tiny(vocab_size: int = 64) -> "BlipConfig":
         return BlipConfig(
-            vision=BlipVitConfig.tiny(), text=MedConfig.tiny(vocab_size),
+            vision=BlipVitConfig.tiny(),
+            text=dataclasses.replace(
+                MedConfig.tiny(vocab_size), use_type_embeddings=False
+            ),
             embed_dim=16,
         )
 
@@ -232,7 +244,9 @@ def med_init(rng: jax.Array, cfg: MedConfig) -> Params:
 
 def med_embed(params: Params, cfg: MedConfig, ids: jax.Array, positions: jax.Array) -> jax.Array:
     e = params["embeddings"]
-    x = e["word"][jnp.clip(ids, 0, cfg.vocab_size - 1)] + e["pos"][positions] + e["type"][0]
+    x = e["word"][jnp.clip(ids, 0, cfg.vocab_size - 1)] + e["pos"][positions]
+    if cfg.use_type_embeddings:
+        x = x + e["type"][0]
     return layer_norm(x, e["ln"]["scale"], e["ln"]["bias"], cfg.layer_norm_eps)
 
 

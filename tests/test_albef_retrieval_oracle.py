@@ -234,3 +234,123 @@ def test_retrieval_itc_and_queue_match_reference(ref_albef_retrieval):
     np.testing.assert_array_equal(
         np.asarray(new_state["idx_queue"])[0, :b], idx.numpy()
     )
+
+
+def test_blip_retrieval_itc_and_queue_match_reference(ref_albef_retrieval):
+    """Same oracle harness for BLIP retrieval (blip_models/blip_retrieval.py):
+    BLIP med (cross-attention in every layer), deterministic ITC + queues."""
+    _, med, vit = ref_albef_retrieval
+    ROOT = "/root/reference/experiments/lavis/models/"
+    _load("lavis.models.blip_models", ROOT + "blip_models/__init__.py")
+    _load("lavis.models.blip_models.blip_outputs",
+          ROOT + "blip_models/blip_outputs.py")
+    # blip.py hard-asserts transformers<4.27 at import — spoof the version
+    # string around the read-only load (the math under test doesn't touch
+    # the incompatible generate plumbing the assert guards)
+    import transformers as _tf
+
+    real_version = _tf.__version__
+    _tf.__version__ = "4.25.0"
+    try:
+        blip_base_mod = _load("lavis.models.blip_models.blip", ROOT + "blip_models/blip.py")
+    finally:
+        _tf.__version__ = real_version
+    blip_base_mod.BlipBase.init_tokenizer = classmethod(lambda cls: None)
+    # the version assert re-fires inside BlipBase.__init__ — keep the spoof
+    blip_base_mod.transformers = types.SimpleNamespace(__version__="4.25.0")
+    ret_mod = _load("ref_blip_retrieval", ROOT + "blip_models/blip_retrieval.py")
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = True  # BLIP med config keeps type embeddings
+    bcfg.add_cross_attention = True  # BLIP med: cross in every layer
+    torch.manual_seed(3)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=4.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+    model = ret_mod.BlipRetrieval(
+        image_encoder=img_enc, text_encoder=text_enc, queue_size=16,
+        alpha=0.4, embed_dim=16, momentum=0.995, negative_all_rank=False,
+        max_txt_len=8,
+    ).eval()
+
+    rng = np.random.default_rng(4)
+    b, s = 4, 6
+    ids = torch.tensor(rng.integers(3, V, (b, s)))
+    mask = torch.ones((b, s), dtype=torch.long)
+
+    class _Tok:
+        enc_token_id = 1
+
+        def __call__(self, caption, **k):
+            return _FakeBatch(ids, mask)
+
+    model.tokenizer = _Tok()
+    imgs = torch.tensor(rng.normal(size=(b, 3, 32, 32)).astype(np.float32))
+    idx = torch.tensor([0, 1, 2, 1])
+    q_img0 = model.image_queue.clone().numpy()
+    q_txt0 = model.text_queue.clone().numpy()
+
+    with torch.no_grad():
+        out = model({
+            "image": imgs, "text_input": ["x"] * b, "image_id": idx,
+            "epoch": 10, "iters": 0, "num_iters_per_epoch": 1,
+        })
+    want_itc = float(out.loss_itc)
+    want_q_img = model.image_queue.clone().numpy()
+    want_q_txt = model.text_queue.clone().numpy()
+
+    # --- ours ---
+    from llava_align_tpu.models import blip_variants as bv
+    from llava_align_tpu.models.blip import BlipConfig
+    from llava_align_tpu.utils.hf_convert import convert_blip_variant
+
+    cfg = BlipConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=4.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64,
+            # med.py adds no type vector for BLIP (token_type_ids=None)
+            use_type_embeddings=False,
+        ),
+        embed_dim=16,
+    )
+    params = convert_blip_variant(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg, "retrieval"
+    )
+    m_params = jax.tree_util.tree_map(jnp.copy, params)
+    state = {
+        "image_queue": jnp.asarray(q_img0),
+        "text_queue": jnp.asarray(q_txt0),
+        "idx_queue": jnp.full((1, 16), -100, jnp.int32),
+        "ptr": jnp.zeros((), jnp.int32),
+    }
+    enc_ids = jnp.asarray(ids.numpy()).at[:, 0].set(1)
+    losses, _, new_state = bv.retrieval_train_step(
+        params, m_params, state, cfg, jax.random.PRNGKey(0),
+        jnp.asarray(imgs.numpy()), jnp.asarray(ids.numpy()), enc_ids,
+        jnp.asarray(mask.numpy()), jnp.asarray(idx.numpy()),
+        alpha=0.4, momentum=0.995, queue_size=16,
+    )
+    np.testing.assert_allclose(float(losses["loss_itc"]), want_itc, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_state["image_queue"]), want_q_img, atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["text_queue"]), want_q_txt, atol=2e-4, rtol=1e-3
+    )
+    assert np.isfinite(float(losses["loss_itm"]))

@@ -193,6 +193,20 @@ def test_incremental_decode_matches_full(med_models):
 def blip_setup(med_models):
     hf_med, med_cfg, med_params = med_models
     cfg = BlipConfig.tiny(vocab_size=V)
+    # BLIP semantics (med.py:111-115): no token-type vector is ever added
+    # (callers pass token_type_ids=None); HF Bert adds type[0] for its
+    # zeros default — zero the oracle's type table so both sides agree
+    with torch.no_grad():
+        hf_med.bert.embeddings.token_type_embeddings.weight.zero_()
+    import dataclasses as _dc
+
+    from llava_align_tpu.utils.hf_convert import convert_med
+
+    med_params = convert_med(
+        {k: v.detach() for k, v in hf_med.state_dict().items()},
+        _dc.replace(med_cfg, use_type_embeddings=False),
+        prefix="bert.", head_prefix="cls.",
+    )
     params = blip.init(jax.random.PRNGKey(0), cfg)
     params["text"] = med_params  # share the HF-converted decoder
     return hf_med, cfg, params
