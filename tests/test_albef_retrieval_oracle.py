@@ -354,3 +354,119 @@ def test_blip_retrieval_itc_and_queue_match_reference(ref_albef_retrieval):
         np.asarray(new_state["text_queue"]), want_q_txt, atol=2e-4, rtol=1e-3
     )
     assert np.isfinite(float(losses["loss_itm"]))
+
+
+def test_alpro_retrieval_vtc_matches_reference(ref_albef_retrieval):
+    """ALPRO retrieval VTC parity vs the real AlproRetrieval class
+    (TimeSformer video tower + no-cross fusion BERT): the deterministic
+    in-batch VTC loss and similarity matrices must match; VTM negatives are
+    stochastic and checked finite."""
+    _, med, _ = ref_albef_retrieval
+    ROOT = "/root/reference/experiments/lavis/models/"
+    _stub("lavis.common.config", node_to_dict=lambda n: dict(n))
+    tpkg = types.ModuleType("lavis.models.timesformer")
+    tpkg.__spec__ = importlib.machinery.ModuleSpec("lavis.models.timesformer", None)
+    tpkg.__path__ = [ROOT + "timesformer"]
+    sys.modules["lavis.models.timesformer"] = tpkg
+    _load("lavis.models.alpro_models", ROOT + "alpro_models/__init__.py")
+    _load("lavis.models.alpro_models.alpro_outputs",
+          ROOT + "alpro_models/alpro_outputs.py")
+    import importlib as _il
+
+    tsf_vit = _il.import_module("lavis.models.timesformer.vit")
+    ret_mod = _load("ref_alpro_retrieval", ROOT + "alpro_models/alpro_retrieval.py")
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    from llava_align_tpu.models.timesformer import TimeSformerConfig
+
+    vcfg = TimeSformerConfig.tiny()
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    # bert_config_alpro.json: fusion without cross-attention, type embeds on
+    bcfg.fusion_layer = 2
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = True
+    bcfg.add_cross_attention = False
+    torch.manual_seed(6)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+
+    ts = tsf_vit.TimeSformer(
+        image_size=vcfg.image_size, patch_size=vcfg.patch_size,
+        n_frms=vcfg.num_frames, attn_drop_rate=0.0, drop_path_rate=0.0,
+        drop_rate=0.0,
+    )
+    # shrink to tiny dims: rebuild the inner VisionTransformer
+    ts.model = tsf_vit.VisionTransformer(
+        img_size=vcfg.image_size, patch_size=vcfg.patch_size,
+        embed_dim=D, depth=vcfg.num_layers, num_heads=vcfg.num_heads,
+        mlp_ratio=vcfg.mlp_ratio, qkv_bias=True,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+        num_frames=vcfg.num_frames, attention_type="divided_space_time",
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+    )
+    with torch.no_grad():
+        ts.model.pos_embed.normal_(0, 0.02)
+        ts.model.time_embed.normal_(0, 0.02)
+        ts.model.cls_token.normal_(0, 0.02)
+        for n, p_ in ts.model.named_parameters():
+            if "temporal_fc" in n or "bias" in n:
+                p_.normal_(0, 0.02)
+    ts.num_frames = vcfg.num_frames
+    ts.img_size = vcfg.image_size
+
+    ret_mod.AlproRetrieval.init_tokenizer = classmethod(lambda cls: None)
+    # single-process: the world-gather of features is the identity
+    ret_mod.all_gather_with_grad = lambda x: x
+    # the vendored compute_vtm uses np.Inf (removed in NumPy 2)
+    ret_mod.np = types.SimpleNamespace(Inf=float("inf"), inf=float("inf"))
+    model = ret_mod.AlproRetrieval(
+        visual_encoder=ts, text_encoder=text_enc,
+        vision_width=D, text_width=D, embed_dim=16, max_txt_len=8, temp=0.07,
+    ).eval()
+
+    rng = np.random.default_rng(7)
+    b, s, T = 4, 6, vcfg.num_frames
+    ids = torch.tensor(rng.integers(3, V, (b, s)))
+    mask = torch.ones((b, s), dtype=torch.long)
+    model.tokenizer = lambda caption, **k: _FakeBatch(ids, mask)
+    # reference forward expects (b, t, c, h, w) and permutes internally?
+    # alpro_retrieval.py:72 unpacks b,t,c,h,w but feeds visual_encoder
+    # directly — TimeSformer wants (b, c, t, h, w); match its actual usage
+    video = torch.tensor(
+        rng.normal(size=(b, 3, T, vcfg.image_size, vcfg.image_size)).astype(np.float32)
+    )
+    with torch.no_grad():
+        out = model({
+            "video": video, "text_input": ["x"] * b,
+            "epoch": 0, "iters": 0, "num_iters_per_epoch": 1,
+        })
+    want_vtc = float(out.loss_vtc)
+
+    # --- ours ---
+    from llava_align_tpu.models import alpro
+    from llava_align_tpu.models.alpro import AlproConfig
+    from llava_align_tpu.utils.hf_convert import convert_alpro
+
+    cfg = AlproConfig(
+        video=vcfg,
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=4, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=2,
+        ),
+        embed_dim=16,
+    )
+    sd = {k: v.detach() for k, v in model.state_dict().items()}
+    # converter expects visual_encoder.model.* — the state dict has it
+    params = convert_alpro(sd, cfg, variant="retrieval")
+    losses = alpro.retrieval_train_step(
+        params, cfg, jax.random.PRNGKey(0),
+        jnp.asarray(video.numpy()), jnp.asarray(ids.numpy()),
+        jnp.asarray(mask.numpy()),
+    )
+    np.testing.assert_allclose(float(losses["loss_vtc"]), want_vtc, atol=3e-4, rtol=1e-3)
+    assert np.isfinite(float(losses["loss_vtm"]))
