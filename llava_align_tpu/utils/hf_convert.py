@@ -1257,8 +1257,21 @@ def convert_blip_variant(
             return {"w": t(_np(sd[name + ".weight"])), "b": t(_np(sd[name + ".bias"]))}
         return {"w": jnp.zeros((o, i), tc.dtype), "b": jnp.zeros((o,), tc.dtype)}
 
+    enc_prefix = _pick_bert_prefix(sd, "text_encoder")
+    if enc_prefix is None:
+        raise KeyError(f"{variant} checkpoint lacks text_encoder.* keys")
+    # NOTE: always take the "text" tree from text_encoder.* explicitly —
+    # convert_blip's prefix preference would load text_decoder.* into the
+    # encoder slot for checkpoints that carry both (vqa, pretrain)
+    params: Dict[str, Any] = {
+        "visual": convert_blip_vit(sd, cfg.vision, prefix="visual_encoder."),
+        "text": convert_med(sd, tc, prefix=enc_prefix, head_prefix="__none__."),
+    }
     if variant in ("retrieval", "pretrain"):
-        params = convert_blip(sd, cfg)
+        E = cfg.embed_dim
+        params["vision_proj"] = linear("vision_proj", E, cfg.vision.hidden_size)
+        params["text_proj"] = linear("text_proj", E, tc.hidden_size)
+        params["itm_head"] = linear("itm_head", 2, tc.hidden_size)
         params["temp"] = (
             jnp.asarray(_np(sd["temp"]).reshape(()), jnp.float32)
             if "temp" in sd else jnp.asarray(0.07, jnp.float32)
@@ -1272,13 +1285,6 @@ def convert_blip_variant(
             )
         return params
 
-    enc_prefix = _pick_bert_prefix(sd, "text_encoder")
-    if enc_prefix is None:
-        raise KeyError(f"{variant} checkpoint lacks text_encoder.* keys")
-    params = {
-        "visual": convert_blip_vit(sd, cfg.vision, prefix="visual_encoder."),
-        "text": convert_med(sd, tc, prefix=enc_prefix, head_prefix="__none__."),
-    }
     if variant == "vqa":
         dec_prefix = _pick_bert_prefix(sd, "text_decoder")
         if dec_prefix is None:

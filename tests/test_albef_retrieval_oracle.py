@@ -470,3 +470,130 @@ def test_alpro_retrieval_vtc_matches_reference(ref_albef_retrieval):
     )
     np.testing.assert_allclose(float(losses["loss_vtc"]), want_vtc, atol=3e-4, rtol=1e-3)
     assert np.isfinite(float(losses["loss_vtm"]))
+
+
+def test_blip_pretrain_itc_and_lm_match_reference(ref_albef_retrieval):
+    """BLIP pretraining oracle: deterministic ITC and captioning-LM losses
+    vs the real BlipPretrain class — in particular the LM term's
+    label-smoothed token-mean (CrossEntropyLoss(reduction='mean'),
+    med.py:1238), the semantics a review fix pinned down."""
+    _, med, vit = ref_albef_retrieval
+    ROOT = "/root/reference/experiments/lavis/models/"
+    # blip_models modules were loaded by the blip retrieval test; ensure here
+    import importlib as _il
+
+    if "lavis.models.blip_models.blip" not in sys.modules:
+        _load("lavis.models.blip_models", ROOT + "blip_models/__init__.py")
+        _load("lavis.models.blip_models.blip_outputs",
+              ROOT + "blip_models/blip_outputs.py")
+        import transformers as _tf
+
+        rv = _tf.__version__
+        _tf.__version__ = "4.25.0"
+        try:
+            bb = _load("lavis.models.blip_models.blip", ROOT + "blip_models/blip.py")
+        finally:
+            _tf.__version__ = rv
+        bb.BlipBase.init_tokenizer = classmethod(lambda cls: None)
+        bb.transformers = types.SimpleNamespace(__version__="4.25.0")
+    pre_mod = _load("ref_blip_pretrain", ROOT + "blip_models/blip_pretrain.py")
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = True
+    bcfg.add_cross_attention = True
+    torch.manual_seed(8)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+    import copy as _copy
+
+    dec_cfg = _copy.deepcopy(bcfg)
+    dec_cfg.is_decoder = True
+    text_dec = med.XBertLMHeadDecoder(config=dec_cfg)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=4.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+
+    class _Tok:
+        enc_token_id = 1
+        bos_token_id = 2
+        pad_token_id = 0
+
+        def __len__(self):
+            return V
+
+        def __call__(self, caption, **k):
+            return _FakeBatch(self._ids, self._mask)
+
+    tok = _Tok()
+    pre_mod.BlipPretrain.init_tokenizer = classmethod(lambda cls: tok)
+    model = pre_mod.BlipPretrain(
+        image_encoder=img_enc, text_encoder=text_enc, text_decoder=text_dec,
+        queue_size=16, alpha=0.4, embed_dim=16, momentum=0.995,
+        tie_enc_dec_weights=False, max_txt_len=8,
+    ).eval()
+
+    rng = np.random.default_rng(9)
+    b, s = 4, 6
+    ids_np = rng.integers(3, V, (b, s))
+    ids_np[2, 4:] = 0  # variable lengths exercise the token-mean semantics
+    ids = torch.tensor(ids_np)
+    mask = torch.tensor((ids_np != 0).astype(np.int64))
+    tok._ids, tok._mask = ids, mask
+    imgs = torch.tensor(rng.normal(size=(b, 3, 32, 32)).astype(np.float32))
+    q_img0 = model.image_queue.clone().numpy()
+    q_txt0 = model.text_queue.clone().numpy()
+
+    with torch.no_grad():
+        out = model({
+            "image": imgs, "text_input": ["x"] * b,
+            "epoch": 10, "iters": 0, "num_iters_per_epoch": 1,
+        })
+    want_itc = float(out.loss_itc)
+    want_lm = float(out.loss_lm)
+
+    from llava_align_tpu.models import blip_variants as bv
+    from llava_align_tpu.models.blip import BlipConfig
+    from llava_align_tpu.utils.hf_convert import convert_blip_variant
+
+    cfg = BlipConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=4.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64,
+            use_type_embeddings=False,
+        ),
+        embed_dim=16,
+    )
+    params = convert_blip_variant(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg, "pretrain"
+    )
+    m_params = jax.tree_util.tree_map(jnp.copy, params)
+    state = {
+        "image_queue": jnp.asarray(q_img0),
+        "text_queue": jnp.asarray(q_txt0),
+        "idx_queue": jnp.full((1, 16), -100, jnp.int32),
+        "ptr": jnp.zeros((), jnp.int32),
+    }
+    jids = jnp.asarray(ids_np)
+    losses, _, _ = bv.pretrain_step(
+        params, m_params, state, cfg, jax.random.PRNGKey(0),
+        jnp.asarray(imgs.numpy()), jids, jids.at[:, 0].set(1),
+        jids.at[:, 0].set(2), jnp.asarray((ids_np != 0).astype(np.int64)),
+        jnp.arange(b),  # unique ids → diagonal targets like the reference
+        alpha=0.4, momentum=0.995,
+    )
+    np.testing.assert_allclose(float(losses["loss_itc"]), want_itc, atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(float(losses["loss_lm"]), want_lm, atol=3e-4, rtol=1e-3)
