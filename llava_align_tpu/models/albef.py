@@ -555,3 +555,53 @@ def retrieval_train_step(
 
     losses = {"loss": loss_itc + loss_itm, "loss_itc": loss_itc, "loss_itm": loss_itm}
     return losses, m_params, new_state
+
+
+def vqa_train_loss(
+    params: Params, cfg: AlbefConfig,
+    pixels: jax.Array,          # [Nq, 3, H, W]
+    q_ids: jax.Array, q_mask: jax.Array,
+    answer_ids: jax.Array,      # [Na_total, Sa] (flattened per-question answers)
+    answer_mask: jax.Array,
+    n_answers,                  # python list/tuple, len Nq — answers per question
+    weights: jax.Array,         # [Na_total] per-answer loss weights
+    *,
+    m_params: Optional[Params] = None,
+    alpha: float = 0.0,
+    pad_token_id: int = 0,
+) -> jax.Array:
+    """ALBEF VQA training objective (albef_vqa.py:83-226): fused question
+    states tiled per answer, label-smoothed answer LM loss with optional
+    momentum distillation (med.py:1246-1251:
+    per-sample (1-α)·lm + α·distill), weighted and averaged over the
+    question batch."""
+    fused = fused_encode(params, cfg, pixels, q_ids, q_mask)
+    rep = np.repeat(np.arange(len(n_answers)), np.asarray(n_answers))
+    states = fused[rep]
+    smask = q_mask[rep]
+    targets = jnp.where(answer_ids == pad_token_id, -100, answer_ids)
+
+    h = med_forward(
+        params["decoder"], cfg.decoder, answer_ids, answer_mask,
+        encoder_states=states, encoder_mask=smask, causal=True,
+    )
+    logits = med_logits(params["decoder"], h)
+    loss = _lm_loss_per_sample(logits, targets, cfg.label_smoothing)
+
+    if m_params is not None and alpha > 0.0:
+        fused_m = jax.lax.stop_gradient(
+            fused_encode(m_params, cfg, pixels, q_ids, q_mask)
+        )
+        h_m = med_forward(
+            m_params["decoder"], cfg.decoder, answer_ids, answer_mask,
+            encoder_states=fused_m[rep], encoder_mask=smask, causal=True,
+        )
+        logits_m = jax.lax.stop_gradient(med_logits(m_params["decoder"], h_m))
+        soft = jax.nn.softmax(logits_m[:, :-1], axis=-1)
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        distill = -(soft * logp).sum(-1)
+        valid = targets[:, 1:] != -100
+        distill = jnp.where(valid, distill, 0.0).sum(-1)
+        loss = (1.0 - alpha) * loss + alpha * distill
+
+    return (weights * loss).sum() / pixels.shape[0]

@@ -597,3 +597,141 @@ def test_blip_pretrain_itc_and_lm_match_reference(ref_albef_retrieval):
     )
     np.testing.assert_allclose(float(losses["loss_itc"]), want_itc, atol=3e-4, rtol=1e-3)
     np.testing.assert_allclose(float(losses["loss_lm"]), want_lm, atol=3e-4, rtol=1e-3)
+
+
+def test_albef_vqa_train_loss_and_predict_match_reference(ref_albef_retrieval):
+    """ALBEF VQA oracle: the real AlbefVQA class's training loss (weighted
+    label-smoothed answer LM + momentum distillation) and its deterministic
+    predict_answers must both match."""
+    _, med, vit = ref_albef_retrieval
+    ROOT = "/root/reference/experiments/lavis/models/"
+    vqa_mod = _load("ref_albef_vqa", ROOT + "albef_models/albef_vqa.py")
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.fusion_layer = 2
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = False
+    bcfg.add_cross_attention = True
+    import copy as _copy
+
+    dec_cfg = _copy.deepcopy(bcfg)
+    dec_cfg.fusion_layer = 0
+    dec_cfg.num_hidden_layers = 2
+    dec_cfg.is_decoder = True
+    torch.manual_seed(11)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+    text_dec = med.BertLMHeadModel(config=dec_cfg)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=2.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+
+    rng = np.random.default_rng(12)
+    nq, sq = 2, 5
+    q_np = rng.integers(3, V, (nq, sq))
+    q_mask_np = np.ones((nq, sq), np.int64)
+    na_total, sa = 3, 4
+    ans_np = np.zeros((na_total, sa), np.int64)
+    ans_np[:, 0] = 2
+    ans_np[0, 1:3] = [7, 9]
+    ans_np[1, 1:4] = [11, 13, 15]
+    ans_np[2, 1:2] = [21]
+    ans_mask_np = (ans_np != 0).astype(np.int64)
+    n_answers = [2, 1]
+    weights_np = np.asarray([0.5, 0.5, 1.0], np.float32)
+
+    calls = {"n": 0}
+
+    class _Tok:
+        pad_token_id = 0
+
+        def __call__(self, texts, **k):
+            # first call tokenizes questions, second the answers
+            calls["n"] += 1
+            if calls["n"] % 2 == 1:
+                return _FakeBatch(torch.tensor(q_np), torch.tensor(q_mask_np))
+            return _FakeBatch(torch.tensor(ans_np), torch.tensor(ans_mask_np))
+
+    vqa_mod.AlbefVQA.init_tokenizer = classmethod(lambda cls: _Tok())
+    model = vqa_mod.AlbefVQA(
+        image_encoder=img_enc, text_encoder=text_enc, text_decoder=text_dec,
+        use_distill=True, momentum=0.995, alpha=0.4, max_txt_len=8,
+    ).eval()
+
+    imgs = torch.tensor(rng.normal(size=(nq, 3, 32, 32)).astype(np.float32))
+    with torch.no_grad():
+        out = model({
+            "image": imgs, "text_input": ["q"] * nq,
+            "answer": ["a"] * na_total,
+            "weight": torch.tensor(weights_np),
+            "n_answers": torch.tensor(n_answers),
+            "epoch": 5, "iters": 0, "num_iters_per_epoch": 1,
+        })
+    want_loss = float(out.loss)
+
+    # --- ours ---
+    from llava_align_tpu.models.albef import vqa_train_loss
+
+    cfg = AlbefConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=2.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=4, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=2,
+        ),
+        decoder=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=0,
+        ),
+        embed_dim=16,
+    )
+    params = convert_albef(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg, variant="vqa"
+    )
+    m_params = jax.tree_util.tree_map(jnp.copy, params)
+    got = vqa_train_loss(
+        params, cfg, jnp.asarray(imgs.numpy()), jnp.asarray(q_np),
+        jnp.asarray(q_mask_np), jnp.asarray(ans_np), jnp.asarray(ans_mask_np),
+        n_answers, jnp.asarray(weights_np), m_params=m_params, alpha=0.4,
+    )
+    np.testing.assert_allclose(float(got), want_loss, atol=3e-4, rtol=1e-3)
+
+    # --- deterministic predict_answers (rank over a fixed answer list) ---
+    answer_list = [f"ans{i}" for i in range(6)]
+    full_ans = np.zeros((6, sa), np.int64)
+    full_ans[:, 0] = 2
+    full_ans[:, 1] = rng.integers(3, V, 6)
+    full_ans[:2, 2] = rng.integers(3, V, 2)
+    full_mask = (full_ans != 0).astype(np.int64)
+
+    class _Tok2(_Tok):
+        def __call__(self, texts, **k):
+            if isinstance(texts, list) and len(texts) == 6:
+                return _FakeBatch(torch.tensor(full_ans), torch.tensor(full_mask))
+            return _FakeBatch(torch.tensor(q_np), torch.tensor(q_mask_np))
+
+    model.tokenizer = _Tok2()
+    with torch.no_grad():
+        preds = model.predict_answers(
+            {"image": imgs, "text_input": ["q"] * nq},
+            answer_list=answer_list, num_ans_candidates=4,
+        )
+    want_idx = [answer_list.index(p) for p in preds]
+
+    got_idx = albef.rank_answers(
+        params, cfg, jnp.asarray(imgs.numpy()), jnp.asarray(q_np),
+        jnp.asarray(q_mask_np), jnp.asarray(full_ans), jnp.asarray(full_mask),
+        num_ans_candidates=4,
+    )
+    assert list(got_idx) == want_idx
