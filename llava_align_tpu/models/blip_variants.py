@@ -225,7 +225,9 @@ def vqa_rank_answers(
 ) -> np.ndarray:
     """blip_vqa.py:277-350 — identical two-stage math to ALBEF's
     rank_answers, but the question states come from the multimodal BLIP
-    encoder (forward_automask over the image)."""
+    encoder (forward_automask over the image). NOTE: the reference leads
+    the question with [ENC] (blip_vqa.py:113) — pass q_ids with the [ENC]
+    id already in position 0."""
     k = min(num_ans_candidates, answer_ids.shape[0])
     fused = _question_states(params, cfg, pixels, q_ids, q_mask)
     nq = fused.shape[0]

@@ -236,28 +236,33 @@ def test_retrieval_itc_and_queue_match_reference(ref_albef_retrieval):
     )
 
 
+
+def _ensure_blip_chain():
+    """Load the blip_models chain once (version-spoofed, read-only)."""
+    ROOT = "/root/reference/experiments/lavis/models/"
+    if "lavis.models.blip_models.blip" in sys.modules:
+        return
+    _load("lavis.models.blip_models", ROOT + "blip_models/__init__.py")
+    _load("lavis.models.blip_models.blip_outputs",
+          ROOT + "blip_models/blip_outputs.py")
+    import transformers as _tf
+
+    rv = _tf.__version__
+    _tf.__version__ = "4.25.0"
+    try:
+        bb = _load("lavis.models.blip_models.blip", ROOT + "blip_models/blip.py")
+    finally:
+        _tf.__version__ = rv
+    bb.BlipBase.init_tokenizer = classmethod(lambda cls: None)
+    bb.transformers = types.SimpleNamespace(__version__="4.25.0")
+
+
 def test_blip_retrieval_itc_and_queue_match_reference(ref_albef_retrieval):
     """Same oracle harness for BLIP retrieval (blip_models/blip_retrieval.py):
     BLIP med (cross-attention in every layer), deterministic ITC + queues."""
     _, med, vit = ref_albef_retrieval
     ROOT = "/root/reference/experiments/lavis/models/"
-    _load("lavis.models.blip_models", ROOT + "blip_models/__init__.py")
-    _load("lavis.models.blip_models.blip_outputs",
-          ROOT + "blip_models/blip_outputs.py")
-    # blip.py hard-asserts transformers<4.27 at import — spoof the version
-    # string around the read-only load (the math under test doesn't touch
-    # the incompatible generate plumbing the assert guards)
-    import transformers as _tf
-
-    real_version = _tf.__version__
-    _tf.__version__ = "4.25.0"
-    try:
-        blip_base_mod = _load("lavis.models.blip_models.blip", ROOT + "blip_models/blip.py")
-    finally:
-        _tf.__version__ = real_version
-    blip_base_mod.BlipBase.init_tokenizer = classmethod(lambda cls: None)
-    # the version assert re-fires inside BlipBase.__init__ — keep the spoof
-    blip_base_mod.transformers = types.SimpleNamespace(__version__="4.25.0")
+    _ensure_blip_chain()
     ret_mod = _load("ref_blip_retrieval", ROOT + "blip_models/blip_retrieval.py")
 
     from transformers.models.bert.configuration_bert import BertConfig
@@ -479,23 +484,7 @@ def test_blip_pretrain_itc_and_lm_match_reference(ref_albef_retrieval):
     med.py:1238), the semantics a review fix pinned down."""
     _, med, vit = ref_albef_retrieval
     ROOT = "/root/reference/experiments/lavis/models/"
-    # blip_models modules were loaded by the blip retrieval test; ensure here
-    import importlib as _il
-
-    if "lavis.models.blip_models.blip" not in sys.modules:
-        _load("lavis.models.blip_models", ROOT + "blip_models/__init__.py")
-        _load("lavis.models.blip_models.blip_outputs",
-              ROOT + "blip_models/blip_outputs.py")
-        import transformers as _tf
-
-        rv = _tf.__version__
-        _tf.__version__ = "4.25.0"
-        try:
-            bb = _load("lavis.models.blip_models.blip", ROOT + "blip_models/blip.py")
-        finally:
-            _tf.__version__ = rv
-        bb.BlipBase.init_tokenizer = classmethod(lambda cls: None)
-        bb.transformers = types.SimpleNamespace(__version__="4.25.0")
+    _ensure_blip_chain()
     pre_mod = _load("ref_blip_pretrain", ROOT + "blip_models/blip_pretrain.py")
 
     from transformers.models.bert.configuration_bert import BertConfig
@@ -735,3 +724,178 @@ def test_albef_vqa_train_loss_and_predict_match_reference(ref_albef_retrieval):
         num_ans_candidates=4,
     )
     assert list(got_idx) == want_idx
+
+
+def test_blip_vqa_rank_matches_reference(ref_albef_retrieval):
+    """BLIP VQA oracle: deterministic answer ranking vs the real BlipVQA
+    class (multimodal question encoder + [BOS]-led answer decoder)."""
+    _, med, vit = ref_albef_retrieval
+    ROOT = "/root/reference/experiments/lavis/models/"
+    _ensure_blip_chain()
+    vqa_mod = _load("ref_blip_vqa", ROOT + "blip_models/blip_vqa.py")
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = True
+    bcfg.add_cross_attention = True
+    import copy as _copy
+
+    dec_cfg = _copy.deepcopy(bcfg)
+    dec_cfg.is_decoder = True
+    torch.manual_seed(13)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+    text_dec = med.XBertLMHeadDecoder(config=dec_cfg)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=4.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+
+    rng = np.random.default_rng(14)
+    nq, sq, na, sa = 2, 5, 6, 4
+    q_np = rng.integers(3, V, (nq, sq))
+    q_mask_np = np.ones((nq, sq), np.int64)
+    ans_np = np.zeros((na, sa), np.int64)
+    ans_np[:, 0] = 2  # bos (the class overwrites position 0 with bos anyway)
+    ans_np[:, 1] = rng.integers(3, V, na)
+    ans_np[:3, 2] = rng.integers(3, V, 3)
+    ans_mask_np = (ans_np != 0).astype(np.int64)
+
+    class _Tok:
+        pad_token_id = 0
+        bos_token_id = 2
+        enc_token_id = 1  # forward_encoder overwrites question position 0
+
+        def __call__(self, texts, **k):
+            if isinstance(texts, list) and len(texts) == na:
+                return _FakeBatch(torch.tensor(ans_np.copy()), torch.tensor(ans_mask_np))
+            return _FakeBatch(torch.tensor(q_np.copy()), torch.tensor(q_mask_np))
+
+    vqa_mod.BlipVQA.init_tokenizer = classmethod(lambda cls: _Tok())
+    model = vqa_mod.BlipVQA(
+        image_encoder=img_enc, text_encoder=text_enc, text_decoder=text_dec,
+        max_txt_len=8,
+    ).eval()
+
+    imgs = torch.tensor(rng.normal(size=(nq, 3, 32, 32)).astype(np.float32))
+    answer_list = [f"a{i}" for i in range(na)]
+    with torch.no_grad():
+        preds = model.predict_answers(
+            {"image": imgs, "text_input": ["q"] * nq},
+            answer_list=answer_list, inference_method="rank",
+            num_ans_candidates=4,
+        )
+    want_idx = [answer_list.index(p) for p in preds]
+
+    from llava_align_tpu.models import blip_variants as bv
+    from llava_align_tpu.models.blip import BlipConfig
+    from llava_align_tpu.utils.hf_convert import convert_blip_variant
+
+    cfg = BlipConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=4.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64,
+            use_type_embeddings=False,
+        ),
+        embed_dim=16,
+    )
+    params = convert_blip_variant(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg, "vqa"
+    )
+    # blip_vqa.py:113 leads the question with [ENC] before the multimodal
+    # pass — our API takes the already-[ENC]-led ids
+    enc_q = jnp.asarray(q_np).at[:, 0].set(1)
+    got_idx = bv.vqa_rank_answers(
+        params, cfg, jnp.asarray(imgs.numpy()), enc_q,
+        jnp.asarray(q_mask_np), jnp.asarray(ans_np), jnp.asarray(ans_mask_np),
+        num_ans_candidates=4,
+    )
+    assert list(got_idx) == want_idx
+
+
+def test_albef_classification_loss_matches_reference(ref_albef_retrieval):
+    """ALBEF classification oracle: CE + momentum distillation loss vs the
+    real AlbefClassification class."""
+    _, med, vit = ref_albef_retrieval
+    ROOT = "/root/reference/experiments/lavis/models/"
+    cls_mod = _load("ref_albef_classification",
+                    ROOT + "albef_models/albef_classification.py")
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.fusion_layer = 2
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = False
+    bcfg.add_cross_attention = True
+    torch.manual_seed(15)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=2.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+
+    rng = np.random.default_rng(16)
+    b, s = 3, 5
+    ids_np = rng.integers(3, V, (b, s))
+    mask_np = np.ones((b, s), np.int64)
+
+    class _Tok:
+        def __call__(self, texts, **k):
+            return _FakeBatch(torch.tensor(ids_np), torch.tensor(mask_np))
+
+    cls_mod.AlbefClassification.init_tokenizer = classmethod(lambda cls: _Tok())
+    model = cls_mod.AlbefClassification(
+        image_encoder=img_enc, text_encoder=text_enc, num_classes=3,
+        momentum=0.995, alpha=0.4, use_distill=True, max_txt_len=8,
+    ).eval()
+    imgs = torch.tensor(rng.normal(size=(b, 3, 32, 32)).astype(np.float32))
+    targets = torch.tensor([0, 2, 1])
+    with torch.no_grad():
+        out = model({
+            "image": imgs, "text_input": ["x"] * b, "label": targets,
+            "epoch": 5, "iters": 0, "num_iters_per_epoch": 1,
+        })
+    want = float(out.loss)
+
+    cfg = AlbefConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=2.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=4, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=2,
+        ),
+        embed_dim=16, num_classes=3,
+    )
+    params = convert_albef(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg,
+        variant="classification",
+    )
+    m_params = jax.tree_util.tree_map(jnp.copy, params)
+    got, _ = albef.classification_loss(
+        params, cfg, jnp.asarray(imgs.numpy()), jnp.asarray(ids_np),
+        jnp.asarray(mask_np), jnp.asarray(targets.numpy()),
+        m_params=m_params, alpha=0.4,
+    )
+    np.testing.assert_allclose(float(got), want, atol=3e-4, rtol=1e-3)
