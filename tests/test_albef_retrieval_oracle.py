@@ -32,13 +32,7 @@ from llava_align_tpu.utils.hf_convert import convert_albef
 V, D = 64, 32
 
 
-def _stub(name, **attrs):
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
+from tests.stub_utils import stub_module as _stub  # noqa: E402
 
 
 def _load(name, path):

@@ -79,12 +79,7 @@ def test_gpt2_incremental_matches_full(gpt_models):
 
 @pytest.fixture(scope="module")
 def ref_dialogue():
-    def _stub(name, **attrs):
-        mod = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(mod, k, v)
-        sys.modules[name] = mod
-        return mod
+    from tests.stub_utils import stub_module as _stub
 
     class _Registry:
         @staticmethod

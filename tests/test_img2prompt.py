@@ -20,15 +20,7 @@ from llava_align_tpu.models.img2prompt import Img2PromptConfig
 V = 64
 
 
-def _stub(name, **attrs):
-    import importlib.machinery
-
-    mod = types.ModuleType(name)
-    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
-    return mod
+from tests.stub_utils import stub_module as _stub  # noqa: E402
 
 
 @pytest.fixture(scope="module")

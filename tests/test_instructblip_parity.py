@@ -32,15 +32,7 @@ def _load_by_path(name, path):
     return mod
 
 
-def _stub(name, **attrs):
-    if name in sys.modules:
-        return sys.modules[name]
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
+from tests.stub_utils import stub_module as _stub  # noqa: E402
 
 
 @pytest.fixture(scope="module")

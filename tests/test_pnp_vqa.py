@@ -31,12 +31,7 @@ V = 64
 D = 32
 
 
-def _stub(name, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
-    return mod
+from tests.stub_utils import stub_module as _stub  # noqa: E402
 
 
 @pytest.fixture(scope="module")
