@@ -78,6 +78,45 @@ def _eval_classification(task, model, dataset, run_cfg, tokenize) -> Dict[str, f
     return {"acc": acc, "agg_metrics": acc, "n": total}
 
 
+def _eval_vqa(task, model, dataset, run_cfg, tokenize) -> Dict[str, float]:
+    """Rank-based VQA eval (the LAVIS inference_method='rank' path): rank
+    the dataset's answer_list per question with the model's two-stage
+    answer decoder, score VQAv2 soft accuracy when gt answers exist."""
+    import jax.numpy as jnp
+
+    answer_list = dataset.answer_list or run_cfg.get("answer_list")
+    if not answer_list:
+        raise ValueError(
+            "vqa rank eval needs an answer list (dataset answer_list_path "
+            "or run.answer_list)"
+        )
+    # answers led by the decoder bos id (reference rank_answers convention)
+    bos = int(run_cfg.get("answer_bos_id", 2))
+    a_ids, a_mask = tokenize(answer_list)
+    a_ids = np.concatenate(
+        [np.full((len(answer_list), 1), bos, np.int64), a_ids[:, :-1]], axis=1
+    )
+    a_mask = np.concatenate(
+        [np.ones((len(answer_list), 1), np.int64), a_mask[:, :-1]], axis=1
+    )
+    k = int(run_cfg.get("num_ans_candidates", min(128, len(answer_list))))
+    results = []
+    for i in range(len(dataset)):
+        s = dataset[i]
+        q_ids, q_mask = tokenize([s["text_input"]])
+        idx = model.predict_answers(
+            jnp.asarray(s["image"][None]), jnp.asarray(q_ids),
+            jnp.asarray(q_mask), jnp.asarray(a_ids), jnp.asarray(a_mask),
+            num_ans_candidates=k,
+        )
+        out = {"question_id": s["question_id"], "answer": answer_list[int(idx[0])]}
+        ann = dataset.annotation[i]
+        if "answer" in ann:
+            out["gt_answers"] = ann["answer"]
+        results.append(out)
+    return task.after_evaluation(results, split_name=run_cfg.get("split", "val"))
+
+
 def main(argv=None) -> Dict[str, float]:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--cfg-path", required=True, help="run YAML")
@@ -118,6 +157,8 @@ def main(argv=None) -> Dict[str, float]:
             metrics = _eval_retrieval(task, model, dataset, run_cfg, tokenize)
         elif task_name == "multimodal_classification":
             metrics = _eval_classification(task, model, dataset, run_cfg, tokenize)
+        elif task_name == "vqa":
+            metrics = _eval_vqa(task, model, dataset, run_cfg, tokenize)
         else:
             results = task.evaluation(model.params, loader=(
                 dataset[i] for i in range(len(dataset))

@@ -893,3 +893,89 @@ def test_albef_classification_loss_matches_reference(ref_albef_retrieval):
         m_params=m_params, alpha=0.4,
     )
     np.testing.assert_allclose(float(got), want, atol=3e-4, rtol=1e-3)
+
+
+def test_albef_nlvr_loss_matches_reference(ref_albef_retrieval):
+    """ALBEF NLVR2 oracle: the real AlbefNLVR class with its genuine
+    18-layer encoder (6 text + 12 alternating fusion layers with
+    share_cross_attention KV tying) vs our alternating list-encoder path
+    — CE + momentum-distillation loss and raw predictions."""
+    _, med, vit = ref_albef_retrieval
+    ROOT = "/root/reference/experiments/lavis/models/"
+    nlvr_mod = _load("ref_albef_nlvr", ROOT + "albef_models/albef_nlvr.py")
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    L = 18  # albef_nlvr.py:232 and share_cross_attention's hardcoded pairs
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=L, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.fusion_layer = 6
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = False
+    bcfg.add_cross_attention = True
+    torch.manual_seed(17)
+    text_enc = med.BertModel(config=bcfg, add_pooling_layer=False)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=2.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+
+    rng = np.random.default_rng(18)
+    b, s = 2, 5
+    ids_np = rng.integers(3, V, (b, s))
+    mask_np = np.ones((b, s), np.int64)
+
+    class _Tok:
+        def __call__(self, texts, **k):
+            return _FakeBatch(torch.tensor(ids_np), torch.tensor(mask_np))
+
+    nlvr_mod.AlbefNLVR.init_tokenizer = classmethod(lambda cls: _Tok())
+    model = nlvr_mod.AlbefNLVR(
+        image_encoder=img_enc, text_encoder=text_enc, num_classes=2,
+        momentum=0.995, alpha=0.4, use_distill=True, max_txt_len=8,
+    ).eval()
+
+    img0 = torch.tensor(rng.normal(size=(b, 3, 32, 32)).astype(np.float32))
+    img1 = torch.tensor(rng.normal(size=(b, 3, 32, 32)).astype(np.float32))
+    targets = torch.tensor([1, 0])
+    with torch.no_grad():
+        out = model({
+            "image0": img0, "image1": img1, "text_input": ["x"] * b,
+            "label": targets, "epoch": 5, "iters": 0, "num_iters_per_epoch": 1,
+        })
+    want_loss = float(out.loss)
+
+    cfg = AlbefConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=2.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=L, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=6,
+        ),
+        embed_dim=16, num_classes=2,
+    )
+    params = convert_albef(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg,
+        variant="nlvr",
+    )
+    m_params = jax.tree_util.tree_map(jnp.copy, params)
+    got, logits = albef.nlvr_loss(
+        params, cfg, jnp.asarray(img0.numpy()), jnp.asarray(img1.numpy()),
+        jnp.asarray(ids_np), jnp.asarray(mask_np), jnp.asarray(targets.numpy()),
+        m_params=m_params, alpha=0.4,
+    )
+    np.testing.assert_allclose(float(got), want_loss, atol=3e-4, rtol=1e-3)
+    with torch.no_grad():
+        preds = model({"image0": img0, "image1": img1, "text_input": ["x"] * b,
+                       "label": targets}, is_train=False)
+    np.testing.assert_allclose(
+        np.asarray(logits), preds["predictions"].numpy(), atol=3e-4, rtol=1e-3
+    )

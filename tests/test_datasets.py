@@ -392,3 +392,43 @@ def test_train_cli_llava_multimodal_lm(ann_dir, tmp_path):
 
     stats = main(["--cfg-path", str(cfg_path)])
     assert np.isfinite(stats["loss"])
+
+
+def test_evaluate_cli_vqa_rank(ann_dir, tmp_path):
+    """Rank-based VQA through the CLI: albef_vqa + VQAEvalDataset with an
+    answer list → VQAv2 soft accuracy."""
+    import yaml
+
+    vqa_ann = [
+        {"image": "a.jpg", "question": "what animal?", "question_id": 1,
+         "answer": ["dog", "dog", "cat"]},
+        {"image": "b.jpg", "question": "what vehicle?", "question_id": 2,
+         "answer": ["bike", "bike", "bike"]},
+    ]
+    (ann_dir / "vqa_eval.json").write_text(json.dumps(vqa_ann))
+    answers = ["dog", "cat", "bike", "car"]
+    (ann_dir / "answers.json").write_text(json.dumps(answers))
+    cfg = {
+        "run": {"task": "vqa", "split": "test", "num_ans_candidates": 3,
+                "task_args": {"result_dir": str(tmp_path / "res")}},
+        "model": {"arch": "albef_vqa", "model_path": None},
+        "datasets": {
+            "tiny_vqa": {
+                "builder": "vqa",
+                "synthetic_images": True,
+                "build_info": {
+                    "test": {
+                        "ann_paths": [str(ann_dir / "vqa_eval.json")],
+                        "answer_list_path": str(ann_dir / "answers.json"),
+                    },
+                },
+            },
+        },
+    }
+    cfg_path = tmp_path / "vqa.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from llava_align_tpu.runners.evaluate import main
+
+    metrics = main(["--cfg-path", str(cfg_path)])
+    assert metrics["n"] == 2
+    assert 0.0 <= metrics["agg_metrics"] <= 100.0

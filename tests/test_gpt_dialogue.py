@@ -87,21 +87,36 @@ def ref_dialogue():
             return lambda cls: cls
 
     class _BaseModel:
+        # deliberately NO __init__: GPTDialogue.__init__ calls
+        # super().__init__(config), which even the REAL lavis BaseModel
+        # (base_model.py:22, zero-arg) cannot accept — a latent reference
+        # bug in this never-executed model. The bare class lets the call
+        # resolve to GPT2LMHeadModel as evidently intended.
         pass
 
     _stub("lavis")
     _stub("lavis.common")
     _stub("lavis.common.registry", registry=_Registry)
     _stub("lavis.models")
-    _stub("lavis.models.base_model", BaseModel=_BaseModel)
-
-    spec = importlib.util.spec_from_file_location(
-        "ref_gpt_dialogue",
-        "/root/reference/experiments/lavis/models/gpt_models/gpt_dialogue.py",
-    )
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["ref_gpt_dialogue"] = mod
-    spec.loader.exec_module(mod)
+    # scoped override: other oracle files may have loaded the REAL
+    # base_model module into sys.modules — swap it just for this load
+    base_stub = types.ModuleType("lavis.models.base_model")
+    base_stub.BaseModel = _BaseModel
+    prev = sys.modules.get("lavis.models.base_model")
+    sys.modules["lavis.models.base_model"] = base_stub
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_gpt_dialogue",
+            "/root/reference/experiments/lavis/models/gpt_models/gpt_dialogue.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_gpt_dialogue"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        if prev is not None:
+            sys.modules["lavis.models.base_model"] = prev
+        else:
+            del sys.modules["lavis.models.base_model"]
 
     torch.manual_seed(1)
     model = mod.GPTDialogue(_hf_cfg(), len_video_ft=FV).eval()
