@@ -355,6 +355,17 @@ def test_blip_retrieval_itc_and_queue_match_reference(ref_albef_retrieval):
     assert np.isfinite(float(losses["loss_itm"]))
 
 
+
+def _ensure_timesformer_pkg():
+    ROOT = "/root/reference/experiments/lavis/models/"
+    if "lavis.models.timesformer" not in sys.modules:
+        tpkg = types.ModuleType("lavis.models.timesformer")
+        tpkg.__spec__ = importlib.machinery.ModuleSpec("lavis.models.timesformer", None)
+        tpkg.__path__ = [ROOT + "timesformer"]
+        sys.modules["lavis.models.timesformer"] = tpkg
+    _stub("lavis.common.config", node_to_dict=lambda n: dict(n))
+
+
 def test_alpro_retrieval_vtc_matches_reference(ref_albef_retrieval):
     """ALPRO retrieval VTC parity vs the real AlproRetrieval class
     (TimeSformer video tower + no-cross fusion BERT): the deterministic
@@ -362,11 +373,7 @@ def test_alpro_retrieval_vtc_matches_reference(ref_albef_retrieval):
     stochastic and checked finite."""
     _, med, _ = ref_albef_retrieval
     ROOT = "/root/reference/experiments/lavis/models/"
-    _stub("lavis.common.config", node_to_dict=lambda n: dict(n))
-    tpkg = types.ModuleType("lavis.models.timesformer")
-    tpkg.__spec__ = importlib.machinery.ModuleSpec("lavis.models.timesformer", None)
-    tpkg.__path__ = [ROOT + "timesformer"]
-    sys.modules["lavis.models.timesformer"] = tpkg
+    _ensure_timesformer_pkg()
     _load("lavis.models.alpro_models", ROOT + "alpro_models/__init__.py")
     _load("lavis.models.alpro_models.alpro_outputs",
           ROOT + "alpro_models/alpro_outputs.py")
@@ -976,6 +983,112 @@ def test_albef_nlvr_loss_matches_reference(ref_albef_retrieval):
     with torch.no_grad():
         preds = model({"image0": img0, "image1": img1, "text_input": ["x"] * b,
                        "label": targets}, is_train=False)
+    np.testing.assert_allclose(
+        np.asarray(logits), preds["predictions"].numpy(), atol=3e-4, rtol=1e-3
+    )
+
+
+def test_alpro_qa_loss_matches_reference(ref_albef_retrieval):
+    """ALPRO video-QA oracle: CE over the concat-fusion classifier vs the
+    real AlproQA class."""
+    _, med, _ = ref_albef_retrieval
+    ROOT = "/root/reference/experiments/lavis/models/"
+    _ensure_timesformer_pkg()
+    if "lavis.models.alpro_models" not in sys.modules:
+        _load("lavis.models.alpro_models", ROOT + "alpro_models/__init__.py")
+        _load("lavis.models.alpro_models.alpro_outputs",
+              ROOT + "alpro_models/alpro_outputs.py")
+    import importlib as _il
+
+    tsf_vit = _il.import_module("lavis.models.timesformer.vit")
+    qa_mod = _load("ref_alpro_qa", ROOT + "alpro_models/alpro_qa.py")
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    from llava_align_tpu.models.timesformer import TimeSformerConfig
+
+    vcfg = TimeSformerConfig.tiny()
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.fusion_layer = 2
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = True
+    bcfg.add_cross_attention = False
+    torch.manual_seed(19)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+    ts = tsf_vit.TimeSformer(
+        image_size=vcfg.image_size, patch_size=vcfg.patch_size,
+        n_frms=vcfg.num_frames, attn_drop_rate=0.0, drop_path_rate=0.0,
+        drop_rate=0.0,
+    )
+    ts.model = tsf_vit.VisionTransformer(
+        img_size=vcfg.image_size, patch_size=vcfg.patch_size,
+        embed_dim=D, depth=vcfg.num_layers, num_heads=vcfg.num_heads,
+        mlp_ratio=vcfg.mlp_ratio, qkv_bias=True,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+        num_frames=vcfg.num_frames, attention_type="divided_space_time",
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+    )
+    with torch.no_grad():
+        ts.model.pos_embed.normal_(0, 0.02)
+        ts.model.time_embed.normal_(0, 0.02)
+        ts.model.cls_token.normal_(0, 0.02)
+        for n, p_ in ts.model.named_parameters():
+            if "temporal_fc" in n or "bias" in n:
+                p_.normal_(0, 0.02)
+    ts.num_frames = vcfg.num_frames
+    ts.img_size = vcfg.image_size
+
+    rng = np.random.default_rng(20)
+    b, s, T = 2, 5, vcfg.num_frames
+    ids_np = rng.integers(3, V, (b, s))
+    mask_np = np.ones((b, s), np.int64)
+
+    class _Tok:
+        def __call__(self, texts, **k):
+            return _FakeBatch(torch.tensor(ids_np), torch.tensor(mask_np))
+
+    qa_mod.AlproQA.init_tokenizer = classmethod(lambda cls: _Tok())
+    model = qa_mod.AlproQA(
+        visual_encoder=ts, text_encoder=text_enc, hidden_size=D, num_classes=3,
+        max_txt_len=8,
+    ).eval()
+
+    video = torch.tensor(
+        rng.normal(size=(b, 3, T, vcfg.image_size, vcfg.image_size)).astype(np.float32)
+    )
+    targets = torch.tensor([0, 2])
+    with torch.no_grad():
+        out = model({"video": video, "text_input": ["q"] * b, "answers": targets})
+    want_loss = float(out.loss)
+
+    from llava_align_tpu.models import alpro
+    from llava_align_tpu.models.alpro import AlproConfig
+    from llava_align_tpu.utils.hf_convert import convert_alpro
+
+    cfg = AlproConfig(
+        video=vcfg,
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=4, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=2,
+        ),
+        embed_dim=16, num_classes=3,
+    )
+    params = convert_alpro(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg, variant="qa"
+    )
+    got, logits = alpro.qa_loss(
+        params, cfg, jnp.asarray(video.numpy()), jnp.asarray(ids_np),
+        jnp.asarray(mask_np), jnp.asarray(targets.numpy()),
+    )
+    np.testing.assert_allclose(float(got), want_loss, atol=3e-4, rtol=1e-3)
+    with torch.no_grad():
+        preds = model({"video": video, "text_input": ["q"] * b,
+                       "answers": targets}, is_train=False)
     np.testing.assert_allclose(
         np.asarray(logits), preds["predictions"].numpy(), atol=3e-4, rtol=1e-3
     )
