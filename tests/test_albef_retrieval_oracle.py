@@ -1092,3 +1092,96 @@ def test_alpro_qa_loss_matches_reference(ref_albef_retrieval):
     np.testing.assert_allclose(
         np.asarray(logits), preds["predictions"].numpy(), atol=3e-4, rtol=1e-3
     )
+
+
+def test_albef_compute_sim_matrix_matches_reference(ref_albef_retrieval):
+    """Full retrieval-eval oracle: the reference compute_sim_matrix loop
+    (albef_models/__init__.py:76-202 — ITC sims, top-k_test ITM re-rank in
+    both directions, sim+itm scoring) vs our albef.compute_sim_matrix on
+    the same converted weights."""
+    ret_mod, med, vit = ref_albef_retrieval
+    import lavis.models.albef_models as albef_pkg
+
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.fusion_layer = 2
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = False
+    bcfg.add_cross_attention = True
+    torch.manual_seed(21)
+    text_enc = med.XBertEncoder(config=bcfg, add_pooling_layer=False)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=2.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+    ret_mod.AlbefRetrieval.init_tokenizer = classmethod(lambda cls: None)
+    model = ret_mod.AlbefRetrieval(
+        image_encoder=img_enc, text_encoder=text_enc, queue_size=16,
+        embed_dim=16, temp=0.07, use_distill=True, momentum=0.995, alpha=0.4,
+        max_txt_len=8,
+    ).eval()
+
+    rng = np.random.default_rng(22)
+    ni, nt, s = 3, 4, 6
+    text_ids = rng.integers(3, V, (nt, s))
+    text_mask = np.ones((nt, s), np.int64)
+    pixels = rng.normal(size=(ni, 3, 32, 32)).astype(np.float32)
+    k_test = 2
+
+    class _Tok:
+        def __call__(self, texts, **k):
+            lo = _Tok.cursor
+            hi = lo + len(texts)
+            _Tok.cursor = hi
+            return _FakeBatch(
+                torch.tensor(text_ids[lo:hi]), torch.tensor(text_mask[lo:hi])
+            )
+
+    _Tok.cursor = 0
+    model.tokenizer = _Tok()
+
+    class _DS:
+        text = [f"t{i}" for i in range(nt)]
+        image = [f"i{i}" for i in range(ni)]
+
+    class _Loader:
+        dataset = _DS()
+
+        def __iter__(self):
+            return iter([{"image": torch.tensor(pixels)}])
+
+    with torch.no_grad():
+        want_i2t, want_t2i = albef_pkg.compute_sim_matrix(
+            model, _Loader(), k_test=k_test
+        )
+
+    cfg = AlbefConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=2.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=4, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=2,
+        ),
+        embed_dim=16,
+    )
+    params = convert_albef(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg,
+        variant="retrieval",
+    )
+    got_i2t, got_t2i = albef.compute_sim_matrix(
+        params, cfg, jnp.asarray(pixels), jnp.asarray(text_ids),
+        jnp.asarray(text_mask), k_test=k_test,
+    )
+    # re-ranked entries carry sim+itm scores; untouched entries are -100
+    np.testing.assert_allclose(got_i2t, want_i2t, atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(got_t2i, want_t2i, atol=3e-4, rtol=1e-3)
