@@ -70,6 +70,21 @@ class LlavaAdapter:
             int8_tp_aligned(v, int8_tp_mode(k), n_shards) for k, v in qs.items()
         )
 
+    def int8_tp_pad(self, params, n_shards: int):
+        """Lane-align misaligned int8 MLP stacks by bit-inert padding so
+        int8_tp_ready can hold at any power-of-two TP degree (7B's 11008
+        intermediate aligns only at TP<=4 unpadded). Returns params unchanged
+        when there is nothing to pad."""
+        from llava_align_tpu.ops.quant import pad_llama_quantized_for_tp
+
+        llama_p = params.get("llama")
+        if not isinstance(llama_p, dict) or "layers" not in llama_p:
+            return params
+        new_layers, changed = pad_llama_quantized_for_tp(llama_p["layers"], n_shards)
+        if not changed:
+            return params
+        return dict(params, llama=dict(llama_p, layers=new_layers))
+
     def param_shardings(self, params, mesh):
         """Megatron-style TP placement for the whole param tree (engine
         `mesh=` support; replaces reference device_map='auto', builder.py:27).
@@ -129,14 +144,20 @@ class LlavaAdapter:
         return llama.init_cache(self.cfg.text, batch, max_len)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0, tp_mesh=None):
+                max_seq_len, cache_row_offset=0, tp_mesh=None,
+                shared_kv=None, shared_len=None):
         from llava_align_tpu.models import llama
 
         return llama.forward(
             params["llama"], self.cfg.text, embeds, positions, cache, offsets,
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
-            tp_mesh=tp_mesh,
+            tp_mesh=tp_mesh, shared_kv=shared_kv, shared_len=shared_len,
         )
+
+    # Shared-prefix decoding (engine.generate_batch_prefix) needs the model
+    # forward to accept a read-only prefix KV segment; llama-backed adapters
+    # support it.
+    supports_shared_prefix = True
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
         from llava_align_tpu.models import llama
@@ -150,6 +171,7 @@ class LlavaMptAdapter(LlavaAdapter):
     cfg is models.llava_mpt.LlavaMptConfig; params keys: mpt/vision/projector."""
 
     name = "llava_mpt"
+    supports_shared_prefix = False  # mpt.forward has no shared-segment path
 
     @property
     def num_kv_heads(self) -> int:
@@ -274,13 +296,17 @@ class InstructBlipAdapter:
 
         return llama.init_cache(self.cfg.text, batch, max_len)
 
+    supports_shared_prefix = True
+
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0, tp_mesh=None):
+                max_seq_len, cache_row_offset=0, tp_mesh=None,
+                shared_kv=None, shared_len=None):
         from llava_align_tpu.models import llama
 
         return llama.forward(
             params["llama"], self.cfg.text, embeds, positions, cache, offsets,
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
+            shared_kv=shared_kv, shared_len=shared_len,
         )
 
     def logits(self, params, hidden):
@@ -295,6 +321,7 @@ class Blip2OptAdapter(InstructBlipAdapter):
     InstructBLIP (models/blip2.encode_image_queries)."""
 
     name = "blip2_opt"
+    supports_shared_prefix = False
 
     @property
     def num_kv_heads(self) -> int:
@@ -350,6 +377,7 @@ class QwenVLAdapter:
     img_start/img_end tokens."""
 
     name = "qwen_vl"
+    supports_shared_prefix = False
 
     def __init__(self, cfg):
         self.cfg = cfg  # models.qwen_vl.QwenVLConfig

@@ -131,8 +131,6 @@ class DecodeEngine:
         self.max_compiled = max_compiled
         self._compiled: Dict[Any, Any] = {}
         if mesh is not None:
-            shardings = self.adapter.param_shardings(params, mesh)
-            self.params = jax.device_put(params, shardings)
             self._replicated = NamedSharding(mesh, P())
             self._model_size = int(mesh.shape.get("model", 1))
             self._data_size = int(mesh.shape.get("data", 1))
@@ -146,13 +144,27 @@ class DecodeEngine:
                     params, is_leaf=lambda x: isinstance(x, dict) and "q" in x and "s" in x
                 )
             )
+            tp_ready = getattr(self.adapter, "int8_tp_ready", lambda *a: False)
+            if (
+                self._model_size > 1
+                and has_quant
+                and not tp_ready(params, self._model_size)
+            ):
+                # Misaligned int8 stacks (7B gateup/down at TP=8): bit-inert
+                # lane padding may unlock the shard_map TP path. Only keep the
+                # padded tree if it actually makes the model TP-ready.
+                pad = getattr(self.adapter, "int8_tp_pad", None)
+                if pad is not None:
+                    padded = pad(params, self._model_size)
+                    if padded is not params and tp_ready(padded, self._model_size):
+                        params = padded
             self._int8_tp = (
                 self._model_size > 1
                 and has_quant
-                and getattr(self.adapter, "int8_tp_ready", lambda *a: False)(
-                    params, self._model_size
-                )
+                and tp_ready(params, self._model_size)
             )
+            shardings = self.adapter.param_shardings(params, mesh)
+            self.params = jax.device_put(params, shardings)
             if self._model_size > 1 and has_quant and not self._int8_tp:
                 # GSPMD cannot partition the Pallas custom call, and this
                 # model's shard dims are not lane-aligned for the explicit
@@ -719,6 +731,330 @@ class DecodeEngine:
                 )
             )
         return outs
+
+    # ------------------------------------------------------------------
+    # shared-prefix batched generation (POPE throughput path)
+    #
+    # Every POPE split ships exactly 6 questions per image, and within one
+    # question the VDD branches differ only in their visual degradation; the
+    # reference prefills the full [system + image + question] prompt from
+    # scratch for every question and branch (vcd_sample.py:109-185). Here the
+    # shared [system + image] prefix prefills ONCE into a read-only KV
+    # segment; each question's main row prefills only its suffix against
+    # [shared | local] joint-softmax attention (ops/attention) and decodes
+    # the same way. No KV copies: the prefix segment is read in place by all
+    # rows. Text-only degraded rows (~10% the tokens) prefill per question
+    # as usual.
+    # ------------------------------------------------------------------
+
+    def _get_prefix_fn(self, pad_prefix: int, pad_suf: int, pad_txt: int, Q: int):
+        key = ("prefix", pad_prefix, pad_suf, pad_txt, Q)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        adapter, gen = self.adapter, self.gen
+        nb = len(self.kinds)
+        n_txt = len(self.txt_kinds)
+        assert len(self.img_kinds) == 1  # guarded in generate_batch_prefix
+        R = Q * (1 + n_txt)
+        n_contrast = nb - 1
+        T = gen.max_new_tokens
+        cache_len = max(pad_suf, pad_txt) + T
+        kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if 0 < len(k) <= T]
+        attn_impl = self.attn_impl
+        topk = self.top_scores_k
+
+        # rows: [Q main rows | Q*n_txt text rows (question-major)]
+        perm = np.zeros((Q * nb,), np.int32)
+        for q in range(Q):
+            j = 0
+            for b, kind in enumerate(self.kinds):
+                if kind == "main":
+                    perm[q * nb + b] = q
+                else:
+                    perm[q * nb + b] = Q + q * n_txt + j
+                    j += 1
+        perm = jnp.asarray(perm)
+        row_to_q = jnp.asarray(
+            np.concatenate([
+                np.arange(Q, dtype=np.int32),
+                np.repeat(np.arange(Q, dtype=np.int32), n_txt),
+            ])
+        )
+
+        def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
+            main = branch_logits[:, 0]
+            if n_contrast:
+                contrast = jnp.mean(branch_logits[:, 1 : 1 + n_contrast], axis=1)
+                fused = S.fuse_contrastive_logits(main, contrast, gen.cd_alpha, gen.cd_beta)
+            else:
+                fused = main
+            return S.warp_logits(fused, gen.temperature, gen.top_k, gen.top_p)
+
+        def stop_hit(out_buf: jax.Array, n: jax.Array) -> jax.Array:
+            done = jnp.zeros((Q,), bool)
+            for kw in kws:
+                m = len(kw)
+                start = jnp.maximum(n - m, 0)
+                window = jax.lax.dynamic_slice_in_dim(out_buf, start, m, axis=1)
+                done |= jnp.all(window == jnp.asarray(kw), axis=1) & (n >= m)
+            return done
+
+        def prefix_fn(params, pack_prefix, suf_tokens, suf_lens, pack_txt, images, rng):
+            from llava_align_tpu.ops.image import normalize_device
+
+            p_tokens, p_tok_g, p_img_g, p_is_img, p_len, _ = pack_prefix
+            images = normalize_device(images, adapter.vision_dtype)
+            feats = adapter.encode_images(params, images)  # [1, N, D]
+            D = feats.shape[2]
+            P_true = p_len[0]
+
+            # ---- shared prefix prefill: ONE row, its own cache
+            p_cache = self._constrain_cache(adapter.init_cache(1, pad_prefix), 1)
+            p_embeds = adapter.splice_embeds(
+                params, p_tokens, p_tok_g, p_img_g, p_is_img, feats
+            )
+            p_positions = jnp.broadcast_to(
+                jnp.arange(pad_prefix, dtype=jnp.int32), (1, pad_prefix)
+            )
+            _, p_cache = adapter.forward(
+                params, p_embeds, p_positions, p_cache,
+                jnp.zeros((1,), jnp.int32), attn_impl=attn_impl,
+                max_seq_len=pad_prefix, tp_mesh=self._tp_mesh,
+            )
+            shared = {"k": p_cache["k"][:, 0], "v": p_cache["v"][:, 0]}
+
+            # ---- per-question suffixes against [shared | local]
+            cache = self._constrain_cache(adapter.init_cache(R, cache_len), R)
+            s_embeds = adapter.embed_tokens(params, suf_tokens)  # [Q, pad_suf, D]
+            s_positions = P_true + jnp.broadcast_to(
+                jnp.arange(pad_suf, dtype=jnp.int32), (Q, pad_suf)
+            )
+            sh_len_main = jnp.full((Q,), P_true, jnp.int32)
+            s_hidden, cache = adapter.forward(
+                params, s_embeds, s_positions, cache,
+                jnp.zeros((Q,), jnp.int32), attn_impl=attn_impl,
+                max_seq_len=cache_len, tp_mesh=self._tp_mesh,
+                shared_kv=shared, shared_len=sh_len_main,
+            )
+            last = s_hidden[jnp.arange(Q), suf_lens - 1]
+            logits = adapter.logits(params, last)
+            lengths = suf_lens
+
+            # ---- text-only degraded rows: full short prompts, no shared
+            if n_txt:
+                t_tokens, t_tok_g, t_img_g, t_is_img, len_txt, _ = pack_txt
+                zero_feats = jnp.zeros((Q * n_txt, 1, D), feats.dtype)
+                t_embeds = adapter.splice_embeds(
+                    params, t_tokens, t_tok_g, t_img_g, t_is_img, zero_feats
+                )
+                t_positions = jnp.broadcast_to(
+                    jnp.arange(pad_txt, dtype=jnp.int32), (Q * n_txt, pad_txt)
+                )
+                t_hidden, cache = adapter.forward(
+                    params, t_embeds, t_positions, cache,
+                    jnp.zeros((Q * n_txt,), jnp.int32), attn_impl=attn_impl,
+                    max_seq_len=cache_len, cache_row_offset=Q,
+                    tp_mesh=self._tp_mesh,
+                )
+                t_last = t_hidden[jnp.arange(Q * n_txt), len_txt - 1]
+                logits = jnp.concatenate([logits, adapter.logits(params, t_last)], axis=0)
+                lengths = jnp.concatenate([lengths, len_txt], axis=0)
+            V = logits.shape[-1]
+            sh_len_all = jnp.concatenate(
+                [sh_len_main, jnp.zeros((Q * n_txt,), jnp.int32)], axis=0
+            )
+
+            init = dict(
+                cache=cache,
+                lengths=lengths,
+                logits=logits,
+                out_buf=jnp.zeros((Q, T), jnp.int32),
+                first_scores=jnp.zeros((Q, V), jnp.float32),
+                n=jnp.asarray(0, jnp.int32),
+                done=jnp.zeros((Q,), bool),
+                n_done=jnp.full((Q,), T, jnp.int32),
+                rng=rng,
+            )
+
+            def cond(c):
+                return (~jnp.all(c["done"])) & (c["n"] < T)
+
+            def body(c):
+                warped = fuse_and_warp(c["logits"][perm].reshape(Q, nb, V))
+                first_scores = jnp.where(c["n"] == 0, warped, c["first_scores"])
+                rng, sub = jax.random.split(c["rng"])
+                toks = S.sample_token(sub, warped, gen.do_sample).astype(jnp.int32)
+                toks = jnp.where(c["done"], gen.pad_token_id, toks)
+                out_buf = jax.lax.dynamic_update_slice(c["out_buf"], toks[:, None], (0, c["n"]))
+                n = c["n"] + 1
+                done_now = (toks == gen.eos_token_id) | stop_hit(out_buf, n)
+                newly = done_now & (~c["done"])
+                done = c["done"] | done_now | (n >= T)
+                n_done = jnp.where(newly, n, c["n_done"])
+
+                tok_rows = toks[row_to_q]
+                emb = adapter.embed_tokens(params, tok_rows[:, None])
+                # positions are absolute (prefix + local); cache offsets local
+                positions = (sh_len_all + c["lengths"])[:, None]
+                hidden, cache = adapter.forward(
+                    params, emb, positions, c["cache"], c["lengths"],
+                    attn_impl=attn_impl, max_seq_len=cache_len,
+                    tp_mesh=self._tp_mesh,
+                    shared_kv=shared, shared_len=sh_len_all,
+                )
+                logits = adapter.logits(params, hidden[:, 0])
+                return dict(
+                    cache=cache, lengths=c["lengths"] + 1, logits=logits,
+                    out_buf=out_buf, first_scores=first_scores, n=n, done=done,
+                    n_done=n_done, rng=rng,
+                )
+
+            final = jax.lax.while_loop(cond, body, init)
+            probs = jax.nn.softmax(final["first_scores"], axis=-1)
+            top_probs, top_ids = jax.lax.top_k(probs, min(topk, V))
+            return final["out_buf"], final["n_done"], top_probs, top_ids
+
+        return self._register(key, jax.jit(prefix_fn))
+
+    def generate_batch_prefix(
+        self,
+        prefix_ids: Sequence[int],
+        suffixes: Sequence[Sequence[int]],
+        image: Optional[np.ndarray],
+        *,
+        rng: Optional[jax.Array] = None,
+    ) -> List[GenerationOutput]:
+        """Lockstep-decode Q questions that share one image AND one token
+        prefix. prefix_ids contains the IMAGE_TOKEN_INDEX sentinel; each
+        question's full prompt is prefix_ids + suffixes[q] (callers compute
+        the split as the longest common token prefix, which is exact by
+        construction). Token streams match generate_batch on the same
+        prompts; the prefix KV is computed once instead of Q times.
+        """
+        if self.gen.use_cd:
+            raise ValueError(
+                "generate_batch_prefix supports the VDD branches (main/unk/"
+                "none); use_cd needs a second noised-image prefix segment — "
+                "use generate_batch"
+            )
+        if not getattr(self.adapter, "supports_shared_prefix", False):
+            raise ValueError(
+                f"adapter {self.adapter.name!r} has no shared-prefix forward"
+            )
+        Q = len(suffixes)
+        if Q == 0:
+            return []
+        if any(len(s) == 0 for s in suffixes):
+            raise ValueError("each suffix needs >= 1 token")
+        if any(IMAGE_TOKEN_INDEX in [int(t) for t in s] for s in suffixes):
+            raise ValueError(
+                "image sentinel must be inside the shared prefix, not a "
+                "suffix — group questions by image before splitting"
+            )
+        n_txt_k = len(self.txt_kinds)
+        has_image = image is not None and any(
+            t == IMAGE_TOKEN_INDEX for t in prefix_ids
+        )
+
+        pad_prefix, *pp = self._pack(list(prefix_ids), has_image, kinds=["main"])
+        pack_prefix = tuple(jnp.asarray(a) for a in pp)
+        prefix_len = int(pp[4][0])
+
+        max_suf = max(len(s) for s in suffixes)
+        pad_suf = _round_up(max(max_suf, 32), 32)
+        suf_tokens = np.zeros((Q, pad_suf), np.int32)
+        suf_lens = np.zeros((Q,), np.int32)
+        for qi, s in enumerate(suffixes):
+            suf_tokens[qi, : len(s)] = [int(t) for t in s]
+            suf_lens[qi] = len(s)
+
+        pad_txt = self.bucket if n_txt_k else 0
+        txt_packs = []
+        if n_txt_k:
+            for s in suffixes:
+                full = list(prefix_ids) + [int(t) for t in s]
+                pt = self._pack(full, has_image, kinds=self.txt_kinds)
+                txt_packs.append(pt)
+                pad_txt = max(pad_txt, pt[0])
+            rows = Q * n_txt_k
+            t_arrs = [
+                np.zeros((rows, pad_txt), np.int32),
+                np.zeros((rows, pad_txt), np.int32),
+                np.zeros((rows, pad_txt), np.int32),
+                np.zeros((rows, pad_txt), bool),
+            ]
+            t_lens = np.zeros((rows,), np.int32)
+            for qi, pack in enumerate(txt_packs):
+                _, t, tg, ig, ii, ln, _ = pack
+                w = t.shape[1]
+                sl = slice(qi * n_txt_k, (qi + 1) * n_txt_k)
+                t_arrs[0][sl, :w] = t
+                t_arrs[1][sl, :w] = tg
+                t_arrs[2][sl, :w] = ig
+                t_arrs[3][sl, :w] = ii
+                t_lens[sl] = ln
+            pack_txt = tuple(
+                jnp.asarray(a)
+                for a in (*t_arrs, t_lens, np.full((rows,), -1, np.int32))
+            )
+        else:
+            pack_txt = tuple(jnp.zeros((0,), jnp.int32) for _ in range(6))
+
+        if image is not None:
+            img = np.asarray(image)
+            if img.ndim == 3:
+                img = img[None]
+            images = (
+                jnp.asarray(img)
+                if img.dtype == np.uint8
+                else jnp.asarray(img, self.adapter.vision_dtype)
+            )
+        else:
+            H = self.adapter.image_size
+            images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(self.gen.seed)
+        fn = self._get_prefix_fn(pad_prefix, pad_suf, pad_txt, Q)
+        out_buf, n_done, top_probs, top_ids = fn(
+            self.params,
+            self._put(pack_prefix),
+            self._put(jnp.asarray(suf_tokens)),
+            self._put(jnp.asarray(suf_lens)),
+            self._put(pack_txt),
+            self._put(images),
+            self._put(rng),
+        )
+        out_buf = np.asarray(out_buf)
+        n_done = np.asarray(n_done)
+        outs = []
+        for qi in range(Q):
+            n = int(n_done[qi])
+            outs.append(
+                GenerationOutput(
+                    token_ids=[int(t) for t in out_buf[qi, :n]],
+                    num_generated=n,
+                    first_scores_top_probs=np.asarray(top_probs[qi]),
+                    first_scores_top_ids=np.asarray(top_ids[qi]),
+                    prompt_length=prefix_len + int(suf_lens[qi]),
+                )
+            )
+        return outs
+
+    @staticmethod
+    def common_token_prefix(token_lists: Sequence[Sequence[int]]) -> int:
+        """Longest common prefix length over token lists, capped so every
+        list keeps >= 1 suffix token (exact prefix/suffix split for
+        generate_batch_prefix)."""
+        if not token_lists:
+            return 0
+        lo = min(len(t) for t in token_lists)
+        p = 0
+        first = token_lists[0]
+        while p < lo - 1 and all(t[p] == first[p] for t in token_lists):
+            p += 1
+        return p
 
     # ------------------------------------------------------------------
     # beam search (single-branch; reference blip2 generate num_beams=5 —

@@ -122,8 +122,16 @@ def forward(
     attn_impl: str = "auto",
     cache_row_offset: int = 0,
     tp_mesh=None,
+    shared_kv: Optional[KVCache] = None,
+    shared_len: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack.
+
+    shared_kv: optional read-only prefix KV segment {'k','v': [L, P, K, Dh]}
+    shared by all rows (ops/attention shared-prefix design). shared_len [B]
+    gives each row's valid prefix length (0 = no shared segment). When set,
+    `positions` must be absolute (shared_len[b] + local index) while
+    `cache_offset` stays LOCAL; prefill blocks are the first local content.
 
     tp_mesh: optional Mesh — int8-quantized stacks run tensor-parallel via
     shard_map around the weight-streaming kernel (column-parallel qkv/gate
@@ -187,7 +195,9 @@ def forward(
             qkv = _lin(h, lp, "qkv", li)  # one launch streams q|k|v
             q = qkv[..., :QD].reshape(B, S, cfg.num_heads, cfg.head_dim)
             k = qkv[..., QD : QD + KD].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-            v = qkv[..., QD + KD :].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            v = qkv[..., QD + KD : QD + 2 * KD].reshape(
+                B, S, cfg.num_kv_heads, cfg.head_dim
+            )
         else:
             q = _lin(h, lp, "q", li).reshape(B, S, cfg.num_heads, cfg.head_dim)
             k = _lin(h, lp, "k", li).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
@@ -199,7 +209,22 @@ def forward(
             k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode, cache_row_offset)
             v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode, cache_row_offset)
 
-        if is_decode:
+        if shared_kv is not None:
+            from llava_align_tpu.ops.attention import (
+                chunk_attention_shared, decode_attention_shared,
+            )
+
+            k_sh = jax.lax.dynamic_index_in_dim(shared_kv["k"], li, 0, keepdims=False)
+            v_sh = jax.lax.dynamic_index_in_dim(shared_kv["v"], li, 0, keepdims=False)
+            if is_decode:
+                k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
+                v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+                attn = decode_attention_shared(
+                    q, k_slice, v_slice, cache_offset, k_sh, v_sh, shared_len
+                )
+            else:
+                attn = chunk_attention_shared(q, k, v, k_sh, v_sh, shared_len)
+        elif is_decode:
             k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
             v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
             attn = decode_attention(q, k_slice, v_slice, cache_offset)
@@ -210,9 +235,13 @@ def forward(
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         if fused_gu:
-            F = cfg.intermediate_size
             gu = _lin(h, lp, "gateup", li)  # one launch streams gate|up
-            act = silu(gu[..., :F]) * gu[..., F:]
+            # split at the stack's own half-width, not cfg.intermediate_size:
+            # TP lane-alignment may have padded each half (quant.
+            # pad_llama_quantized_for_tp); padded columns are exact zeros and
+            # silu(0)*0 = 0 feeds down's zero contraction columns.
+            Fh = gu.shape[-1] // 2
+            act = silu(gu[..., :Fh]) * gu[..., Fh:]
         else:
             act = silu(_lin(h, lp, "gate", li)) * _lin(h, lp, "up", li)
         x = x + _lin(act, lp, "down", li)

@@ -119,6 +119,121 @@ def decode_attention(
 
 
 # ---------------------------------------------------------------------------
+# Shared-prefix (two-segment) attention.
+#
+# POPE-style workloads share one [system + image] prefix across many rows:
+# every split ships exactly 6 questions per image, and the reference prefills
+# the full prompt from scratch for every question and branch
+# (vcd_sample.py:109-185). Here the shared prefix is prefilled ONCE into a
+# read-only KV segment; per-row caches hold only the suffix + generated
+# tokens. Queries attend [shared | local] with one joint softmax — the
+# logit layout matches the contiguous-cache order exactly (prefix keys
+# first), so the math is identical to an unshared prefill.
+#
+# k_sh/v_sh: [P, K, Dh] (one prefix per call, broadcast over rows);
+# sh_len: [B] int32 — valid prefix keys per row (0 = row has no shared
+# segment, e.g. the text-only VDD branches).
+# ---------------------------------------------------------------------------
+
+
+def _shared_logits(q4: jax.Array, k_sh: jax.Array, sh_len: jax.Array, scale):
+    """q4 [B,K,g,S,Dh] x k_sh [P,K,Dh] → masked fp32 logits [B,K,g,S,P]."""
+    B, K, g, S, Dh = q4.shape
+    P = k_sh.shape[0]
+    logits = jnp.einsum(
+        "bkgsd,pkd->bkgsp", q4, k_sh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, 1, P), 4)
+    return jnp.where(col < sh_len[:, None, None, None, None], logits, NEG_INF)
+
+
+def chunk_attention_shared(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_sh: jax.Array,
+    v_sh: jax.Array,
+    sh_len: jax.Array,
+) -> jax.Array:
+    """Suffix prefill: causal within the local block [B,S] + full attention to
+    the shared prefix. The local block is the FIRST local cache content
+    (local offset 0); absolute positions are sh_len[b] + i (caller applies
+    RoPE before this)."""
+    B, S, H, Dh = q.shape
+    K = k.shape[2]
+    group = H // K
+    scale = 1.0 / (Dh**0.5)
+
+    qr = q.astype(k.dtype).reshape(B, S, K, group, Dh).transpose(0, 2, 3, 1, 4)
+    sh = _shared_logits(qr, k_sh.astype(k.dtype), sh_len, scale)  # [B,K,g,S,P]
+    loc = jnp.einsum(
+        "bkgsd,btkd->bkgst", qr, k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale  # [B,K,g,S,S]
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    loc = jnp.where((col <= row)[None, None, None], loc, NEG_INF)
+
+    logits = jnp.concatenate([sh, loc], axis=-1)  # prefix keys first
+    probs = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
+    P = k_sh.shape[0]
+    out = jnp.einsum(
+        "bkgsp,pkd->bkgsd", probs[..., :P].astype(v.dtype), v_sh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jnp.einsum(
+        "bkgst,btkd->bkgsd", probs[..., P:].astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, H, Dh).astype(q.dtype)
+
+
+def decode_attention_shared(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    k_sh: jax.Array,
+    v_sh: jax.Array,
+    sh_len: jax.Array,
+) -> jax.Array:
+    """decode_attention over [shared prefix | local cache]. lengths indexes
+    the LOCAL cache (current token already written at lengths[b])."""
+    B, _, H, Dh = q.shape
+    Smax, K = k_cache.shape[1], k_cache.shape[2]
+    group = H // K
+    scale = 1.0 / (Dh**0.5)
+
+    qr = q.astype(k_cache.dtype).reshape(B, K, group, 1, Dh)
+    sh = _shared_logits(qr, k_sh.astype(k_cache.dtype), sh_len, scale)[:, :, :, 0]
+    loc = jnp.einsum(
+        "bkgd,bskd->bkgs", qr[:, :, :, 0], k_cache,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, Smax), 3)
+    loc = jnp.where(pos <= lengths[:, None, None, None], loc, NEG_INF)
+
+    logits = jnp.concatenate([sh, loc], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    P = k_sh.shape[0]
+    out = jnp.einsum(
+        "bkgp,pkd->bkgd", probs[..., :P].astype(v_cache.dtype), v_sh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jnp.einsum(
+        "bkgs,bskd->bkgd", probs[..., P:].astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(B, 1, H, Dh).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Pallas flash attention (causal, prefill)
 # ---------------------------------------------------------------------------
 

@@ -356,6 +356,67 @@ def int8_tp_aligned(wq: Dict[str, Any], mode: str, n_shards: int) -> bool:
     return dim % n_shards == 0 and (dim // n_shards) % 128 == 0
 
 
+def pad_quantized_stack(
+    wq: Dict[str, jax.Array], mode: str, n_shards: int, halves: int = 1
+):
+    """Lane-align an int8 [L, O, D] stack for n-way TP by padding (bit-inert).
+
+    column: each of the `halves` equal O-parts (fused gateup has two — padding
+    per part keeps the consumer's split at O//halves valid) gains zero rows
+    (q=0) with unit scales, so the padded output channels are exactly 0 and
+    unused. row: the contraction dim D gains zero columns, contributing
+    exactly 0 to the reduction (the matching column-stack padding produces the
+    zero activation columns they multiply). Returns (stack, changed).
+    """
+    q, s = wq["q"], wq["s"]
+    L, O, D = (int(d) for d in q.shape)
+    u = 128 * n_shards
+    if mode == "column":
+        part = O // halves
+        part_pad = _round_up(part, u)
+        if part_pad == part:
+            return wq, False
+        pad = part_pad - part
+        qs, ss = [], []
+        for h in range(halves):
+            qs.append(
+                jnp.pad(q[:, h * part : (h + 1) * part], ((0, 0), (0, pad), (0, 0)))
+            )
+            ss.append(
+                jnp.pad(
+                    s[:, h * part : (h + 1) * part],
+                    ((0, 0), (0, pad)),
+                    constant_values=1.0,
+                )
+            )
+        return {"q": jnp.concatenate(qs, axis=1), "s": jnp.concatenate(ss, axis=1)}, True
+    d_pad = _round_up(D, u)
+    if d_pad == D:
+        return wq, False
+    return {"q": jnp.pad(q, ((0, 0), (0, 0), (0, d_pad - D))), "s": s}, True
+
+
+def pad_llama_quantized_for_tp(layers: Dict[str, Any], n_shards: int):
+    """Pad the MLP int8 stacks (gateup/gate/up column, down row) so 7B-style
+    intermediate sizes (11008: 128-aligned only at TP<=4) shard at any
+    power-of-two TP degree. gate/up and down pad to the same F_pad, so the
+    zero activation columns line up with down's zero contraction columns.
+    The attention stacks (qkv/q/k/v/o) are head-structured and already
+    lane-aligned for every supported checkpoint (head_dim 128); they are left
+    untouched — if one misaligns, the caller's readiness check still fails
+    and the engine falls back to replication. Returns (layers, changed)."""
+    out = dict(layers)
+    changed = False
+    for name, halves in (("gateup", 2), ("gate", 1), ("up", 1)):
+        if name in out and is_quantized(out[name]):
+            out[name], ch = pad_quantized_stack(out[name], "column", n_shards, halves)
+            changed |= ch
+    if "down" in out and is_quantized(out["down"]):
+        out["down"], ch = pad_quantized_stack(out["down"], "row", n_shards)
+        changed |= ch
+    return out, changed
+
+
 def int8_matmul_stacked_tp(
     h: jax.Array,
     wq: Dict[str, jax.Array],

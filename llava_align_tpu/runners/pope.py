@@ -121,25 +121,78 @@ def run(args) -> str:
         if not ans.is_done(l["question_id"], l.get("text"))
     ]
     B = max(1, args.batch_size)
-    # worker threads tokenize + decode images ahead of the device
-    # (host-side analog of double buffering; torch-DataLoader capability)
+    # Shared-prefix grouping: every POPE split ships exactly 6 consecutive
+    # questions per image; their prompts differ only after the shared
+    # [system + <image>] prefix, so the image/prefix KV prefills once per
+    # group (engine.generate_batch_prefix) instead of once per question —
+    # the reference redoes the full prefill per question AND per branch
+    # (vcd_sample.py:109-185).
+    group_by_image = (
+        args.group_by_image
+        and not args.use_cd
+        and getattr(engine.adapter, "supports_shared_prefix", False)
+    )
+    if group_by_image:
+        groups = []
+        cap = max(B, 6)
+        for l in pending:
+            if (
+                groups
+                and len(groups[-1]) < cap
+                and groups[-1][-1].get("image", "") == l.get("image", "")
+            ):
+                groups[-1].append(l)
+            else:
+                groups.append([l])
+    else:
+        groups = [pending[i : i + B] for i in range(0, len(pending), B)]
+
+    from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
     from llava_align_tpu.framework.data import ListDataset, PrefetchLoader
 
+    # worker threads tokenize + decode images ahead of the device
+    # (host-side analog of double buffering; torch-DataLoader capability)
+    def prep_group(g):
+        first = prep(g[0])
+        rest = [prep_ids(l) for l in g[1:]] if group_by_image else [
+            prep(l)[:2] for l in g[1:]
+        ]
+        return first, rest
+
+    def prep_ids(line):
+        prompt, _ = build_prompt(
+            line["text"], args.conv_mode, with_image=True,
+            mm_use_im_start_end=cfg.mm_use_im_start_end, one_word=one_word,
+        )
+        return tokenizer_image_token(prompt, tokenizer)
+
     loader = PrefetchLoader(
-        ListDataset(pending, transform=lambda l: (l, prep(l))),
-        batch_size=B, num_workers=2, prefetch=4,
+        ListDataset(groups, transform=lambda g: (g, prep_group(g))),
+        batch_size=1, num_workers=2, prefetch=4,
     )
-    for start, batch_rows in zip(range(0, len(pending), B), loader):
-        chunk = [l for l, _ in batch_rows]
-        prepped = [p for _, p in batch_rows]
-        stop_str = prepped[0][2]
+    start = 0
+    for batch_rows in loader:
+        chunk, ((ids0, image0, stop_str), rest) = batch_rows[0]
         rng = jax.random.PRNGKey(args.seed + start)
+        start += len(chunk)
 
         if len(chunk) == 1:
-            outs = [engine.generate(prepped[0][0], prepped[0][1], rng=rng)]
+            outs = [engine.generate(ids0, image0, rng=rng)]
+        elif group_by_image:
+            ids_list = [ids0] + rest
+            p = DecodeEngine.common_token_prefix(ids_list)
+            prefix = ids_list[0][:p]
+            if IMAGE_TOKEN_INDEX in prefix:
+                outs = engine.generate_batch_prefix(
+                    prefix, [ids[p:] for ids in ids_list], image0, rng=rng
+                )
+            else:  # prompts diverge before the image token; no sharing
+                outs = engine.generate_batch(
+                    [(ids, image0) for ids in ids_list], rng=rng
+                )
         else:
             outs = engine.generate_batch(
-                [(ids, img) for ids, img, _ in prepped], rng=rng
+                [(ids0, image0)] + [(ids, img) for ids, img in rest], rng=rng
             )
 
         outs_none = outs_unk = [None] * len(chunk)
@@ -201,6 +254,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-questions", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=1,
                    help="questions decoded in lockstep (packed Q*branches batch)")
+    p.add_argument("--group-by-image", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="lockstep-decode consecutive same-image questions "
+                   "with one shared prefix KV prefill (POPE has 6 per image)")
     p.add_argument("--verbose", action="store_true", default=True)
     return p
 

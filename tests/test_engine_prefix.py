@@ -1,0 +1,126 @@
+"""Shared-prefix batched generation ≡ per-question batched generation.
+
+POPE ships exactly 6 questions per image; generate_batch_prefix prefills the
+shared [system + image] prefix once into a read-only KV segment and runs each
+question's suffix against [shared | local] joint-softmax attention
+(ops/attention.chunk_attention_shared / decode_attention_shared). The oracle:
+token streams and first-step fused distributions must match generate_batch on
+the identical full prompts (the reference semantics, vcd_sample.py:109-185,
+are already pinned to generate_batch by tests/test_engine_batch.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llava_align_tpu.config import GenerationConfig, LlavaConfig
+from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+from llava_align_tpu.decoding.engine import DecodeEngine
+from llava_align_tpu.models import llava
+
+EOS = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = LlavaConfig.tiny(vocab_size=211)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    H = cfg.vision.image_size
+    image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (3, H, H), jnp.float32)
+    )
+    # shared [bos, sys..., <image>, sys...] prefix + per-question suffixes
+    prefix = [1, 17, 23, IMAGE_TOKEN_INDEX, 31, 37]
+    suffixes = [
+        [41, 43, 53],
+        [41, 47, 53, 59],
+        [61, 67],
+        [41, 43, 71],
+        [73, 79, 83, 89, 97],
+        [101],
+    ]
+    return cfg, params, image, prefix, suffixes
+
+
+def _gen(dual: bool, do_sample: bool = False, max_new: int = 5) -> GenerationConfig:
+    return GenerationConfig(
+        max_new_tokens=max_new, do_sample=do_sample, eos_token_id=EOS,
+        use_dd=dual, use_dd_unk=dual, cd_alpha=1.0, cd_beta=0.1,
+    )
+
+
+def _check_match(outs, refs, prob_atol=1e-5):
+    assert len(outs) == len(refs)
+    for o, r in zip(outs, refs):
+        assert o.token_ids == r.token_ids
+        assert o.prompt_length == r.prompt_length
+        np.testing.assert_allclose(
+            o.first_scores_top_probs, r.first_scores_top_probs, atol=prob_atol
+        )
+
+
+def test_prefix_matches_batch_dual_branch(setup):
+    cfg, params, image, prefix, suffixes = setup
+    eng = DecodeEngine(params, cfg, _gen(True), attn_impl="xla", bucket=8)
+    full = [(prefix + s, image) for s in suffixes]
+    refs = eng.generate_batch(full)
+    outs = eng.generate_batch_prefix(prefix, suffixes, image)
+    _check_match(outs, refs)
+
+
+def test_prefix_matches_batch_single_branch(setup):
+    cfg, params, image, prefix, suffixes = setup
+    eng = DecodeEngine(params, cfg, _gen(False), attn_impl="xla", bucket=8)
+    full = [(prefix + s, image) for s in suffixes]
+    refs = eng.generate_batch(full)
+    outs = eng.generate_batch_prefix(prefix, suffixes, image)
+    _check_match(outs, refs)
+
+
+def test_prefix_stochastic_sampling_runs(setup):
+    """Sampling draws per-question tokens from the same fused distribution
+    machinery; RNG streams differ from generate_batch (different jit graph),
+    so assert structure not tokens."""
+    cfg, params, image, prefix, suffixes = setup
+    eng = DecodeEngine(params, cfg, _gen(True, do_sample=True), attn_impl="xla", bucket=8)
+    outs = eng.generate_batch_prefix(
+        prefix, suffixes, image, rng=jax.random.PRNGKey(5)
+    )
+    assert len(outs) == len(suffixes)
+    assert all(0 < o.num_generated <= 5 for o in outs)
+
+
+def test_prefix_rejects_cd_and_sentinel_suffix(setup):
+    cfg, params, image, prefix, suffixes = setup
+    gen = GenerationConfig(
+        max_new_tokens=2, do_sample=False, eos_token_id=EOS, use_cd=True,
+    )
+    eng = DecodeEngine(params, cfg, gen, attn_impl="xla", bucket=8)
+    with pytest.raises(ValueError, match="use_cd"):
+        eng.generate_batch_prefix(prefix, suffixes, image)
+    eng2 = DecodeEngine(params, cfg, _gen(True), attn_impl="xla", bucket=8)
+    with pytest.raises(ValueError, match="sentinel"):
+        eng2.generate_batch_prefix(prefix, [[IMAGE_TOKEN_INDEX, 5]], image)
+
+
+def test_common_token_prefix():
+    lists = [[1, 2, 3, 4], [1, 2, 3, 5, 6], [1, 2, 3, 4, 7]]
+    assert DecodeEngine.common_token_prefix(lists) == 3
+    # identical lists: cap keeps >= 1 suffix token
+    assert DecodeEngine.common_token_prefix([[1, 2], [1, 2]]) == 1
+    assert DecodeEngine.common_token_prefix([]) == 0
+
+
+def test_prefix_eos_stops_rows_independently(setup):
+    """Rows finishing early pad with pad_token while others continue —
+    same semantics as generate_batch (reference unfinished_sequences,
+    vcd_sample.py:256-291)."""
+    cfg, params, image, prefix, suffixes = setup
+    eng = DecodeEngine(params, cfg, _gen(True, max_new=6), attn_impl="xla", bucket=8)
+    full = [(prefix + s, image) for s in suffixes]
+    refs = eng.generate_batch(full)
+    outs = eng.generate_batch_prefix(prefix, suffixes, image)
+    for o, r in zip(outs, refs):
+        assert o.num_generated == r.num_generated
+        assert o.token_ids == r.token_ids

@@ -80,6 +80,41 @@ def test_quantized_llava_decode_close_to_fp():
         assert abs(fp_top[t] - q8_top[t]) < 0.05
 
 
+def test_tp_lane_padding_is_bit_inert():
+    """pad_llama_quantized_for_tp (VERDICT r2 #1): padded gateup halves emit
+    exact-zero columns, padded down contraction ignores them — forward output
+    matches the unpadded quantized model (only reduction regrouping noise:
+    the padded values themselves are exact zeros)."""
+    from llava_align_tpu.models import llama
+    from llava_align_tpu.config import LlamaConfig
+    from llava_align_tpu.ops.quant import int8_tp_aligned, int8_tp_mode, pad_llama_quantized_for_tp
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=96, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, dtype=jnp.float32,
+    )
+    params = llama.init(jax.random.PRNGKey(3), cfg)
+    q = quantize_llama_params(params, fuse=True)
+    n = 2
+    padded_layers, changed = pad_llama_quantized_for_tp(q["layers"], n)
+    assert changed
+    qp = dict(q, layers=padded_layers)
+    # 96/2 = 48: not lane-aligned; padded to 256-multiples per half
+    assert padded_layers["gateup"]["q"].shape[1] == 2 * 256
+    assert padded_layers["down"]["q"].shape[2] == 256
+    for name in ("gateup", "down"):
+        assert int8_tp_aligned(padded_layers[name], int8_tp_mode(name), n)
+    # idempotent
+    _, changed2 = pad_llama_quantized_for_tp(padded_layers, n)
+    assert not changed2
+
+    emb = llama.embed_tokens(params, jnp.arange(6)[None])
+    pos = jnp.arange(6, dtype=jnp.int32)[None]
+    h0, _ = llama.forward(q, cfg, emb, pos, attn_impl="xla")
+    h1, _ = llama.forward(qp, cfg, emb, pos, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6, rtol=1e-6)
+
+
 def test_fused_quantization_matches_unfused():
     """qkv / gateup fusion preserves per-name quantization values (scales are
     per-output-channel, so quantizing the concatenation == the parts); logits

@@ -79,6 +79,44 @@ def test_runner_resume_skips_done(question_file, tmp_path):
     assert sorted(r["question_id"] for r in recs) == [0, 1, 2, 3]
 
 
+@pytest.fixture(scope="module")
+def grouped_question_file(tmp_path_factory):
+    """POPE-shaped: consecutive questions share an image (6 per image in the
+    real splits; 3+3 here)."""
+    d = tmp_path_factory.mktemp("pope_grouped")
+    qf = d / "grouped_POPE_questions.json"
+    objs = ["dog", "car", "person", "chair", "cat", "tree"]
+    with open(qf, "w") as f:
+        for i in range(6):
+            f.write(
+                json.dumps(
+                    {
+                        "question_id": i,
+                        "image": f"img_{i // 3}.jpg",
+                        "text": f"Is there a {objs[i]} in the image?",
+                        "label": "yes" if i % 2 == 0 else "no",
+                    }
+                )
+                + "\n"
+            )
+    return str(qf)
+
+
+def test_runner_group_by_image_matches_ungrouped(grouped_question_file, tmp_path):
+    """Shared-prefix image grouping is a pure execution-layout change: greedy
+    answers must match the ungrouped run exactly."""
+    out_g = str(tmp_path / "grouped.jsonl")
+    pope.run(_args(grouped_question_file, out_g, use_dd=True, use_dd_unk=True))
+    out_u = str(tmp_path / "ungrouped.jsonl")
+    pope.run(
+        _args(grouped_question_file, out_u, use_dd=True, use_dd_unk=True,
+              group_by_image=False)
+    )
+    gen_g = {r["question_id"]: r["text"] for r in load_jsonl(out_g)}
+    gen_u = {r["question_id"]: r["text"] for r in load_jsonl(out_u)}
+    assert gen_g == gen_u and len(gen_g) == 6
+
+
 def test_grad_accumulation_matches_big_batch():
     """accum_steps=2 over two half-batches == one step on the full batch
     (reference base_task accum_grad_iters semantics; optax.MultiSteps mean)."""
