@@ -248,6 +248,32 @@ def main():
         except Exception as e:
             sys.stderr.write(f"batched Q={Q} failed ({type(e).__name__}); using single\n")
 
+    # grouped shared-prefix POPE: every split of every POPE dataset ships
+    # exactly 6 questions per image (verified across all 9 files); the
+    # engine prefills the shared [system+image] prefix ONCE per group and
+    # runs per-question suffixes against the shared KV segment
+    # (generate_batch_prefix) — the runner's default execution layout.
+    G = min(6, max(2, args.batch_questions))
+    results["pope_samples_per_sec_grouped"] = None
+    try:
+        geng = make_engine(args.answer_new, True)
+        prefix = ids  # [bos ... <image> ... question stem]
+        rngq = np.random.default_rng(3)
+        suffixes = [
+            [int(t) for t in rngq.integers(10, 20000, size=6)] for _ in range(G)
+        ]
+        geng.generate_batch_prefix(prefix, suffixes, image)  # compile
+        tg = []
+        for i in range(max(args.iters, 3)):
+            t0 = time.perf_counter()
+            geng.generate_batch_prefix(
+                prefix, suffixes, image, rng=jax.random.PRNGKey(200 + i)
+            )
+            tg.append(time.perf_counter() - t0)
+        results["pope_samples_per_sec_grouped"] = G / min(tg)
+    except Exception as e:
+        sys.stderr.write(f"grouped G={G} failed ({type(e).__name__}: {e}); skipping\n")
+
     dual_tps = results["dual_decode_tps"]
     single_tps = results["single_decode_tps"]
     baseline_tps = single_tps / 3.0  # reference: 3 sequential forwards/token
@@ -258,8 +284,23 @@ def main():
         "unit": "tokens/s/chip",
         "vs_baseline": round(dual_tps / baseline_tps, 3),
         "baseline_def": "single-branch tps / 3 (reference sequential 3-forward VDD on same chip)",
+        # Both framings of the north star (VERDICT r2 weak #2), same chip,
+        # same precision: vs_single_branch = dual VDD throughput as a fraction
+        # of plain single-branch decode; strict_north_star = vs the "2x
+        # single-branch" BASELINE.json reading (>=1.0 needs the 8-chip DP axis
+        # this environment cannot provide — see BASELINE.md).
+        "vs_single_branch": round(dual_tps / single_tps, 3),
+        "strict_north_star": round(dual_tps / (2.0 * single_tps), 3),
         "single_branch_tps": round(single_tps, 3),
+        # _grouped = shared-prefix image groups (the runner default: all 9
+        # POPE files ship exactly 6 questions/image); plain = lockstep batch
+        # without sharing; _single = one question per call
         "pope_samples_per_sec": round(results["pope_samples_per_sec"], 4),
+        "pope_samples_per_sec_grouped": (
+            round(results["pope_samples_per_sec_grouped"], 4)
+            if results["pope_samples_per_sec_grouped"]
+            else None
+        ),
         "pope_samples_per_sec_single": round(results["pope_samples_per_sec_single"], 4),
         "batch_questions": results["batch_questions_used"],
         "p50_answer_latency_s": round(p50, 4),
