@@ -2,8 +2,10 @@
 
 Capability parity: reference lavis/processors/blip_processors.py:105-185 —
 blip_image_eval (resize + normalize), blip_image_train (random resized crop +
-horizontal flip; RandAugment capability reduced to the flip/crop core), and
-blip_caption text processor (prompt prefix + word-count truncation).
+horizontal flip + 2-op RandAugment at magnitude 5, the full reference train
+transform), and blip_caption text processor (prompt prefix + word-count
+truncation). RandAugment itself is oracle-pinned to the reference module in
+tests/test_randaugment.py.
 """
 
 from __future__ import annotations
@@ -39,7 +41,10 @@ class BlipImageEvalProcessor:
 
 @registry.register_processor("blip_image_train")
 class BlipImageTrainProcessor:
-    """Random resized crop (scale 0.5-1.0) + horizontal flip + normalize."""
+    """Random resized crop (area scale + 3/4..4/3 aspect, torchvision
+    semantics) + horizontal flip + 2-op RandAugment (M=5, the 10-op blip
+    subset) + normalize — the reference train transform
+    (blip_processors.py:110-138)."""
 
     def __init__(
         self,
@@ -50,26 +55,50 @@ class BlipImageTrainProcessor:
         std=OPENAI_CLIP_STD,
         seed: Optional[int] = None,
     ):
+        from llava_align_tpu.framework.randaugment import (
+            BLIP_TRAIN_AUGS, RandomAugment,
+        )
+
         self.image_size = image_size
         self.min_scale, self.max_scale = min_scale, max_scale
         self.mean, self.std = mean, std
         self.rng = np.random.default_rng(seed)
+        self.randaug = RandomAugment(
+            2, 5, augs=list(BLIP_TRAIN_AUGS), rng=self.rng
+        )
+
+    def _random_resized_crop(self, img):
+        """torchvision RandomResizedCrop: 10 tries of (area, log-ratio)
+        sampling, center-crop fallback."""
+        from PIL import Image
+
+        w, h = img.size
+        area = w * h
+        for _ in range(10):
+            target = area * self.rng.uniform(self.min_scale, self.max_scale)
+            ratio = float(np.exp(self.rng.uniform(np.log(3 / 4), np.log(4 / 3))))
+            cw = int(round(np.sqrt(target * ratio)))
+            ch = int(round(np.sqrt(target / ratio)))
+            if 0 < cw <= w and 0 < ch <= h:
+                x0 = int(self.rng.integers(0, w - cw + 1))
+                y0 = int(self.rng.integers(0, h - ch + 1))
+                return img.crop((x0, y0, x0 + cw, y0 + ch)).resize(
+                    (self.image_size, self.image_size), resample=Image.BICUBIC
+                )
+        side = min(w, h)
+        x0, y0 = (w - side) // 2, (h - side) // 2
+        return img.crop((x0, y0, x0 + side, y0 + side)).resize(
+            (self.image_size, self.image_size), resample=Image.BICUBIC
+        )
 
     def __call__(self, pil_img) -> np.ndarray:
         from PIL import Image
 
-        img = pil_img.convert("RGB")
-        w, h = img.size
-        scale = self.rng.uniform(self.min_scale, self.max_scale)
-        cw, ch = max(1, int(w * scale)), max(1, int(h * scale))
-        x0 = int(self.rng.integers(0, w - cw + 1))
-        y0 = int(self.rng.integers(0, h - ch + 1))
-        img = img.crop((x0, y0, x0 + cw, y0 + ch)).resize(
-            (self.image_size, self.image_size), resample=Image.BICUBIC
-        )
+        img = self._random_resized_crop(pil_img.convert("RGB"))
         if self.rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        return _normalize(np.asarray(img), self.mean, self.std)
+        arr = self.randaug(np.asarray(img))
+        return _normalize(arr, self.mean, self.std)
 
 
 @registry.register_processor("blip_caption")
