@@ -189,3 +189,151 @@ def choice_label_dict(all_choices: Sequence[str]) -> Dict[int, List[str]]:
     """Per-question label dict mapping class index → choice letter
     (the dynamic LABEL_DICT of run_llava_calibrate.py:106-109)."""
     return {i: [c] for i, c in enumerate(all_choices)}
+
+
+# ---------------------------------------------------------------------------
+# Calibration-setting sweep (reference run_llava_calibrate_best.py:85-131):
+# from ONE inference pass per sample (naive + content-free probes) produce an
+# answer set per calibration setting, so the best setting can be picked by
+# evaluating each. The combination table below is the reference's verbatim —
+# including the quirk that 'none_unk' sums the UNK and ZERO probes.
+# ---------------------------------------------------------------------------
+
+SWEEP_SETTINGS = (
+    "naive", "noise", "none", "zero", "unk",
+    "none_noise", "none_unk", "none_unk_noise", "all",
+)
+
+_SWEEP_COMBOS = {
+    "none_noise": ("noise", "none"),
+    "none_unk": ("unk", "zero"),   # reference run_llava_calibrate_best.py:97-99
+    "none_unk_noise": ("noise", "none", "unk"),
+    "all": ("noise", "none", "zero", "unk"),
+}
+
+
+def sweep_predict(
+    naive_probs: Sequence[float],
+    probes: Mapping[str, Sequence[float]],
+    all_choices: Sequence[str],
+    setting: str,
+) -> str:
+    """One multiple-choice prediction under one calibration setting.
+    'naive' answers argmax of the (normalized) first-token class probs
+    (identity W, run_llava_calibrate_best.py:111-113); every other setting
+    applies the affine correction with p_cf from the named probe(s)."""
+    gen = np.asarray(naive_probs, np.float64)
+    if setting == "naive":
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gen = gen / np.sum(gen)
+        return all_choices[int(np.argmax(gen))]
+    names = _SWEEP_COMBOS.get(setting, (setting,))
+    cal = calibrate_choice_probs(gen, [np.asarray(probes[n], np.float64) for n in names])
+    return all_choices[int(np.argmax(cal))]
+
+
+def settings_sweep(
+    records: Sequence[Mapping], settings: Sequence[str] = SWEEP_SETTINGS
+) -> Dict[str, Dict[str, str]]:
+    """records: runner answer dicts carrying 'naive' plus probe top-k dumps
+    ('noise'/'none'/'zero'/'one'/'unk') → {setting: {id: pred}}.
+    Multiple-choice samples answer from calibrated logits; open questions
+    keep the generated text (parsed downstream), exactly like the
+    reference's out_samples (run_llava_calibrate_best.py:86-131)."""
+    out: Dict[str, Dict[str, str]] = {}
+    for setting in settings:
+        per_id: Dict[str, str] = {}
+        for r in records:
+            rid = str(r.get("question_id", r.get("id")))
+            choices = r.get("all_choices")
+            needed = _SWEEP_COMBOS.get(setting, (setting,))
+            have = all(n == "naive" or r.get(n) for n in needed)
+            if choices and r.get("naive") and have:
+                label_dict = choice_label_dict(choices)
+                naive_p = get_prob_from_logits(r["naive"], label_dict)
+                probes = {
+                    n: get_prob_from_logits(r[n], label_dict)
+                    for n in ("noise", "none", "zero", "one", "unk")
+                    if r.get(n)
+                }
+                per_id[rid] = sweep_predict(naive_p, probes, choices, setting)
+            else:
+                per_id[rid] = r.get("text", "")
+        out[setting] = per_id
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Domain/subject aggregation table (reference print_results.py:15-54 +
+# utils/data_utils.py:9-50 category spec)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAT2SUB_CAT = {
+    "Art and Design": ["Art", "Art_Theory", "Design", "Music"],
+    "Business": ["Accounting", "Economics", "Finance", "Manage", "Marketing"],
+    "Science": ["Biology", "Chemistry", "Geography", "Math", "Physics"],
+    "Health and Medicine": [
+        "Basic_Medical_Science", "Clinical_Medicine",
+        "Diagnostics_and_Laboratory_Medicine", "Pharmacy", "Public_Health",
+    ],
+    "Humanities and Social Science": [
+        "History", "Literature", "Sociology", "Psychology",
+    ],
+    "Tech and Engineering": [
+        "Agriculture", "Architecture_and_Engineering", "Computer_Science",
+        "Electronics", "Energy_and_Power", "Materials",
+        "Mechanical_Engineering",
+    ],
+}
+
+CAT_SHORT2LONG = {
+    "acc": "Accounting", "agri": "Agriculture",
+    "arch": "Architecture_and_Engineering", "art": "Art",
+    "art_theory": "Art_Theory", "bas_med": "Basic_Medical_Science",
+    "bio": "Biology", "chem": "Chemistry", "cli_med": "Clinical_Medicine",
+    "cs": "Computer_Science", "design": "Design",
+    "diag_med": "Diagnostics_and_Laboratory_Medicine", "econ": "Economics",
+    "elec": "Electronics", "ep": "Energy_and_Power", "fin": "Finance",
+    "geo": "Geography", "his": "History", "liter": "Literature",
+    "manage": "Manage", "mark": "Marketing", "mate": "Materials",
+    "math": "Math", "mech": "Mechanical_Engineering", "music": "Music",
+    "phar": "Pharmacy", "phys": "Physics", "psy": "Psychology",
+    "pub_health": "Public_Health", "socio": "Sociology",
+}
+
+
+def results_table(subject_results: Mapping[str, Mapping]) -> str:
+    """Org-mode table of per-domain / per-subject accuracies with an Overall
+    row — the reference print_results.py output shape. subject_results:
+    {subject: {'acc': float, 'num_example': int}}. Subjects not in the
+    domain spec (e.g. an 'all' bucket) are listed after the domains."""
+    rows: List[List] = []
+    seen = set()
+    for domain, cats in DOMAIN_CAT2SUB_CAT.items():
+        in_domain = {c: subject_results[c] for c in cats if c in subject_results}
+        if not in_domain:
+            continue
+        acc = calculate_ins_level_acc(in_domain)
+        num = int(sum(r["num_example"] for r in in_domain.values()))
+        rows.append(["Overall-" + domain, num, round(acc, 3)])
+        for cat, r in in_domain.items():
+            rows.append([cat, int(r["num_example"]), round(r["acc"], 3)])
+            seen.add(cat)
+    for cat, r in subject_results.items():
+        if cat not in seen:
+            rows.append([cat, int(r["num_example"]), round(r["acc"], 3)])
+    overall = calculate_ins_level_acc(subject_results)
+    total = int(sum(r["num_example"] for r in subject_results.values()))
+    rows.append(["Overall", total, round(overall, 3)])
+
+    headers = ["Subject", "Data Num", "Acc"]
+    widths = [
+        max(len(str(x)) for x in [h] + [row[i] for row in rows])
+        for i, h in enumerate(headers)
+    ]
+
+    def fmt(row):
+        return "| " + " | ".join(str(x).ljust(w) for x, w in zip(row, widths)) + " |"
+
+    sep = "|" + "+".join("-" * (w + 2) for w in widths) + "|"
+    return "\n".join([fmt(headers), sep] + [fmt(r) for r in rows])

@@ -57,7 +57,7 @@ def run(args) -> str:
     stop_ids = keyword_token_ids([stop_str], tokenizer)
     engine = DecodeEngine(params, cfg, gen, stop_keyword_ids=stop_ids)
     score_engine = None
-    if args.calibrate:
+    if args.calibrate or args.calibrate_best:
         score_gen = make_generation_config(
             args, use_cd=False, use_dd=False, use_dd_unk=False, max_new_tokens=1
         )
@@ -110,6 +110,34 @@ def run(args) -> str:
             record["unk"] = calibrate_label_dict(
                 o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
             )
+            if args.calibrate_best and image is not None:
+                # degraded-IMAGE probes for the full setting sweep
+                # (run_llava_calibrate_best.py:237-250): pure diffusion
+                # noise (step 999), all-zeros, all-ones — all in the
+                # NORMALIZED pixel space the reference degrades.
+                import jax.numpy as jnp
+
+                from llava_align_tpu.ops.image import normalize_host
+                from llava_align_tpu.ops.noise import add_diffusion_noise
+
+                img_norm = (
+                    normalize_host(np.asarray(image))
+                    if np.asarray(image).dtype == np.uint8
+                    else np.asarray(image, np.float32)
+                )
+                noised = np.asarray(
+                    add_diffusion_noise(jnp.asarray(img_norm), rng, 999),
+                    np.float32,
+                )
+                for probe_name, probe_img in (
+                    ("noise", noised),
+                    ("zero", np.zeros_like(img_norm)),
+                    ("one", np.ones_like(img_norm)),
+                ):
+                    o = score_engine.generate(input_ids, probe_img, rng=rng)
+                    record[probe_name] = calibrate_label_dict(
+                        o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
+                    )
         ans.write(record)
     ans.close()
     return args.answers_file
@@ -160,15 +188,97 @@ def score(answers_file: str, setting: str = "naive") -> dict:
     return {"subjects": results, "overall_acc": overall, "setting": setting}
 
 
+def _parse_record(r: dict, pred) -> dict:
+    """One answer record + a setting's raw prediction → evaluate() sample."""
+    if r["question_type"] == "multiple-choice" and r.get("all_choices"):
+        parsed = parse_multi_choice_response(
+            str(pred), r["all_choices"], r.get("index2ans") or {}
+        )
+    else:
+        parsed = parse_open_response(str(pred))
+    return {
+        "id": r.get("question_id", r.get("id")),
+        "question_type": r["question_type"],
+        "answer": r.get("answer"),
+        "parsed_pred": parsed,
+    }
+
+
+def score_sweep(answers_file: str) -> dict:
+    """Per-setting evaluation of the full calibration sweep + best pick
+    (reference run_llava_calibrate_best.py produces the per-setting answer
+    sets; main_eval_only.py evaluates each; this does both). Returns
+    {settings: {name: {subjects, overall_acc}}, best_setting, table}."""
+    from llava_align_tpu.evals.mmmu import (
+        SWEEP_SETTINGS, results_table, settings_sweep,
+    )
+
+    with open(os.path.expanduser(answers_file)) as f:
+        records = [json.loads(line) for line in f]
+    sweep = settings_sweep(records)
+    by_id = {str(r.get("question_id", r.get("id"))): r for r in records}
+
+    out = {}
+    for setting in SWEEP_SETTINGS:
+        by_subject = defaultdict(list)
+        for rid, pred in sweep[setting].items():
+            r = by_id[rid]
+            by_subject[r.get("subject", "all")].append(_parse_record(r, pred))
+        subjects = {}
+        for subject, samples in by_subject.items():
+            _, m = evaluate(samples)
+            subjects[subject] = {"acc": m["acc"], "num_example": len(samples)}
+        out[setting] = {
+            "subjects": subjects,
+            "overall_acc": calculate_ins_level_acc(subjects),
+        }
+    best = max(out, key=lambda s: out[s]["overall_acc"])
+    return {
+        "settings": out,
+        "best_setting": best,
+        "best_overall_acc": out[best]["overall_acc"],
+        "table": results_table(out[best]["subjects"]),
+    }
+
+
+def print_results(answers_file: str, setting: str = "naive") -> str:
+    """Domain/subject accuracy table (reference print_results.py shape) for
+    one setting of an answers file."""
+    from llava_align_tpu.evals.mmmu import results_table
+
+    return results_table(score(answers_file, setting)["subjects"])
+
+
 def build_parser() -> argparse.ArgumentParser:
     from llava_align_tpu.runners.pope import build_parser as base
 
     p = base()
     p.add_argument("--score-setting", type=str, default="naive")
+    p.add_argument("--calibrate-best", action="store_true", default=False,
+                   help="dump ALL content-free probes (none/unk/noise/zero/"
+                   "one) and sweep the 9 calibration settings, reporting "
+                   "the best (reference run_llava_calibrate_best.py)")
+    p.add_argument("--print-table", action="store_true", default=False,
+                   help="print the domain/subject accuracy table "
+                   "(reference print_results.py)")
     return p
 
 
 if __name__ == "__main__":
     a = build_parser().parse_args()
     path = run(a)
-    print(json.dumps(score(path, a.score_setting), indent=2))
+    if a.calibrate_best:
+        res = score_sweep(path)
+        print(json.dumps(
+            {k: v["overall_acc"] for k, v in res["settings"].items()}, indent=2
+        ))
+        print(f"best: {res['best_setting']} ({res['best_overall_acc']:.4f})")
+        if a.print_table:
+            print(res["table"])
+    else:
+        res = score(path, a.score_setting)
+        print(json.dumps(res, indent=2))
+        if a.print_table:
+            from llava_align_tpu.evals.mmmu import results_table
+
+            print(results_table(res["subjects"]))

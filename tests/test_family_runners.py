@@ -103,6 +103,43 @@ def test_mmmu_runner_and_scoring(tmp_path):
         assert 0.0 <= rep["overall_acc"] <= 1.0
 
 
+def test_mmmu_calibrate_best_runner(tmp_path):
+    """--calibrate-best dumps all 5 content-free probes and score_sweep
+    evaluates the 9-setting sweep with a best pick + table (reference
+    run_llava_calibrate_best.py + print_results.py)."""
+    from llava_align_tpu.evals.mmmu import SWEEP_SETTINGS
+    from llava_align_tpu.runners import mmmu
+
+    qf = tmp_path / "mmmu.jsonl"
+    with open(qf, "w") as f:
+        for i in range(2):
+            f.write(
+                json.dumps(
+                    {"id": f"validation_Art_{i}", "subject": "Art",
+                     "question_type": "multiple-choice", "answer": "B",
+                     "all_choices": ["A", "B"],
+                     "index2ans": {"A": "w", "B": "x"},
+                     "final_input_prompt": f"Pick one (A) w (B) x #{i}",
+                     "image": f"m{i}.jpg"}
+                ) + "\n"
+            )
+    out = str(tmp_path / "ans.jsonl")
+    args = mmmu.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", str(qf),
+         "--answers-file", out, "--calibrate-best"]
+    )
+    args.synthetic_images = True
+    args.temperature = 0.0
+    args.max_new_tokens = 3
+    mmmu.run(args)
+    recs = [json.loads(l) for l in open(out)]
+    assert {"naive", "none", "unk", "noise", "zero", "one"} <= set(recs[0])
+    res = mmmu.score_sweep(out)
+    assert set(res["settings"]) == set(SWEEP_SETTINGS)
+    assert res["best_setting"] in SWEEP_SETTINGS
+    assert "Overall-Art and Design" in res["table"]
+
+
 def test_caption_runner_end_to_end(questions, tmp_path):
     """Beam-search captioning through CaptionTask (reference LAVIS caption
     flow with blip2 generate num_beams default)."""
