@@ -24,8 +24,10 @@ reference itself implements — and what this module provides natively — is:
     diffusers' networks;
   * prompt amplification (_build_prompt :291-298).
 
-The prompt-to-prompt attention controllers (ptp_utils.py) belong to the
-editing path and stay out of scope.
+The prompt-to-prompt attention controllers (ptp_utils.py) live in
+models/ptp.py: AttentionStore + word-swap/refinement/reweight edit
+controllers as hooks (`ptp.make_attn_hook`) the caller threads into its
+unet_apply's attention sites — the same delegation seam as the UNet itself.
 """
 
 from __future__ import annotations
