@@ -283,7 +283,28 @@ class BaseDatasetBuilder:
         self.build_info = build_info
         self.vis_processors = vis_processors or {}
         self.text_processors = text_processors or {}
+        # `dataset` names the raw-data manifest key (framework/download.py);
+        # it is builder metadata, not a dataset-class kwarg
+        self.dataset_name = kw.pop("dataset", None)
         self.extra = kw
+
+    def download_entries(self):
+        """Manifest entries for fetching this builder's raw data
+        (framework/download.py — the counterpart of the reference's
+        lavis/datasets/download_scripts). The dataset key comes from the
+        builder config's `dataset` field (e.g. dataset='coco')."""
+        from llava_align_tpu.framework import download
+
+        return download.entries_for(self.dataset_name) if self.dataset_name else []
+
+    def download(self, root: str, **kw):
+        """Offline-safe fetch of this builder's dataset (skips cleanly when
+        the network is unavailable; manual-flow sources are reported)."""
+        from llava_align_tpu.framework import download
+
+        if not self.dataset_name:
+            raise ValueError("builder config has no `dataset` key to download")
+        return download.download_dataset(self.dataset_name, root, **kw)
 
     def build(self) -> Dict[str, Any]:
         datasets = {}
