@@ -377,7 +377,7 @@ class QwenVLAdapter:
     img_start/img_end tokens."""
 
     name = "qwen_vl"
-    supports_shared_prefix = False
+    supports_shared_prefix = True
 
     def __init__(self, cfg):
         self.cfg = cfg  # models.qwen_vl.QwenVLConfig
@@ -452,13 +452,15 @@ class QwenVLAdapter:
         return qwen.init_cache(self.cfg.text, batch, max_len)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
-                max_seq_len, cache_row_offset=0, tp_mesh=None):
+                max_seq_len, cache_row_offset=0, tp_mesh=None,
+                shared_kv=None, shared_len=None):
         from llava_align_tpu.models import qwen
 
         return qwen.forward(
             params["qwen"], self.cfg.text, embeds, positions, cache, offsets,
             ntk_alpha=qwen.ntk_alpha_for_len(self.cfg.text, max_seq_len),
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
+            shared_kv=shared_kv, shared_len=shared_len,
         )
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:

@@ -760,6 +760,9 @@ class DecodeEngine:
         n_contrast = nb - 1
         T = gen.max_new_tokens
         cache_len = max(pad_suf, pad_txt) + T
+        # one length drives position-dependent scaling (qwen dynamic-NTK) in
+        # every phase: the main rows' effective kv extent
+        total_len = pad_prefix + cache_len
         kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if 0 < len(k) <= T]
         attn_impl = self.attn_impl
         topk = self.top_scores_k
@@ -820,7 +823,7 @@ class DecodeEngine:
             _, p_cache = adapter.forward(
                 params, p_embeds, p_positions, p_cache,
                 jnp.zeros((1,), jnp.int32), attn_impl=attn_impl,
-                max_seq_len=pad_prefix, tp_mesh=self._tp_mesh,
+                max_seq_len=total_len, tp_mesh=self._tp_mesh,
             )
             shared = {"k": p_cache["k"][:, 0], "v": p_cache["v"][:, 0]}
 
@@ -834,7 +837,7 @@ class DecodeEngine:
             s_hidden, cache = adapter.forward(
                 params, s_embeds, s_positions, cache,
                 jnp.zeros((Q,), jnp.int32), attn_impl=attn_impl,
-                max_seq_len=cache_len, tp_mesh=self._tp_mesh,
+                max_seq_len=total_len, tp_mesh=self._tp_mesh,
                 shared_kv=shared, shared_len=sh_len_main,
             )
             last = s_hidden[jnp.arange(Q), suf_lens - 1]
@@ -854,7 +857,7 @@ class DecodeEngine:
                 t_hidden, cache = adapter.forward(
                     params, t_embeds, t_positions, cache,
                     jnp.zeros((Q * n_txt,), jnp.int32), attn_impl=attn_impl,
-                    max_seq_len=cache_len, cache_row_offset=Q,
+                    max_seq_len=total_len, cache_row_offset=Q,
                     tp_mesh=self._tp_mesh,
                 )
                 t_last = t_hidden[jnp.arange(Q * n_txt), len_txt - 1]
@@ -899,7 +902,7 @@ class DecodeEngine:
                 positions = (sh_len_all + c["lengths"])[:, None]
                 hidden, cache = adapter.forward(
                     params, emb, positions, c["cache"], c["lengths"],
-                    attn_impl=attn_impl, max_seq_len=cache_len,
+                    attn_impl=attn_impl, max_seq_len=total_len,
                     tp_mesh=self._tp_mesh,
                     shared_kv=shared, shared_len=sh_len_all,
                 )
@@ -924,6 +927,7 @@ class DecodeEngine:
         image: Optional[np.ndarray],
         *,
         rng: Optional[jax.Array] = None,
+        branch_ids_list: Optional[Sequence[Mapping[str, Sequence[int]]]] = None,
     ) -> List[GenerationOutput]:
         """Lockstep-decode Q questions that share one image AND one token
         prefix. prefix_ids contains the IMAGE_TOKEN_INDEX sentinel; each
@@ -931,6 +935,9 @@ class DecodeEngine:
         the split as the longest common token prefix, which is exact by
         construction). Token streams match generate_batch on the same
         prompts; the prefix KV is computed once instead of Q times.
+        branch_ids_list: optional per-question explicit token ids for the
+        text-only degraded branches (models whose degraded prompts need the
+        tokenizer — qwen 'unk', qwen_calibrate.py:37).
         """
         if self.gen.use_cd:
             raise ValueError(
@@ -972,9 +979,10 @@ class DecodeEngine:
         pad_txt = self.bucket if n_txt_k else 0
         txt_packs = []
         if n_txt_k:
-            for s in suffixes:
+            for qi, s in enumerate(suffixes):
                 full = list(prefix_ids) + [int(t) for t in s]
-                pt = self._pack(full, has_image, kinds=self.txt_kinds)
+                bids = branch_ids_list[qi] if branch_ids_list else None
+                pt = self._pack(full, has_image, bids, kinds=self.txt_kinds)
                 txt_packs.append(pt)
                 pad_txt = max(pad_txt, pt[0])
             rows = Q * n_txt_k

@@ -138,7 +138,12 @@ def forward(
     ntk_alpha: float = 1.0,
     attn_impl: str = "auto",
     cache_row_offset: int = 0,
+    shared_kv: Optional[Dict[str, jax.Array]] = None,
+    shared_len: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """shared_kv: optional read-only prefix segment {'k','v': [L, P, K, Dh]}
+    (same contract as models/llama.forward: positions absolute, cache_offset
+    local)."""
     B, S, D = embeds.shape
     H, Dh = cfg.num_heads, cfg.head_dim
     base = cfg.rotary_emb_base * ntk_alpha ** (Dh / (Dh - 2))
@@ -170,7 +175,22 @@ def forward(
             k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode, cache_row_offset)
             v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode, cache_row_offset)
 
-        if is_decode:
+        if shared_kv is not None:
+            from llava_align_tpu.ops.attention import (
+                chunk_attention_shared, decode_attention_shared,
+            )
+
+            k_sh = jax.lax.dynamic_index_in_dim(shared_kv["k"], li, 0, keepdims=False)
+            v_sh = jax.lax.dynamic_index_in_dim(shared_kv["v"], li, 0, keepdims=False)
+            if is_decode:
+                k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
+                v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+                attn = decode_attention_shared(
+                    q, k_slice, v_slice, cache_offset, k_sh, v_sh, shared_len
+                )
+            else:
+                attn = chunk_attention_shared(q, k, v, k_sh, v_sh, shared_len)
+        elif is_decode:
             k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
             v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
             attn = decode_attention(q, k_slice, v_slice, cache_offset)

@@ -84,55 +84,95 @@ def run(args) -> str:
 
     span = qwen_vl_model.make_image_span_ids(cfg)
 
-    for line in questions:
-        idx = line["question_id"]
-        if ans.is_done(idx, line.get("text")):
-            continue
-        q = line["text"]
-        image_file = line.get("image", "")
-
+    def prompt_ids(q: str):
         # main prompt: '<img>{path}</img>{q} Answer:' — span first, then text
-        text_ids = _text_ids(tokenizer, f"{q} Answer:")
-        raw_ids = span + text_ids
-        sent_ids, _ = qwen_vl_model.sentinelize_span(raw_ids, cfg)
-
+        sent_ids, _ = qwen_vl_model.sentinelize_span(
+            span + _text_ids(tokenizer, f"{q} Answer:"), cfg
+        )
         # 'unk' branch = 'None {q} Answer:' — needs tokenizer text, passed as
         # an explicit branch override (qwen_calibrate.py:37)
         branch_ids = {}
         if gen.use_dd_unk:
             branch_ids["unk"] = _text_ids(tokenizer, f"None {q} Answer:")
+        return sent_ids, branch_ids
 
-        image = _load_image(args, image_file, cfg)
-        rng = jax.random.PRNGKey(args.seed + (hash(str(idx)) % 65536))
-        out = engine.generate(sent_ids, image, rng=rng, branch_ids=branch_ids)
-        text = tokenizer.decode(out.token_ids, skip_special_tokens=True).strip()
-        tokens_naive = calibrate_label_dict(
-            out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
-        )
-        record = {
-            "question_id": idx,
-            "prompt": q,
-            "text": text,
-            "model_id": model_name,
-            "image": image_file,
-            "logits_score": get_prob_from_logits(tokens_naive),
-            "naive": tokens_naive,
-            "metadata": {},
-        }
-        if score_engine is not None:
-            out_none = score_engine.generate(
-                _text_ids(tokenizer, f"{q} Answer:"), None, rng=rng
+    # consecutive same-image questions share the [<img> span] prefix KV —
+    # the span is 256+ of the prompt's ~270 tokens, so the grouped path
+    # prefills the image once per POPE group of 6 (engine shared-prefix
+    # design; same grouping as runners/pope.py)
+    group_by_image = (
+        getattr(args, "group_by_image", True)
+        and not gen.use_cd
+        and getattr(adapter, "supports_shared_prefix", False)
+    )
+    pending = [l for l in questions if not ans.is_done(l["question_id"], l.get("text"))]
+    groups: list = []
+    for l in pending:
+        if (
+            group_by_image
+            and groups
+            and len(groups[-1]) < 6
+            and groups[-1][-1].get("image", "") == l.get("image", "")
+        ):
+            groups[-1].append(l)
+        else:
+            groups.append([l])
+
+    from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+
+    for gi, group in enumerate(groups):
+        image = _load_image(args, group[0].get("image", ""), cfg)
+        rng = jax.random.PRNGKey(args.seed + (gi % 65536))
+        prepped = [prompt_ids(l["text"]) for l in group]
+        ids_list = [ids for ids, _ in prepped]
+        if len(group) > 1:
+            p = DecodeEngine.common_token_prefix(ids_list)
+            prefix = ids_list[0][:p]
+            if IMAGE_TOKEN_INDEX in prefix:
+                outs = engine.generate_batch_prefix(
+                    prefix, [ids[p:] for ids in ids_list], image,
+                    rng=rng, branch_ids_list=[b for _, b in prepped],
+                )
+            else:
+                outs = [
+                    engine.generate(ids, image, rng=rng, branch_ids=b)
+                    for ids, b in prepped
+                ]
+        else:
+            outs = [
+                engine.generate(ids_list[0], image, rng=rng, branch_ids=prepped[0][1])
+            ]
+
+        for line, out in zip(group, outs):
+            q = line["text"]
+            text = tokenizer.decode(out.token_ids, skip_special_tokens=True).strip()
+            tokens_naive = calibrate_label_dict(
+                out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
             )
-            record["none"] = calibrate_label_dict(
-                out_none.first_scores_top_probs, out_none.first_scores_top_ids, tokenizer
-            )
-            out_unk = score_engine.generate(
-                _text_ids(tokenizer, f"None {q} Answer:"), None, rng=rng
-            )
-            record["unk"] = calibrate_label_dict(
-                out_unk.first_scores_top_probs, out_unk.first_scores_top_ids, tokenizer
-            )
-        ans.write(record)
+            record = {
+                "question_id": line["question_id"],
+                "prompt": q,
+                "text": text,
+                "model_id": model_name,
+                "image": line.get("image", ""),
+                "logits_score": get_prob_from_logits(tokens_naive),
+                "naive": tokens_naive,
+                "metadata": {},
+            }
+            if score_engine is not None:
+                out_none = score_engine.generate(
+                    _text_ids(tokenizer, f"{q} Answer:"), None, rng=rng
+                )
+                record["none"] = calibrate_label_dict(
+                    out_none.first_scores_top_probs, out_none.first_scores_top_ids, tokenizer
+                )
+                out_unk = score_engine.generate(
+                    _text_ids(tokenizer, f"None {q} Answer:"), None, rng=rng
+                )
+                record["unk"] = calibrate_label_dict(
+                    out_unk.first_scores_top_probs, out_unk.first_scores_top_ids, tokenizer
+                )
+            ans.write(record)
     ans.close()
     return args.answers_file
 

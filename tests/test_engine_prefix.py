@@ -112,6 +112,60 @@ def test_common_token_prefix():
     assert DecodeEngine.common_token_prefix([]) == 0
 
 
+def test_qwen_prefix_matches_batch_with_branch_ids():
+    """Qwen adapter shared-prefix: in-band image span as the shared prefix,
+    per-question 'unk' branch via branch_ids_list — token-exact vs
+    generate_batch on the same prompts."""
+    from llava_align_tpu.decoding.adapters import QwenVLAdapter
+    from llava_align_tpu.models import qwen_vl
+    from llava_align_tpu.models.qwen import QwenConfig
+    from llava_align_tpu.models.qwen_vit import QwenVisionConfig
+    from llava_align_tpu.models.qwen_vl import QwenVLConfig
+
+    text = QwenConfig(
+        vocab_size=512, hidden_size=128, num_layers=2, num_heads=4, head_dim=32,
+        intermediate_size=256, seq_length=2048, use_logn_attn=False,
+        use_dynamic_ntk=False, dtype=jnp.float32,
+    )
+    vis = QwenVisionConfig(
+        image_size=28, patch_size=14, width=32, num_layers=2, num_heads=2,
+        mlp_ratio=2.0, n_queries=4, output_dim=128, dtype=jnp.float32,
+    )
+    cfg = QwenVLConfig(text=text, vision=vis, image_start_id=500)
+    params = qwen_vl.init(jax.random.PRNGKey(0), cfg)
+    image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (3, 28, 28), jnp.float32)
+    )
+    span = qwen_vl.make_image_span_ids(cfg)
+    suffixes = [[30, 40, 50], [30, 41, 55, 60], [70, 80]]
+    prefix_raw = [10, 20] + span + [30]
+    prefix, _ = qwen_vl.sentinelize_span(prefix_raw, cfg)
+    branch_ids_list = [
+        {"unk": [7, 8] + [int(t) for t in s]} for s in suffixes
+    ]
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=False, eos_token_id=EOS,
+        use_dd=True, use_dd_unk=True, cd_alpha=1.0, cd_beta=0.1,
+    )
+    eng = DecodeEngine(
+        params, cfg, gen, adapter=QwenVLAdapter(cfg), attn_impl="xla", bucket=8
+    )
+    # generate_batch has no per-question branch_ids; compare against the
+    # single-question path (itself oracle-pinned elsewhere)
+    refs = [
+        eng.generate(prefix + s, image, branch_ids=b)
+        for s, b in zip(suffixes, branch_ids_list)
+    ]
+    outs = eng.generate_batch_prefix(
+        prefix, suffixes, image, branch_ids_list=branch_ids_list
+    )
+    for o, r in zip(outs, refs):
+        assert o.token_ids == r.token_ids
+        np.testing.assert_allclose(
+            o.first_scores_top_probs, r.first_scores_top_probs, atol=1e-5
+        )
+
+
 def test_prefix_eos_stops_rows_independently(setup):
     """Rows finishing early pad with pad_token while others continue —
     same semantics as generate_batch (reference unfinished_sequences,
