@@ -255,6 +255,7 @@ def main():
     # (generate_batch_prefix) — the runner's default execution layout.
     G = min(6, max(2, args.batch_questions))
     results["pope_samples_per_sec_grouped"] = None
+    results["group_batch_used"] = 0
     try:
         geng = make_engine(args.answer_new, True)
         prefix = ids  # [bos ... <image> ... question stem]
@@ -262,15 +263,31 @@ def main():
         suffixes = [
             [int(t) for t in rngq.integers(10, 20000, size=6)] for _ in range(G)
         ]
-        geng.generate_batch_prefix(prefix, suffixes, image)  # compile
-        tg = []
-        for i in range(max(args.iters, 3)):
-            t0 = time.perf_counter()
-            geng.generate_batch_prefix(
-                prefix, suffixes, image, rng=jax.random.PRNGKey(200 + i)
-            )
-            tg.append(time.perf_counter() - t0)
-        results["pope_samples_per_sec_grouped"] = G / min(tg)
+        # multi-group: GB image-groups of G questions per jitted call
+        # (runner --group-batch). Pick GB from the HBM budget: per group a
+        # [L, pad_prefix] prefix segment + G*3 local rows.
+        prefix_bytes = (
+            tcfg.num_layers * pad_to * tcfg.num_kv_heads * tcfg.head_dim * 2 * 2
+        )
+        local_bytes = (
+            3 * G * tcfg.num_layers * (128 + args.answer_new)
+            * tcfg.num_kv_heads * tcfg.head_dim * 2 * 2
+        )
+        gb_fit = int(
+            (HBM_BUDGET - params_bytes - overhead) // (prefix_bytes + local_bytes)
+        )
+        for GB in sorted({1, min(4, max(1, gb_fit))}):
+            gps = [(prefix, suffixes, image)] * GB
+            geng.generate_batch_groups(gps)  # compile
+            tg = []
+            for i in range(max(args.iters, 3)):
+                t0 = time.perf_counter()
+                geng.generate_batch_groups(gps, rng=jax.random.PRNGKey(200 + i))
+                tg.append(time.perf_counter() - t0)
+            rate = GB * G / min(tg)
+            if (results["pope_samples_per_sec_grouped"] or 0) < rate:
+                results["pope_samples_per_sec_grouped"] = rate
+                results["group_batch_used"] = GB
     except Exception as e:
         sys.stderr.write(f"grouped G={G} failed ({type(e).__name__}: {e}); skipping\n")
 
@@ -303,6 +320,7 @@ def main():
         ),
         "pope_samples_per_sec_single": round(results["pope_samples_per_sec_single"], 4),
         "batch_questions": results["batch_questions_used"],
+        "group_batch": results["group_batch_used"],
         "p50_answer_latency_s": round(p50, 4),
         "model": args.model,
         "quant": args.quant,

@@ -145,13 +145,15 @@ class LlavaAdapter:
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
                 max_seq_len, cache_row_offset=0, tp_mesh=None,
-                shared_kv=None, shared_len=None):
+                shared_kv=None, shared_len=None,
+                shared_rows_per_prefix=None):
         from llava_align_tpu.models import llama
 
         return llama.forward(
             params["llama"], self.cfg.text, embeds, positions, cache, offsets,
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
             tp_mesh=tp_mesh, shared_kv=shared_kv, shared_len=shared_len,
+            shared_rows_per_prefix=shared_rows_per_prefix,
         )
 
     # Shared-prefix decoding (engine.generate_batch_prefix) needs the model
@@ -300,13 +302,15 @@ class InstructBlipAdapter:
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
                 max_seq_len, cache_row_offset=0, tp_mesh=None,
-                shared_kv=None, shared_len=None):
+                shared_kv=None, shared_len=None,
+                shared_rows_per_prefix=None):
         from llava_align_tpu.models import llama
 
         return llama.forward(
             params["llama"], self.cfg.text, embeds, positions, cache, offsets,
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
             shared_kv=shared_kv, shared_len=shared_len,
+            shared_rows_per_prefix=shared_rows_per_prefix,
         )
 
     def logits(self, params, hidden):
@@ -453,7 +457,8 @@ class QwenVLAdapter:
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
                 max_seq_len, cache_row_offset=0, tp_mesh=None,
-                shared_kv=None, shared_len=None):
+                shared_kv=None, shared_len=None,
+                shared_rows_per_prefix=None):
         from llava_align_tpu.models import qwen
 
         return qwen.forward(
@@ -461,6 +466,7 @@ class QwenVLAdapter:
             ntk_alpha=qwen.ntk_alpha_for_len(self.cfg.text, max_seq_len),
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
             shared_kv=shared_kv, shared_len=shared_len,
+            shared_rows_per_prefix=shared_rows_per_prefix,
         )
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:

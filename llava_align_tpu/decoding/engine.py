@@ -747,16 +747,24 @@ class DecodeEngine:
     # as usual.
     # ------------------------------------------------------------------
 
-    def _get_prefix_fn(self, pad_prefix: int, pad_suf: int, pad_txt: int, Q: int):
-        key = ("prefix", pad_prefix, pad_suf, pad_txt, Q)
+    def _get_groups_fn(self, pad_prefix: int, pad_suf: int, pad_txt: int,
+                       G: int, Qg: int):
+        """One jitted program decoding G image-groups of Qg questions each:
+        G shared-prefix rows prefill batched, every question's suffix and
+        degraded branches run against its group's prefix segment
+        (ops/attention grouped shared variants). G=1 is the plain
+        generate_batch_prefix case; G>1 amortizes per-call dispatch/transfer
+        across groups (the dominant cost once prefill is shared)."""
+        key = ("prefix", pad_prefix, pad_suf, pad_txt, G, Qg)
         if key in self._compiled:
             return self._compiled[key]
 
         adapter, gen = self.adapter, self.gen
         nb = len(self.kinds)
         n_txt = len(self.txt_kinds)
-        assert len(self.img_kinds) == 1  # guarded in generate_batch_prefix
-        R = Q * (1 + n_txt)
+        assert len(self.img_kinds) == 1  # guarded in generate_batch_groups
+        M = G * Qg                      # questions (= main rows)
+        R = M * (1 + n_txt)
         n_contrast = nb - 1
         T = gen.max_new_tokens
         cache_len = max(pad_suf, pad_txt) + T
@@ -767,21 +775,21 @@ class DecodeEngine:
         attn_impl = self.attn_impl
         topk = self.top_scores_k
 
-        # rows: [Q main rows | Q*n_txt text rows (question-major)]
-        perm = np.zeros((Q * nb,), np.int32)
-        for q in range(Q):
+        # rows: [M main rows (group-major) | M*n_txt text rows (question-major)]
+        perm = np.zeros((M * nb,), np.int32)
+        for q in range(M):
             j = 0
             for b, kind in enumerate(self.kinds):
                 if kind == "main":
                     perm[q * nb + b] = q
                 else:
-                    perm[q * nb + b] = Q + q * n_txt + j
+                    perm[q * nb + b] = M + q * n_txt + j
                     j += 1
         perm = jnp.asarray(perm)
         row_to_q = jnp.asarray(
             np.concatenate([
-                np.arange(Q, dtype=np.int32),
-                np.repeat(np.arange(Q, dtype=np.int32), n_txt),
+                np.arange(M, dtype=np.int32),
+                np.repeat(np.arange(M, dtype=np.int32), n_txt),
             ])
         )
 
@@ -795,7 +803,7 @@ class DecodeEngine:
             return S.warp_logits(fused, gen.temperature, gen.top_k, gen.top_p)
 
         def stop_hit(out_buf: jax.Array, n: jax.Array) -> jax.Array:
-            done = jnp.zeros((Q,), bool)
+            done = jnp.zeros((M,), bool)
             for kw in kws:
                 m = len(kw)
                 start = jnp.maximum(n - m, 0)
@@ -803,80 +811,80 @@ class DecodeEngine:
                 done |= jnp.all(window == jnp.asarray(kw), axis=1) & (n >= m)
             return done
 
-        def prefix_fn(params, pack_prefix, suf_tokens, suf_lens, pack_txt, images, rng):
+        def groups_fn(params, pack_prefix, suf_tokens, suf_lens, pack_txt, images, rng):
             from llava_align_tpu.ops.image import normalize_device
 
             p_tokens, p_tok_g, p_img_g, p_is_img, p_len, _ = pack_prefix
             images = normalize_device(images, adapter.vision_dtype)
-            feats = adapter.encode_images(params, images)  # [1, N, D]
+            feats = adapter.encode_images(params, images)  # [G, N, D]
             D = feats.shape[2]
-            P_true = p_len[0]
 
-            # ---- shared prefix prefill: ONE row, its own cache
-            p_cache = self._constrain_cache(adapter.init_cache(1, pad_prefix), 1)
+            # ---- shared prefix prefill: G rows, their own cache
+            p_cache = self._constrain_cache(adapter.init_cache(G, pad_prefix), G)
             p_embeds = adapter.splice_embeds(
                 params, p_tokens, p_tok_g, p_img_g, p_is_img, feats
             )
             p_positions = jnp.broadcast_to(
-                jnp.arange(pad_prefix, dtype=jnp.int32), (1, pad_prefix)
+                jnp.arange(pad_prefix, dtype=jnp.int32), (G, pad_prefix)
             )
             _, p_cache = adapter.forward(
                 params, p_embeds, p_positions, p_cache,
-                jnp.zeros((1,), jnp.int32), attn_impl=attn_impl,
+                jnp.zeros((G,), jnp.int32), attn_impl=attn_impl,
                 max_seq_len=total_len, tp_mesh=self._tp_mesh,
             )
-            shared = {"k": p_cache["k"][:, 0], "v": p_cache["v"][:, 0]}
+            shared = {"k": p_cache["k"], "v": p_cache["v"]}  # [L, G, P, K, Dh]
 
-            # ---- per-question suffixes against [shared | local]
+            # ---- per-question suffixes against [group's shared | local]
             cache = self._constrain_cache(adapter.init_cache(R, cache_len), R)
-            s_embeds = adapter.embed_tokens(params, suf_tokens)  # [Q, pad_suf, D]
-            s_positions = P_true + jnp.broadcast_to(
-                jnp.arange(pad_suf, dtype=jnp.int32), (Q, pad_suf)
+            s_embeds = adapter.embed_tokens(params, suf_tokens)  # [M, pad_suf, D]
+            sh_len_main = jnp.repeat(p_len, Qg)  # [M]
+            s_positions = sh_len_main[:, None] + jnp.broadcast_to(
+                jnp.arange(pad_suf, dtype=jnp.int32), (M, pad_suf)
             )
-            sh_len_main = jnp.full((Q,), P_true, jnp.int32)
             s_hidden, cache = adapter.forward(
                 params, s_embeds, s_positions, cache,
-                jnp.zeros((Q,), jnp.int32), attn_impl=attn_impl,
+                jnp.zeros((M,), jnp.int32), attn_impl=attn_impl,
                 max_seq_len=total_len, tp_mesh=self._tp_mesh,
                 shared_kv=shared, shared_len=sh_len_main,
+                shared_rows_per_prefix=Qg,
             )
-            last = s_hidden[jnp.arange(Q), suf_lens - 1]
+            last = s_hidden[jnp.arange(M), suf_lens - 1]
             logits = adapter.logits(params, last)
             lengths = suf_lens
 
             # ---- text-only degraded rows: full short prompts, no shared
             if n_txt:
                 t_tokens, t_tok_g, t_img_g, t_is_img, len_txt, _ = pack_txt
-                zero_feats = jnp.zeros((Q * n_txt, 1, D), feats.dtype)
+                zero_feats = jnp.zeros((M * n_txt, 1, D), feats.dtype)
                 t_embeds = adapter.splice_embeds(
                     params, t_tokens, t_tok_g, t_img_g, t_is_img, zero_feats
                 )
                 t_positions = jnp.broadcast_to(
-                    jnp.arange(pad_txt, dtype=jnp.int32), (Q * n_txt, pad_txt)
+                    jnp.arange(pad_txt, dtype=jnp.int32), (M * n_txt, pad_txt)
                 )
                 t_hidden, cache = adapter.forward(
                     params, t_embeds, t_positions, cache,
-                    jnp.zeros((Q * n_txt,), jnp.int32), attn_impl=attn_impl,
-                    max_seq_len=total_len, cache_row_offset=Q,
+                    jnp.zeros((M * n_txt,), jnp.int32), attn_impl=attn_impl,
+                    max_seq_len=total_len, cache_row_offset=M,
                     tp_mesh=self._tp_mesh,
                 )
-                t_last = t_hidden[jnp.arange(Q * n_txt), len_txt - 1]
+                t_last = t_hidden[jnp.arange(M * n_txt), len_txt - 1]
                 logits = jnp.concatenate([logits, adapter.logits(params, t_last)], axis=0)
                 lengths = jnp.concatenate([lengths, len_txt], axis=0)
             V = logits.shape[-1]
             sh_len_all = jnp.concatenate(
-                [sh_len_main, jnp.zeros((Q * n_txt,), jnp.int32)], axis=0
+                [sh_len_main, jnp.zeros((M * n_txt,), jnp.int32)], axis=0
             )
 
             init = dict(
                 cache=cache,
                 lengths=lengths,
                 logits=logits,
-                out_buf=jnp.zeros((Q, T), jnp.int32),
-                first_scores=jnp.zeros((Q, V), jnp.float32),
+                out_buf=jnp.zeros((M, T), jnp.int32),
+                first_scores=jnp.zeros((M, V), jnp.float32),
                 n=jnp.asarray(0, jnp.int32),
-                done=jnp.zeros((Q,), bool),
-                n_done=jnp.full((Q,), T, jnp.int32),
+                done=jnp.zeros((M,), bool),
+                n_done=jnp.full((M,), T, jnp.int32),
                 rng=rng,
             )
 
@@ -884,7 +892,7 @@ class DecodeEngine:
                 return (~jnp.all(c["done"])) & (c["n"] < T)
 
             def body(c):
-                warped = fuse_and_warp(c["logits"][perm].reshape(Q, nb, V))
+                warped = fuse_and_warp(c["logits"][perm].reshape(M, nb, V))
                 first_scores = jnp.where(c["n"] == 0, warped, c["first_scores"])
                 rng, sub = jax.random.split(c["rng"])
                 toks = S.sample_token(sub, warped, gen.do_sample).astype(jnp.int32)
@@ -905,6 +913,7 @@ class DecodeEngine:
                     attn_impl=attn_impl, max_seq_len=total_len,
                     tp_mesh=self._tp_mesh,
                     shared_kv=shared, shared_len=sh_len_all,
+                    shared_rows_per_prefix=Qg,
                 )
                 logits = adapter.logits(params, hidden[:, 0])
                 return dict(
@@ -918,7 +927,7 @@ class DecodeEngine:
             top_probs, top_ids = jax.lax.top_k(probs, min(topk, V))
             return final["out_buf"], final["n_done"], top_probs, top_ids
 
-        return self._register(key, jax.jit(prefix_fn))
+        return self._register(key, jax.jit(groups_fn))
 
     def generate_batch_prefix(
         self,
@@ -930,18 +939,33 @@ class DecodeEngine:
         branch_ids_list: Optional[Sequence[Mapping[str, Sequence[int]]]] = None,
     ) -> List[GenerationOutput]:
         """Lockstep-decode Q questions that share one image AND one token
-        prefix. prefix_ids contains the IMAGE_TOKEN_INDEX sentinel; each
-        question's full prompt is prefix_ids + suffixes[q] (callers compute
-        the split as the longest common token prefix, which is exact by
-        construction). Token streams match generate_batch on the same
-        prompts; the prefix KV is computed once instead of Q times.
+        prefix (one group; see generate_batch_groups). prefix_ids contains
+        the IMAGE_TOKEN_INDEX sentinel; each question's full prompt is
+        prefix_ids + suffixes[q] (callers compute the split as the longest
+        common token prefix, which is exact by construction). Token streams
+        match generate_batch on the same prompts; the prefix KV is computed
+        once instead of Q times.
         branch_ids_list: optional per-question explicit token ids for the
         text-only degraded branches (models whose degraded prompts need the
-        tokenizer — qwen 'unk', qwen_calibrate.py:37).
-        """
+        tokenizer — qwen 'unk', qwen_calibrate.py:37)."""
+        return self.generate_batch_groups(
+            [(prefix_ids, suffixes, image, branch_ids_list)], rng=rng
+        )
+
+    def generate_batch_groups(
+        self,
+        groups: Sequence[tuple],
+        *,
+        rng: Optional[jax.Array] = None,
+    ) -> List[GenerationOutput]:
+        """Lockstep-decode G image-groups in ONE jitted call. Each group is
+        (prefix_ids, suffixes, image[, branch_ids_list]); all groups must
+        carry the same number of questions (pad the tail group by repeating
+        a question and drop the duplicates). Returns outputs question-major
+        (group 0's questions first)."""
         if self.gen.use_cd:
             raise ValueError(
-                "generate_batch_prefix supports the VDD branches (main/unk/"
+                "shared-prefix decoding supports the VDD branches (main/unk/"
                 "none); use_cd needs a second noised-image prefix segment — "
                 "use generate_batch"
             )
@@ -949,43 +973,81 @@ class DecodeEngine:
             raise ValueError(
                 f"adapter {self.adapter.name!r} has no shared-prefix forward"
             )
-        Q = len(suffixes)
-        if Q == 0:
+        G = len(groups)
+        if G == 0:
             return []
-        if any(len(s) == 0 for s in suffixes):
-            raise ValueError("each suffix needs >= 1 token")
-        if any(IMAGE_TOKEN_INDEX in [int(t) for t in s] for s in suffixes):
+        groups = [tuple(g) + (None,) * (4 - len(g)) for g in groups]
+        Qg = len(groups[0][1])
+        if Qg == 0 or any(len(g[1]) != Qg for g in groups):
             raise ValueError(
-                "image sentinel must be inside the shared prefix, not a "
-                "suffix — group questions by image before splitting"
+                "every group must carry the same (nonzero) question count; "
+                "pad the tail group by repeating a question"
             )
+        for _, suffixes, _, _ in groups:
+            if any(len(s) == 0 for s in suffixes):
+                raise ValueError("each suffix needs >= 1 token")
+            if any(IMAGE_TOKEN_INDEX in [int(t) for t in s] for s in suffixes):
+                raise ValueError(
+                    "image sentinel must be inside the shared prefix, not a "
+                    "suffix — group questions by image before splitting"
+                )
         n_txt_k = len(self.txt_kinds)
-        has_image = image is not None and any(
-            t == IMAGE_TOKEN_INDEX for t in prefix_ids
+        M = G * Qg
+
+        # ---- prefix rows (one per group, shared bucket)
+        prefix_packs = []
+        pad_prefix = self.bucket
+        for prefix_ids, _, image, _ in groups:
+            has_image = image is not None and any(
+                t == IMAGE_TOKEN_INDEX for t in prefix_ids
+            )
+            pk = self._pack(list(prefix_ids), has_image, kinds=["main"])
+            prefix_packs.append((pk, has_image))
+            pad_prefix = max(pad_prefix, pk[0])
+        p_arrs = [
+            np.zeros((G, pad_prefix), np.int32),
+            np.zeros((G, pad_prefix), np.int32),
+            np.zeros((G, pad_prefix), np.int32),
+            np.zeros((G, pad_prefix), bool),
+        ]
+        p_lens = np.zeros((G,), np.int32)
+        for gi, (pk, _) in enumerate(prefix_packs):
+            _, t, tg, ig, ii, ln, _ = pk
+            w = t.shape[1]
+            p_arrs[0][gi, :w] = t[0]
+            p_arrs[1][gi, :w] = tg[0]
+            p_arrs[2][gi, :w] = ig[0]
+            p_arrs[3][gi, :w] = ii[0]
+            p_lens[gi] = ln[0]
+        pack_prefix = tuple(
+            jnp.asarray(a)
+            for a in (*p_arrs, p_lens, np.full((G,), -1, np.int32))
         )
 
-        pad_prefix, *pp = self._pack(list(prefix_ids), has_image, kinds=["main"])
-        pack_prefix = tuple(jnp.asarray(a) for a in pp)
-        prefix_len = int(pp[4][0])
-
-        max_suf = max(len(s) for s in suffixes)
+        # ---- suffix rows [M]
+        max_suf = max(len(s) for _, sfx, _, _ in groups for s in sfx)
         pad_suf = _round_up(max(max_suf, 32), 32)
-        suf_tokens = np.zeros((Q, pad_suf), np.int32)
-        suf_lens = np.zeros((Q,), np.int32)
-        for qi, s in enumerate(suffixes):
-            suf_tokens[qi, : len(s)] = [int(t) for t in s]
-            suf_lens[qi] = len(s)
+        suf_tokens = np.zeros((M, pad_suf), np.int32)
+        suf_lens = np.zeros((M,), np.int32)
+        for gi, (_, sfx, _, _) in enumerate(groups):
+            for qi, s in enumerate(sfx):
+                row = gi * Qg + qi
+                suf_tokens[row, : len(s)] = [int(t) for t in s]
+                suf_lens[row] = len(s)
 
+        # ---- text-only degraded rows [M * n_txt]
         pad_txt = self.bucket if n_txt_k else 0
         txt_packs = []
         if n_txt_k:
-            for qi, s in enumerate(suffixes):
-                full = list(prefix_ids) + [int(t) for t in s]
-                bids = branch_ids_list[qi] if branch_ids_list else None
-                pt = self._pack(full, has_image, bids, kinds=self.txt_kinds)
-                txt_packs.append(pt)
-                pad_txt = max(pad_txt, pt[0])
-            rows = Q * n_txt_k
+            for gi, (prefix_ids, sfx, image, bids_list) in enumerate(groups):
+                has_image = prefix_packs[gi][1]
+                for qi, s in enumerate(sfx):
+                    full = list(prefix_ids) + [int(t) for t in s]
+                    bids = bids_list[qi] if bids_list else None
+                    pt = self._pack(full, has_image, bids, kinds=self.txt_kinds)
+                    txt_packs.append(pt)
+                    pad_txt = max(pad_txt, pt[0])
+            rows = M * n_txt_k
             t_arrs = [
                 np.zeros((rows, pad_txt), np.int32),
                 np.zeros((rows, pad_txt), np.int32),
@@ -1009,43 +1071,54 @@ class DecodeEngine:
         else:
             pack_txt = tuple(jnp.zeros((0,), jnp.int32) for _ in range(6))
 
-        if image is not None:
-            img = np.asarray(image)
-            if img.ndim == 3:
-                img = img[None]
-            images = (
-                jnp.asarray(img)
-                if img.dtype == np.uint8
-                else jnp.asarray(img, self.adapter.vision_dtype)
-            )
-        else:
-            H = self.adapter.image_size
-            images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
+        # ---- images [G, 3, H, W] (uint8 ships raw when uniform)
+        H = self.adapter.image_size
+        imgs_np = [
+            np.asarray(g[2]) if g[2] is not None else None for g in groups
+        ]
+        use_u8 = (
+            any(i is not None for i in imgs_np)
+            and all(i is None or i.dtype == np.uint8 for i in imgs_np)
+        )
+        img_dtype = np.uint8 if use_u8 else np.float32
+        images = np.zeros((G, 3, H, H), img_dtype)
+        for gi, im in enumerate(imgs_np):
+            if im is None:
+                continue
+            if im.dtype == np.uint8 and not use_u8:
+                from llava_align_tpu.ops.image import normalize_host
+
+                im = normalize_host(im)
+            images[gi] = im.astype(img_dtype)
 
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
-        fn = self._get_prefix_fn(pad_prefix, pad_suf, pad_txt, Q)
+        fn = self._get_groups_fn(pad_prefix, pad_suf, pad_txt, G, Qg)
         out_buf, n_done, top_probs, top_ids = fn(
             self.params,
             self._put(pack_prefix),
             self._put(jnp.asarray(suf_tokens)),
             self._put(jnp.asarray(suf_lens)),
             self._put(pack_txt),
-            self._put(images),
+            self._put(
+                jnp.asarray(images)
+                if images.dtype == np.uint8
+                else jnp.asarray(images, self.adapter.vision_dtype)
+            ),
             self._put(rng),
         )
         out_buf = np.asarray(out_buf)
         n_done = np.asarray(n_done)
         outs = []
-        for qi in range(Q):
-            n = int(n_done[qi])
+        for row in range(M):
+            n = int(n_done[row])
             outs.append(
                 GenerationOutput(
-                    token_ids=[int(t) for t in out_buf[qi, :n]],
+                    token_ids=[int(t) for t in out_buf[row, :n]],
                     num_generated=n,
-                    first_scores_top_probs=np.asarray(top_probs[qi]),
-                    first_scores_top_ids=np.asarray(top_ids[qi]),
-                    prompt_length=prefix_len + int(suf_lens[qi]),
+                    first_scores_top_probs=np.asarray(top_probs[row]),
+                    first_scores_top_ids=np.asarray(top_ids[row]),
+                    prompt_length=int(p_lens[row // Qg]) + int(suf_lens[row]),
                 )
             )
         return outs

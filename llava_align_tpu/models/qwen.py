@@ -140,6 +140,7 @@ def forward(
     cache_row_offset: int = 0,
     shared_kv: Optional[Dict[str, jax.Array]] = None,
     shared_len: Optional[jax.Array] = None,
+    shared_rows_per_prefix: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """shared_kv: optional read-only prefix segment {'k','v': [L, P, K, Dh]}
     (same contract as models/llama.forward: positions absolute, cache_offset
@@ -177,16 +178,28 @@ def forward(
 
         if shared_kv is not None:
             from llava_align_tpu.ops.attention import (
-                chunk_attention_shared, decode_attention_shared,
+                chunk_attention_shared, chunk_attention_shared_grouped,
+                decode_attention_shared, decode_attention_shared_grouped,
             )
 
             k_sh = jax.lax.dynamic_index_in_dim(shared_kv["k"], li, 0, keepdims=False)
             v_sh = jax.lax.dynamic_index_in_dim(shared_kv["v"], li, 0, keepdims=False)
+            grouped = k_sh.ndim == 4  # [G, P, K, Dh]: one prefix per row-group
             if is_decode:
                 k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
                 v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
-                attn = decode_attention_shared(
-                    q, k_slice, v_slice, cache_offset, k_sh, v_sh, shared_len
+                if grouped:
+                    attn = decode_attention_shared_grouped(
+                        q, k_slice, v_slice, cache_offset, k_sh, v_sh,
+                        shared_len, shared_rows_per_prefix,
+                    )
+                else:
+                    attn = decode_attention_shared(
+                        q, k_slice, v_slice, cache_offset, k_sh, v_sh, shared_len
+                    )
+            elif grouped:
+                attn = chunk_attention_shared_grouped(
+                    q, k, v, k_sh, v_sh, shared_len, shared_rows_per_prefix
                 )
             else:
                 attn = chunk_attention_shared(q, k, v, k_sh, v_sh, shared_len)

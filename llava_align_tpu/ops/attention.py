@@ -234,6 +234,141 @@ def decode_attention_shared(
 
 
 # ---------------------------------------------------------------------------
+# Multi-prefix (grouped) variants: G shared prefixes, rows statically blocked
+# as [g0 rows | g1 rows | ...] with `rows_per_prefix` rows per group
+# (engine.generate_batch_groups packs several image-groups into one lockstep
+# call to amortize per-call dispatch/transfer). k_sh/v_sh: [G, P, K, Dh];
+# sh_len: [B] per-row valid prefix length.
+# ---------------------------------------------------------------------------
+
+
+def _grouped(q5: jax.Array, rows_per_prefix: int):
+    B = q5.shape[0]
+    G = B // rows_per_prefix
+    return q5.reshape((G, rows_per_prefix) + q5.shape[1:])
+
+
+def chunk_attention_shared_grouped(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_sh: jax.Array,
+    v_sh: jax.Array,
+    sh_len: jax.Array,
+    rows_per_prefix: int,
+) -> jax.Array:
+    """Suffix prefill with one shared prefix per static row-group."""
+    B, S, H, Dh = q.shape
+    K = k.shape[2]
+    group = H // K
+    scale = 1.0 / (Dh**0.5)
+    G = k_sh.shape[0]
+    R = rows_per_prefix
+
+    qr = q.astype(k.dtype).reshape(B, S, K, group, Dh).transpose(0, 2, 3, 1, 4)
+    qg = _grouped(qr, R)  # [G, R, K, g, S, Dh]
+    sh = jnp.einsum(
+        "Grkgsd,Gpkd->Grkgsp", qg, k_sh.astype(k.dtype),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    P = k_sh.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, R, 1, 1, 1, P), 5)
+    sh = jnp.where(
+        col < sh_len.reshape(G, R, 1, 1, 1, 1), sh, NEG_INF
+    ).reshape(B, K, group, S, P)
+
+    loc = jnp.einsum(
+        "bkgsd,btkd->bkgst", qr, k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    colc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    loc = jnp.where((colc <= row)[None, None, None], loc, NEG_INF)
+
+    logits = jnp.concatenate([sh, loc], axis=-1)
+    probs = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
+    out_sh = jnp.einsum(
+        "Grkgsp,Gpkd->Grkgsd",
+        _grouped(probs[..., :P], R).astype(v.dtype), v_sh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(B, K, group, S, Dh)
+    out = out_sh + jnp.einsum(
+        "bkgst,btkd->bkgsd", probs[..., P:].astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, H, Dh).astype(q.dtype)
+
+
+def decode_attention_shared_grouped(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    k_sh: jax.Array,
+    v_sh: jax.Array,
+    sh_len: jax.Array,
+    rows_per_prefix: int,
+) -> jax.Array:
+    """Decode over [group's shared prefix | local cache]. Rows beyond
+    G*rows_per_prefix (text-only branches) attend their local cache only."""
+    B = q.shape[0]
+    G = k_sh.shape[0]
+    M = G * rows_per_prefix
+    if M == B:
+        main = q
+        rest = None
+    else:
+        main, rest = q[:M], q[M:]
+    _, _, H, Dh = q.shape
+    K = k_cache.shape[2]
+    group = H // K
+    scale = 1.0 / (Dh**0.5)
+    Smax = k_cache.shape[1]
+    P = k_sh.shape[1]
+
+    qr = main.astype(k_cache.dtype).reshape(M, K, group, Dh)
+    qg = qr.reshape(G, rows_per_prefix, K, group, Dh)
+    sh = jnp.einsum(
+        "Grkgd,Gpkd->Grkgp", qg, k_sh.astype(k_cache.dtype),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, rows_per_prefix, 1, 1, P), 4)
+    sh = jnp.where(
+        col < sh_len[:M].reshape(G, rows_per_prefix, 1, 1, 1), sh, NEG_INF
+    ).reshape(M, K, group, P)
+    loc = jnp.einsum(
+        "bkgd,bskd->bkgs", qr, k_cache[:M],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (M, 1, 1, Smax), 3)
+    loc = jnp.where(pos <= lengths[:M, None, None, None], loc, NEG_INF)
+    logits = jnp.concatenate([sh, loc], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out_m = jnp.einsum(
+        "Grkgp,Gpkd->Grkgd",
+        probs[..., :P].reshape(G, rows_per_prefix, K, group, P).astype(v_cache.dtype),
+        v_sh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(M, K, group, Dh) + jnp.einsum(
+        "bkgs,bskd->bkgd", probs[..., P:].astype(v_cache.dtype), v_cache[:M],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_m = out_m.reshape(M, 1, H, Dh).astype(q.dtype)
+    if rest is None:
+        return out_m
+    out_r = decode_attention(rest, k_cache[M:], v_cache[M:], lengths[M:])
+    return jnp.concatenate([out_m, out_r], axis=0)
+
+
+# ---------------------------------------------------------------------------
 # Pallas flash attention (causal, prefill)
 # ---------------------------------------------------------------------------
 

@@ -166,34 +166,77 @@ def run(args) -> str:
         )
         return tokenizer_image_token(prompt, tokenizer)
 
+    # multi-group batching: GB uniform-size image-groups decode in ONE jitted
+    # call (engine.generate_batch_groups) — per-call dispatch/transfer is the
+    # dominant cost once the prefill is shared
+    GB = max(1, getattr(args, "group_batch", 1))
+    if group_by_image and GB > 1:
+        batches, cur = [], []
+        for g in groups:
+            if cur and (len(g) != len(cur[0]) or len(cur) >= GB):
+                batches.append(cur)
+                cur = []
+            cur.append(g)
+        if cur:
+            batches.append(cur)
+    else:
+        batches = [[g] for g in groups]
+
     loader = PrefetchLoader(
-        ListDataset(groups, transform=lambda g: (g, prep_group(g))),
+        ListDataset(batches, transform=lambda b: [(g, prep_group(g)) for g in b]),
         batch_size=1, num_workers=2, prefetch=4,
     )
     start = 0
-    for batch_rows in loader:
-        chunk, ((ids0, image0, stop_str), rest) = batch_rows[0]
+
+    def split_prefix(prepped_group):
+        (ids0, image0, stop), rest = prepped_group
+        ids_list = [ids0] + rest
+        p = DecodeEngine.common_token_prefix(ids_list)
+        prefix = ids_list[0][:p]
+        if IMAGE_TOKEN_INDEX not in prefix:
+            return None
+        return prefix, [ids[p:] for ids in ids_list], image0
+
+    for prepped_batch in loader:
+        prepped_batch = prepped_batch[0]
+        chunk = [l for g, _ in prepped_batch for l in g]
+        stop_str = prepped_batch[0][1][0][2]
         rng = jax.random.PRNGKey(args.seed + start)
         start += len(chunk)
 
-        if len(chunk) == 1:
-            outs = [engine.generate(ids0, image0, rng=rng)]
-        elif group_by_image:
-            ids_list = [ids0] + rest
-            p = DecodeEngine.common_token_prefix(ids_list)
-            prefix = ids_list[0][:p]
-            if IMAGE_TOKEN_INDEX in prefix:
-                outs = engine.generate_batch_prefix(
-                    prefix, [ids[p:] for ids in ids_list], image0, rng=rng
-                )
-            else:  # prompts diverge before the image token; no sharing
-                outs = engine.generate_batch(
-                    [(ids, image0) for ids in ids_list], rng=rng
-                )
+        multi = (
+            group_by_image
+            and len(prepped_batch) > 1
+            and all(len(g) > 1 for g, _ in prepped_batch)
+        )
+        splits = [split_prefix(pg) for _, pg in prepped_batch] if group_by_image else []
+        if multi and all(sp is not None for sp in splits):
+            outs = engine.generate_batch_groups(splits, rng=rng)
         else:
-            outs = engine.generate_batch(
-                [(ids0, image0)] + [(ids, img) for ids, img in rest], rng=rng
-            )
+            outs = []
+            for (g, ((ids0, image0, _), rest)), sp in zip(
+                prepped_batch, splits or [None] * len(prepped_batch)
+            ):
+                if len(g) == 1:
+                    outs.append(engine.generate(ids0, image0, rng=rng))
+                elif group_by_image and sp is not None:
+                    prefix, suffixes, img0 = sp
+                    outs.extend(
+                        engine.generate_batch_prefix(prefix, suffixes, img0, rng=rng)
+                    )
+                elif group_by_image:
+                    outs.extend(
+                        engine.generate_batch(
+                            [(ids, image0) for ids in [ids0] + rest], rng=rng
+                        )
+                    )
+                else:
+                    outs.extend(
+                        engine.generate_batch(
+                            [(ids0, image0)] + [(ids, img) for ids, img in rest],
+                            rng=rng,
+                        )
+                    )
 
         outs_none = outs_unk = [None] * len(chunk)
         if score_engine is not None:
@@ -254,6 +297,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-questions", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=1,
                    help="questions decoded in lockstep (packed Q*branches batch)")
+    p.add_argument("--group-batch", type=int, default=1,
+                   help="uniform-size image-groups decoded per jitted call "
+                   "(amortizes per-call dispatch; engine.generate_batch_groups)")
     p.add_argument("--group-by-image", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="lockstep-decode consecutive same-image questions "

@@ -166,6 +166,38 @@ def test_qwen_prefix_matches_batch_with_branch_ids():
         )
 
 
+def test_multi_group_matches_per_group_calls(setup):
+    """generate_batch_groups(G groups, one jitted call) must produce the
+    same token streams as G separate generate_batch_prefix calls (which are
+    themselves token-exact vs generate_batch)."""
+    cfg, params, image, prefix, suffixes = setup
+    rng2 = np.random.default_rng(7)
+    H = cfg.vision.image_size
+    image2 = np.asarray(rng2.normal(size=(3, H, H)), np.float32)
+    prefix2 = [1, 19, IMAGE_TOKEN_INDEX, 29, 31, 59, 61]
+    suffixes_a = suffixes[:3]
+    suffixes_b = [[103, 107], [109, 113, 127], [131]]
+
+    eng = DecodeEngine(params, cfg, _gen(True), attn_impl="xla", bucket=8)
+    ref_a = eng.generate_batch_prefix(prefix, suffixes_a, image)
+    ref_b = eng.generate_batch_prefix(prefix2, suffixes_b, image2)
+    outs = eng.generate_batch_groups(
+        [(prefix, suffixes_a, image), (prefix2, suffixes_b, image2)]
+    )
+    assert len(outs) == 6
+    _check_match(outs[:3], ref_a)
+    _check_match(outs[3:], ref_b)
+
+
+def test_groups_require_uniform_question_count(setup):
+    cfg, params, image, prefix, suffixes = setup
+    eng = DecodeEngine(params, cfg, _gen(True), attn_impl="xla", bucket=8)
+    with pytest.raises(ValueError, match="same"):
+        eng.generate_batch_groups(
+            [(prefix, suffixes[:2], image), (prefix, suffixes[:3], image)]
+        )
+
+
 def test_prefix_eos_stops_rows_independently(setup):
     """Rows finishing early pad with pad_token while others continue —
     same semantics as generate_batch (reference unfinished_sequences,

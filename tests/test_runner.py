@@ -116,6 +116,15 @@ def test_runner_group_by_image_matches_ungrouped(grouped_question_file, tmp_path
     gen_u = {r["question_id"]: r["text"] for r in load_jsonl(out_u)}
     assert gen_g == gen_u and len(gen_g) == 6
 
+    # multi-group batching (2 image-groups per jitted call) is also layout-only
+    out_m = str(tmp_path / "multigroup.jsonl")
+    pope.run(
+        _args(grouped_question_file, out_m, use_dd=True, use_dd_unk=True,
+              group_batch=2)
+    )
+    gen_m = {r["question_id"]: r["text"] for r in load_jsonl(out_m)}
+    assert gen_m == gen_u
+
 
 def test_grad_accumulation_matches_big_batch():
     """accum_steps=2 over two half-batches == one step on the full batch
