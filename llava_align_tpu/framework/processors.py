@@ -119,9 +119,10 @@ class AlproVideoEvalProcessor:
     """Video eval processor (reference lavis/processors/alpro_processors.py
     AlproVideoEvalProcessor: uniformly sample n_frms, resize, CLIP-normalize
     → [3, T, H, W]). The reference decodes videos with decord (not installed
-    here); this processor consumes what the environment can provide offline:
-    a directory of frame images, a list of PIL images, or a [T, H, W, 3]
-    uint8/float array (e.g. pre-extracted .npy frames)."""
+    here); this processor decodes real video FILES through OpenCV's
+    VideoCapture (ffmpeg-backed), and also consumes a directory of frame
+    images, a list of PIL images, or a [T, H, W, 3] uint8/float array
+    (pre-extracted .npy frames)."""
 
     def __init__(self, image_size: int = 224, n_frms: int = 8,
                  mean=OPENAI_CLIP_MEAN, std=OPENAI_CLIP_STD):
@@ -138,12 +139,47 @@ class AlproVideoEvalProcessor:
         )
         return _normalize(np.asarray(img), self.mean, self.std)  # [3, H, W]
 
+    def _decode_video_file(self, path: str):
+        """cv2.VideoCapture decode with uniform n_frms sampling — the
+        reference's decord load_video semantics (alpro_processors.py) on
+        the ffmpeg backend OpenCV ships."""
+        import cv2
+        from PIL import Image
+
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise ValueError(f"cannot open video file {path}")
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        frames = []
+        if total > 0:
+            idx = set(
+                np.linspace(0, total - 1, self.n_frms).round().astype(int).tolist()
+            )
+            i = 0
+            while True:
+                ret, f = cap.read()
+                if not ret:
+                    break
+                if i in idx:
+                    frames.append(Image.fromarray(cv2.cvtColor(f, cv2.COLOR_BGR2RGB)))
+                i += 1
+        else:  # container without a frame count: read all, sample after
+            while True:
+                ret, f = cap.read()
+                if not ret:
+                    break
+                frames.append(Image.fromarray(cv2.cvtColor(f, cv2.COLOR_BGR2RGB)))
+        cap.release()
+        return frames
+
     def __call__(self, video) -> np.ndarray:
         import os
 
         from PIL import Image
 
-        if isinstance(video, str):  # directory of frame images
+        if isinstance(video, str) and os.path.isfile(video):  # real video file
+            frames = self._decode_video_file(video)
+        elif isinstance(video, str):  # directory of frame images
             files = sorted(
                 os.path.join(video, f) for f in os.listdir(video)
                 if f.lower().endswith((".jpg", ".jpeg", ".png"))
