@@ -157,14 +157,33 @@ def forward(
     else:
         logn = None
 
-    def _lin(h, w):
+    # int8-quantized stacks must NOT ride the scan xs (a sliced pallas
+    # operand would materialize a per-layer weight copy every step) — they
+    # stay whole; the kernel indexes the layer via scalar prefetch
+    # (ops/quant, same design as models/llama.py).
+    all_layers = params["layers"]
+    quant_names = {
+        k for k, v in all_layers.items() if isinstance(v, dict) and "q" in v and "s" in v
+    }
+    scan_layers = {k: v for k, v in all_layers.items() if k not in quant_names}
+
+    def _lin(h, lp, name, li):
+        if name in quant_names:
+            from llava_align_tpu.ops.quant import int8_matmul_stacked_dispatch
+
+            return int8_matmul_stacked_dispatch(
+                h, all_layers[name], li if li is not None else 0
+            )
+        w = lp[name]
         return jax.lax.dot_general(
             h, w, (((2,), (1,)), ((), ())), preferred_element_type=h.dtype
         )
 
+    fused_w12 = "w12" in all_layers
+
     def layer_fn(x, lp, k_full, v_full, li):
         h = rms_norm(x, lp["ln_1"], cfg.layer_norm_eps)
-        qkv = _lin(h, lp["c_attn_w"]) + lp["c_attn_b"]
+        qkv = _lin(h, lp, "c_attn_w", li) + lp["c_attn_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = apply_rope(q.reshape(B, S, H, Dh), cos, sin)
         k = apply_rope(k.reshape(B, S, H, Dh), cos, sin)
@@ -210,9 +229,15 @@ def forward(
         else:
             attn = causal_attention(q, k, v, impl=attn_impl)
 
-        x = x + _lin(attn.reshape(B, S, cfg.q_dim), lp["attn_proj"])
+        x = x + _lin(attn.reshape(B, S, cfg.q_dim), lp, "attn_proj", li)
         h = rms_norm(x, lp["ln_2"], cfg.layer_norm_eps)
-        x = x + _lin(_lin(h, lp["w1"]) * silu(_lin(h, lp["w2"])), lp["mlp_proj"])
+        if fused_w12:
+            w12 = _lin(h, lp, "w12", li)  # one launch streams w1|w2
+            half = w12.shape[-1] // 2
+            act = w12[..., :half] * silu(w12[..., half:])
+        else:
+            act = _lin(h, lp, "w1", li) * silu(_lin(h, lp, "w2", li))
+        x = x + _lin(act, lp, "mlp_proj", li)
         return x, k_full, v_full
 
     if cache is not None:
@@ -222,14 +247,17 @@ def forward(
             return (x, kf, vf, li + 1), None
 
         init_c = (embeds, cache["k"], cache["v"], jnp.asarray(0, jnp.int32))
-        (x, kf, vf, _), _ = jax.lax.scan(scan_body, init_c, params["layers"])
+        (x, kf, vf, _), _ = jax.lax.scan(scan_body, init_c, scan_layers)
         new_cache = {"k": kf, "v": vf}
     else:
-        def scan_body(x, lp):
-            x, _, _ = layer_fn(x, lp, None, None, None)
-            return x, None
+        def scan_body(carry, lp):
+            x, li = carry
+            x, _, _ = layer_fn(x, lp, None, None, li)
+            return (x, li + 1), None
 
-        x, _ = jax.lax.scan(scan_body, embeds, params["layers"])
+        (x, _), _ = jax.lax.scan(
+            scan_body, (embeds, jnp.asarray(0, jnp.int32)), scan_layers
+        )
         new_cache = None
 
     hidden = rms_norm(x, params["ln_f"], cfg.layer_norm_eps)
@@ -238,6 +266,10 @@ def forward(
 
 def logits_from_hidden(params: Params, hidden: jax.Array) -> jax.Array:
     w = params["lm_head"]
+    if isinstance(w, dict):  # int8 quantized
+        from llava_align_tpu.ops.quant import int8_matmul
+
+        return int8_matmul(hidden, w).astype(jnp.float32)
     return jnp.einsum(
         "...d,vd->...v", hidden.astype(w.dtype), w, preferred_element_type=jnp.float32
     )

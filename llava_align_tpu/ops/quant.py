@@ -330,6 +330,31 @@ def quantize_llama_params(params: Dict[str, Any], fuse: bool = True) -> Dict[str
     return out
 
 
+def quantize_qwen_params(params: Dict[str, Any], fuse: bool = True) -> Dict[str, Any]:
+    """int8 weight-only for the Qwen decoder (models/qwen.py layout).
+
+    c_attn_w is already the packed qkv stack; fuse=True additionally packs
+    w1|w2 into one 'w12' stack (per-output-channel scales make concat
+    quantization bit-identical to the parts). c_attn_b stays dense (bias
+    add after the quant matmul). The reference capability analog is the
+    bitsandbytes loader (builder.py:29-38) — which never covered Qwen."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    layers["c_attn_w"] = quantize_weight(layers["c_attn_w"])
+    layers["attn_proj"] = quantize_weight(layers["attn_proj"])
+    if fuse:
+        layers["w12"] = quantize_weight(
+            jnp.concatenate([layers.pop("w1"), layers.pop("w2")], axis=1)
+        )
+    else:
+        layers["w1"] = quantize_weight(layers["w1"])
+        layers["w2"] = quantize_weight(layers["w2"])
+    layers["mlp_proj"] = quantize_weight(layers["mlp_proj"])
+    out["layers"] = layers
+    out["lm_head"] = quantize_weight(params["lm_head"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Tensor-parallel int8: shard_map around the weight-streaming kernel.
 #

@@ -64,6 +64,12 @@ def _text_ids(tokenizer, text: str):
 
 def run(args) -> str:
     tokenizer, params, cfg, model_name = load_qwen_model(args.model_path)
+    if getattr(args, "quant", "none") == "int8":
+        # int8 weight-only serving for the Qwen decoder (ops/quant; the
+        # visual tower stays bf16 — it runs once per group, not per token)
+        from llava_align_tpu.ops.quant import quantize_qwen_params
+
+        params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
 
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
@@ -199,6 +205,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = base()
     p.set_defaults(max_new_tokens=20)  # qwen_calibrate.py:47
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8 weight-only decoder (Pallas weight-streaming)")
     return p
 
 

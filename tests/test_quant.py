@@ -80,6 +80,61 @@ def test_quantized_llava_decode_close_to_fp():
         assert abs(fp_top[t] - q8_top[t]) < 0.05
 
 
+def test_quantized_qwen_fused_matches_unfused_and_runs_engine():
+    """int8 weight-only for the Qwen decoder (ops/quant.quantize_qwen_params):
+    fused w12 == unfused w1/w2 exactly (per-output-channel scales), and the
+    quantized model decodes through the engine's shared-prefix path."""
+    from llava_align_tpu.config import GenerationConfig
+    from llava_align_tpu.decoding.adapters import QwenVLAdapter
+    from llava_align_tpu.decoding.engine import DecodeEngine
+    from llava_align_tpu.models import qwen, qwen_vl
+    from llava_align_tpu.models.qwen import QwenConfig
+    from llava_align_tpu.models.qwen_vit import QwenVisionConfig
+    from llava_align_tpu.models.qwen_vl import QwenVLConfig
+    from llava_align_tpu.ops.quant import quantize_qwen_params
+
+    tcfg = QwenConfig.tiny(vocab_size=128)
+    params = qwen.init(jax.random.PRNGKey(0), tcfg)
+    qf = quantize_qwen_params(params, fuse=True)
+    qu = quantize_qwen_params(params, fuse=False)
+    emb = qwen.embed_tokens(params, jnp.arange(6)[None])
+    pos = jnp.arange(6, dtype=jnp.int32)[None]
+    hf, _ = qwen.forward(qf, tcfg, emb, pos, attn_impl="xla")
+    hu, _ = qwen.forward(qu, tcfg, emb, pos, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hu), atol=1e-5, rtol=1e-4)
+    lf = qwen.logits_from_hidden(qf, hf[:, -1])
+    np.testing.assert_allclose(
+        np.asarray(lf), np.asarray(qwen.logits_from_hidden(qu, hu[:, -1])),
+        atol=1e-5, rtol=1e-4,
+    )
+
+    # end-to-end: quantized qwen-vl through the shared-prefix engine path
+    vis = QwenVisionConfig(
+        image_size=28, patch_size=14, width=32, num_layers=2, num_heads=2,
+        mlp_ratio=2.0, n_queries=4, output_dim=tcfg.hidden_size,
+        dtype=jnp.float32,
+    )
+    cfg = QwenVLConfig(text=tcfg, vision=vis, image_start_id=120)
+    vparams = qwen_vl.init(jax.random.PRNGKey(1), cfg)
+    vparams = dict(vparams, qwen=quantize_qwen_params(vparams["qwen"]))
+    span = qwen_vl.make_image_span_ids(cfg)
+    prefix, _ = qwen_vl.sentinelize_span([10, 20] + span + [30], cfg)
+    image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), (3, 28, 28), jnp.float32)
+    )
+    gen = GenerationConfig(
+        max_new_tokens=3, do_sample=False, eos_token_id=2,
+        use_dd=True, cd_alpha=1.0, cd_beta=0.1,
+    )
+    eng = DecodeEngine(
+        vparams, cfg, gen, adapter=QwenVLAdapter(cfg), attn_impl="xla", bucket=8
+    )
+    refs = [eng.generate(prefix + s, image) for s in ([40, 50], [60])]
+    outs = eng.generate_batch_prefix(prefix, [[40, 50], [60]], image)
+    for o, r in zip(outs, refs):
+        assert o.token_ids == r.token_ids
+
+
 def test_tp_lane_padding_is_bit_inert():
     """pad_llama_quantized_for_tp (VERDICT r2 #1): padded gateup halves emit
     exact-zero columns, padded down contraction ignores them — forward output
