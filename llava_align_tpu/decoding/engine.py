@@ -762,9 +762,11 @@ class DecodeEngine:
         adapter, gen = self.adapter, self.gen
         nb = len(self.kinds)
         n_txt = len(self.txt_kinds)
-        assert len(self.img_kinds) == 1  # guarded in generate_batch_groups
-        M = G * Qg                      # questions (= main rows)
-        R = M * (1 + n_txt)
+        img_kinds = self.img_kinds          # ['main'] or ['main', 'cd']
+        n_img = len(img_kinds)
+        M = G * Qg                          # questions
+        M2 = M * n_img                      # image-bearing rows (segment-major)
+        R = M2 + M * n_txt
         n_contrast = nb - 1
         T = gen.max_new_tokens
         cache_len = max(pad_suf, pad_txt) + T
@@ -775,23 +777,28 @@ class DecodeEngine:
         attn_impl = self.attn_impl
         topk = self.top_scores_k
 
-        # rows: [M main rows (group-major) | M*n_txt text rows (question-major)]
+        # rows: [G*n_img segment blocks of Qg image-bearing rows | M*n_txt
+        # text rows (question-major)]. With use_cd the noised-image branch
+        # gets its OWN shared prefix segment per group (segment g*n_img+1).
         perm = np.zeros((M * nb,), np.int32)
-        for q in range(M):
+        for qq in range(M):
+            g, q = divmod(qq, Qg)
             j = 0
             for b, kind in enumerate(self.kinds):
-                if kind == "main":
-                    perm[q * nb + b] = q
+                if kind in ("main", "cd"):
+                    i = img_kinds.index(kind)
+                    perm[qq * nb + b] = (g * n_img + i) * Qg + q
                 else:
-                    perm[q * nb + b] = M + q * n_txt + j
+                    perm[qq * nb + b] = M2 + qq * n_txt + j
                     j += 1
         perm = jnp.asarray(perm)
-        row_to_q = jnp.asarray(
-            np.concatenate([
-                np.arange(M, dtype=np.int32),
-                np.repeat(np.arange(M, dtype=np.int32), n_txt),
-            ])
-        )
+        r2q = np.zeros((R,), np.int32)
+        for g in range(G):
+            for i in range(n_img):
+                for q in range(Qg):
+                    r2q[(g * n_img + i) * Qg + q] = g * Qg + q
+        r2q[M2:] = np.repeat(np.arange(M, dtype=np.int32), n_txt)
+        row_to_q = jnp.asarray(r2q)
 
         def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
             main = branch_logits[:, 0]
@@ -816,41 +823,70 @@ class DecodeEngine:
 
             p_tokens, p_tok_g, p_img_g, p_is_img, p_len, _ = pack_prefix
             images = normalize_device(images, adapter.vision_dtype)
-            feats = adapter.encode_images(params, images)  # [G, N, D]
-            D = feats.shape[2]
+            if n_img == 2:  # VCD: noised copies get their own segments
+                rng, rng_noise = jax.random.split(rng)
+                noised = add_diffusion_noise(images, rng_noise, gen.noise_step)
+                imgs = jnp.concatenate([images, noised], axis=0)  # [2G, ...]
+            else:
+                imgs = images
+            feats_all = adapter.encode_images(params, imgs)  # [G*n_img, N, D]
+            D = feats_all.shape[2]
+            if n_img == 2:
+                # [clean_g | noised_g] -> segment order [g0 clean, g0 noised, ...]
+                feats = jnp.stack(
+                    [feats_all[:G], feats_all[G:]], axis=1
+                ).reshape(G * n_img, feats_all.shape[1], D)
+            else:
+                feats = feats_all
 
-            # ---- shared prefix prefill: G rows, their own cache
-            p_cache = self._constrain_cache(adapter.init_cache(G, pad_prefix), G)
+            def seg_tile(x):
+                """[G, ...] group arrays -> [G*n_img, ...] segment arrays."""
+                return jnp.repeat(x, n_img, axis=0)
+
+            # ---- shared prefix prefill: G*n_img segment rows, own cache
+            n_seg = G * n_img
+            p_cache = self._constrain_cache(
+                adapter.init_cache(n_seg, pad_prefix), n_seg
+            )
             p_embeds = adapter.splice_embeds(
-                params, p_tokens, p_tok_g, p_img_g, p_is_img, feats
+                params, seg_tile(p_tokens), seg_tile(p_tok_g),
+                seg_tile(p_img_g), seg_tile(p_is_img), feats
             )
             p_positions = jnp.broadcast_to(
-                jnp.arange(pad_prefix, dtype=jnp.int32), (G, pad_prefix)
+                jnp.arange(pad_prefix, dtype=jnp.int32), (n_seg, pad_prefix)
             )
             _, p_cache = adapter.forward(
                 params, p_embeds, p_positions, p_cache,
-                jnp.zeros((G,), jnp.int32), attn_impl=attn_impl,
+                jnp.zeros((n_seg,), jnp.int32), attn_impl=attn_impl,
                 max_seq_len=total_len, tp_mesh=self._tp_mesh,
             )
-            shared = {"k": p_cache["k"], "v": p_cache["v"]}  # [L, G, P, K, Dh]
+            shared = {"k": p_cache["k"], "v": p_cache["v"]}  # [L, n_seg, P, K, Dh]
+            seg_len = seg_tile(p_len)  # [n_seg]
 
-            # ---- per-question suffixes against [group's shared | local]
+            # ---- per-question suffixes against [segment's shared | local]
             cache = self._constrain_cache(adapter.init_cache(R, cache_len), R)
-            s_embeds = adapter.embed_tokens(params, suf_tokens)  # [M, pad_suf, D]
-            sh_len_main = jnp.repeat(p_len, Qg)  # [M]
+            # suffix rows segment-major: [g, i, q]
+            suf_tokens2 = jnp.repeat(
+                suf_tokens.reshape(G, 1, Qg, -1), n_img, axis=1
+            ).reshape(M2, -1)
+            suf_lens2 = jnp.repeat(
+                suf_lens.reshape(G, 1, Qg), n_img, axis=1
+            ).reshape(M2)
+            s_embeds = adapter.embed_tokens(params, suf_tokens2)  # [M2, pad_suf, D]
+            sh_len_main = jnp.repeat(seg_len, Qg)  # [M2]
             s_positions = sh_len_main[:, None] + jnp.broadcast_to(
-                jnp.arange(pad_suf, dtype=jnp.int32), (M, pad_suf)
+                jnp.arange(pad_suf, dtype=jnp.int32), (M2, pad_suf)
             )
             s_hidden, cache = adapter.forward(
                 params, s_embeds, s_positions, cache,
-                jnp.zeros((M,), jnp.int32), attn_impl=attn_impl,
+                jnp.zeros((M2,), jnp.int32), attn_impl=attn_impl,
                 max_seq_len=total_len, tp_mesh=self._tp_mesh,
                 shared_kv=shared, shared_len=sh_len_main,
                 shared_rows_per_prefix=Qg,
             )
-            last = s_hidden[jnp.arange(M), suf_lens - 1]
+            last = s_hidden[jnp.arange(M2), suf_lens2 - 1]
             logits = adapter.logits(params, last)
-            lengths = suf_lens
+            lengths = suf_lens2
 
             # ---- text-only degraded rows: full short prompts, no shared
             if n_txt:
@@ -865,7 +901,7 @@ class DecodeEngine:
                 t_hidden, cache = adapter.forward(
                     params, t_embeds, t_positions, cache,
                     jnp.zeros((M * n_txt,), jnp.int32), attn_impl=attn_impl,
-                    max_seq_len=total_len, cache_row_offset=M,
+                    max_seq_len=total_len, cache_row_offset=M2,
                     tp_mesh=self._tp_mesh,
                 )
                 t_last = t_hidden[jnp.arange(M * n_txt), len_txt - 1]
@@ -874,7 +910,7 @@ class DecodeEngine:
             V = logits.shape[-1]
             sh_len_all = jnp.concatenate(
                 [sh_len_main, jnp.zeros((M * n_txt,), jnp.int32)], axis=0
-            )
+            )  # [R]: image rows carry their segment length, text rows 0
 
             init = dict(
                 cache=cache,
@@ -962,12 +998,13 @@ class DecodeEngine:
         (prefix_ids, suffixes, image[, branch_ids_list]); all groups must
         carry the same number of questions (pad the tail group by repeating
         a question and drop the duplicates). Returns outputs question-major
-        (group 0's questions first)."""
-        if self.gen.use_cd:
+        (group 0's questions first). With use_cd (VCD) each group gets a
+        SECOND shared segment holding the diffusion-noised image's prefix KV
+        — the cd branch rides the grouped machinery too."""
+        if self.gen.use_cd and any(g[2] is None for g in groups):
             raise ValueError(
-                "shared-prefix decoding supports the VDD branches (main/unk/"
-                "none); use_cd needs a second noised-image prefix segment — "
-                "use generate_batch"
+                "use_cd groups need an image (the noised prefix segment); "
+                "use generate_batch for image-less cd prompts"
             )
         if not getattr(self.adapter, "supports_shared_prefix", False):
             raise ValueError(

@@ -129,7 +129,6 @@ def run(args) -> str:
     # (vcd_sample.py:109-185).
     group_by_image = (
         args.group_by_image
-        and not args.use_cd
         and getattr(engine.adapter, "supports_shared_prefix", False)
     )
     if group_by_image:
@@ -190,6 +189,8 @@ def run(args) -> str:
 
     def split_prefix(prepped_group):
         (ids0, image0, stop), rest = prepped_group
+        if args.use_cd and image0 is None:
+            return None  # cd needs a noised prefix segment
         ids_list = [ids0] + rest
         p = DecodeEngine.common_token_prefix(ids_list)
         prefix = ids_list[0][:p]

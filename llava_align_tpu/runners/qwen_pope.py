@@ -108,7 +108,6 @@ def run(args) -> str:
     # design; same grouping as runners/pope.py)
     group_by_image = (
         getattr(args, "group_by_image", True)
-        and not gen.use_cd
         and getattr(adapter, "supports_shared_prefix", False)
     )
     pending = [l for l in questions if not ans.is_done(l["question_id"], l.get("text"))]

@@ -91,17 +91,57 @@ def test_prefix_stochastic_sampling_runs(setup):
     assert all(0 < o.num_generated <= 5 for o in outs)
 
 
-def test_prefix_rejects_cd_and_sentinel_suffix(setup):
+def test_prefix_rejects_imageless_cd_and_sentinel_suffix(setup):
     cfg, params, image, prefix, suffixes = setup
     gen = GenerationConfig(
         max_new_tokens=2, do_sample=False, eos_token_id=EOS, use_cd=True,
     )
     eng = DecodeEngine(params, cfg, gen, attn_impl="xla", bucket=8)
     with pytest.raises(ValueError, match="use_cd"):
-        eng.generate_batch_prefix(prefix, suffixes, image)
+        eng.generate_batch_prefix(prefix, suffixes, None)
     eng2 = DecodeEngine(params, cfg, _gen(True), attn_impl="xla", bucket=8)
     with pytest.raises(ValueError, match="sentinel"):
         eng2.generate_batch_prefix(prefix, [[IMAGE_TOKEN_INDEX, 5]], image)
+
+
+def test_vcd_prefix_matches_batch_with_identity_noise(setup, monkeypatch):
+    """use_cd: the cd branch gets its own shared prefix segment. The grouped
+    path draws ONE noised copy per group (shared sample — deliberate
+    divergence from per-question draws, same distribution), so for token
+    parity the noising is patched to identity: then groups ≡ generate_batch
+    exactly (same rng split structure, greedy)."""
+    from llava_align_tpu.decoding import engine as engine_mod
+
+    cfg, params, image, prefix, suffixes = setup
+    monkeypatch.setattr(
+        engine_mod, "add_diffusion_noise", lambda img, rng, step: img
+    )
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=False, eos_token_id=EOS,
+        use_cd=True, cd_alpha=1.0, cd_beta=0.1,
+    )
+    eng = DecodeEngine(params, cfg, gen, attn_impl="xla", bucket=8)
+    refs = eng.generate_batch([(prefix + s, image) for s in suffixes[:3]])
+    outs = eng.generate_batch_prefix(prefix, suffixes[:3], image)
+    _check_match(outs, refs)
+
+
+def test_vcd_prefix_real_noise_runs(setup):
+    """Real diffusion noise through the cd prefix segment (smoke: structure,
+    determinism under a fixed rng)."""
+    cfg, params, image, prefix, suffixes = setup
+    gen = GenerationConfig(
+        max_new_tokens=3, do_sample=False, eos_token_id=EOS,
+        use_cd=True, use_dd=True, use_dd_unk=True, noise_step=500,
+    )
+    eng = DecodeEngine(params, cfg, gen, attn_impl="xla", bucket=8)
+    assert eng.kinds == ["main", "cd", "none"]  # cd + dual-dd chain
+    a = eng.generate_batch_prefix(prefix, suffixes[:2], image,
+                                  rng=jax.random.PRNGKey(3))
+    b = eng.generate_batch_prefix(prefix, suffixes[:2], image,
+                                  rng=jax.random.PRNGKey(3))
+    assert [o.token_ids for o in a] == [o.token_ids for o in b]
+    assert all(o.num_generated > 0 for o in a)
 
 
 def test_common_token_prefix():

@@ -126,6 +126,18 @@ def test_runner_group_by_image_matches_ungrouped(grouped_question_file, tmp_path
     assert gen_m == gen_u
 
 
+def test_runner_vcd_grouped_end_to_end(grouped_question_file, tmp_path):
+    """VCD (use_cd) rides the shared-prefix grouped path: the noised image
+    gets its own prefix segment per group. Deterministic under the seed."""
+    out1 = str(tmp_path / "vcd1.jsonl")
+    pope.run(_args(grouped_question_file, out1, use_cd=True))
+    out2 = str(tmp_path / "vcd2.jsonl")
+    pope.run(_args(grouped_question_file, out2, use_cd=True))
+    g1 = {r["question_id"]: r["text"] for r in load_jsonl(out1)}
+    g2 = {r["question_id"]: r["text"] for r in load_jsonl(out2)}
+    assert g1 == g2 and len(g1) == 6
+
+
 def test_grad_accumulation_matches_big_batch():
     """accum_steps=2 over two half-batches == one step on the full batch
     (reference base_task accum_grad_iters semantics; optax.MultiSteps mean)."""
