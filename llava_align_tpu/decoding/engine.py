@@ -271,6 +271,29 @@ class DecodeEngine:
                 feats_src[b] = 1
         return pad_to, tokens, tok_g, img_g, is_img, lengths, feats_src
 
+    def _assemble_images(self, imgs_np, count: int) -> np.ndarray:
+        """Per-slot [3,H,W] images (or None) → one [count, 3, H, H] array.
+        Raw uint8 ships only when every present slot is uint8 AND no cd run
+        needs a normalized-space zero placeholder (a missing slot's zeros
+        must mean 'zero in normalized space')."""
+        H = self.adapter.image_size
+        use_u8 = (
+            any(i is not None for i in imgs_np)
+            and all(i is None or i.dtype == np.uint8 for i in imgs_np)
+            and not (self.gen.use_cd and any(i is None for i in imgs_np))
+        )
+        dtype = np.uint8 if use_u8 else np.float32
+        images = np.zeros((count, 3, H, H), dtype)
+        for qi, im in enumerate(imgs_np):
+            if im is None:
+                continue
+            if im.dtype == np.uint8 and not use_u8:
+                from llava_align_tpu.ops.image import normalize_host
+
+                im = normalize_host(im)
+            images[qi] = im.astype(dtype)
+        return images
+
     # ------------------------------------------------------------------
     # jitted generate
     # ------------------------------------------------------------------
@@ -673,29 +696,10 @@ class DecodeEngine:
                 elif kind == "cd":
                     img_arrs[5][qi * n_img_k + i] = Q + qi  # noised copies appended
 
-        H = self.adapter.image_size
         imgs_np = [
             np.asarray(image) if image is not None else None for _, image in batch
         ]
-        # ship raw uint8 only when every slot is genuinely uint8: a mixed
-        # batch (or a cd run with a missing image, whose zero placeholder
-        # must stay a normalized-space zero like the single-question path)
-        # falls back to one float array with uint8 entries normalized here
-        use_u8 = (
-            any(i is not None for i in imgs_np)
-            and all(i is None or i.dtype == np.uint8 for i in imgs_np)
-            and not (self.gen.use_cd and any(i is None for i in imgs_np))
-        )
-        img_dtype = np.uint8 if use_u8 else np.float32
-        images = np.zeros((Q, 3, H, H), img_dtype)
-        for qi, im in enumerate(imgs_np):
-            if im is None:
-                continue
-            if im.dtype == np.uint8 and not use_u8:
-                from llava_align_tpu.ops.image import normalize_host
-
-                im = normalize_host(im)
-            images[qi] = im.astype(img_dtype)
+        images = self._assemble_images(imgs_np, Q)
 
         if n_txt_k:
             txt_arrs = assemble(txt_packs, n_txt_k, pad_txt)
@@ -748,14 +752,14 @@ class DecodeEngine:
     # ------------------------------------------------------------------
 
     def _get_groups_fn(self, pad_prefix: int, pad_suf: int, pad_txt: int,
-                       G: int, Qg: int):
+                       G: int, Qg: int, ntk_pad: int):
         """One jitted program decoding G image-groups of Qg questions each:
         G shared-prefix rows prefill batched, every question's suffix and
         degraded branches run against its group's prefix segment
         (ops/attention grouped shared variants). G=1 is the plain
         generate_batch_prefix case; G>1 amortizes per-call dispatch/transfer
         across groups (the dominant cost once prefill is shared)."""
-        key = ("prefix", pad_prefix, pad_suf, pad_txt, G, Qg)
+        key = ("prefix", pad_prefix, pad_suf, pad_txt, G, Qg, ntk_pad)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -770,9 +774,12 @@ class DecodeEngine:
         n_contrast = nb - 1
         T = gen.max_new_tokens
         cache_len = max(pad_suf, pad_txt) + T
-        # one length drives position-dependent scaling (qwen dynamic-NTK) in
-        # every phase: the main rows' effective kv extent
-        total_len = pad_prefix + cache_len
+        # One length drives position-dependent scaling (qwen dynamic-NTK) in
+        # every phase — and it must be the SAME length the unshared paths
+        # would use for these prompts (bucket(full spliced length) + T,
+        # engine generate/generate_batch cache_len), or NTK alpha could
+        # differ between grouped and fallback execution near seq_length.
+        total_len = ntk_pad + T
         kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if 0 < len(k) <= T]
         attn_impl = self.attn_impl
         topk = self.top_scores_k
@@ -1109,28 +1116,26 @@ class DecodeEngine:
             pack_txt = tuple(jnp.zeros((0,), jnp.int32) for _ in range(6))
 
         # ---- images [G, 3, H, W] (uint8 ships raw when uniform)
-        H = self.adapter.image_size
         imgs_np = [
             np.asarray(g[2]) if g[2] is not None else None for g in groups
         ]
-        use_u8 = (
-            any(i is not None for i in imgs_np)
-            and all(i is None or i.dtype == np.uint8 for i in imgs_np)
-        )
-        img_dtype = np.uint8 if use_u8 else np.float32
-        images = np.zeros((G, 3, H, H), img_dtype)
-        for gi, im in enumerate(imgs_np):
-            if im is None:
-                continue
-            if im.dtype == np.uint8 and not use_u8:
-                from llava_align_tpu.ops.image import normalize_host
-
-                im = normalize_host(im)
-            images[gi] = im.astype(img_dtype)
+        if any(i is not None and i.ndim == 4 for i in imgs_np):
+            raise ValueError(
+                "anyres grid stacks ([K,3,H,W]) are per-question inputs; "
+                "shared-prefix grouping needs single images — decode anyres "
+                "prompts through engine.generate"
+            )
+        images = self._assemble_images(imgs_np, G)
 
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
-        fn = self._get_groups_fn(pad_prefix, pad_suf, pad_txt, G, Qg)
+        # the bucketed full-prompt length the UNSHARED paths would compile
+        # with (drives qwen dynamic-NTK identically in both layouts)
+        max_full = max(
+            int(p_lens[row // Qg]) + int(suf_lens[row]) for row in range(M)
+        )
+        ntk_pad = _round_up(max(max_full, self.bucket), self.bucket)
+        fn = self._get_groups_fn(pad_prefix, pad_suf, pad_txt, G, Qg, ntk_pad)
         out_buf, n_done, top_probs, top_ids = fn(
             self.params,
             self._put(pack_prefix),

@@ -175,16 +175,79 @@ def _extract(archive: str, dest_dir: str) -> None:
         raise ValueError(f"unknown archive format: {archive}")
 
 
+def iter_image_list(list_path: str):
+    """Yield (url, filename) from a per-image source list: a JSON of dicts
+    carrying a url-ish key (nocaps `coco_url`, sbu `url`/`image_url`,
+    optionally nested under 'images'), or a Conceptual-Captions-style TSV of
+    `caption\\turl` rows."""
+    import json
+
+    if list_path.endswith(".tsv"):
+        with open(list_path) as f:
+            for i, line in enumerate(f):
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2 and parts[-1].startswith("http"):
+                    yield parts[-1], f"{i:08d}.jpg"
+        return
+    with open(list_path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        data = data.get("images", data.get("annotations", []))
+    for i, row in enumerate(data):
+        if not isinstance(row, dict):
+            continue
+        url = next(
+            (row[k] for k in ("coco_url", "url", "image_url") if row.get(k)),
+            None,
+        )
+        if not url:
+            continue
+        fname = (
+            row.get("file_name")
+            or row.get("image")
+            or os.path.basename(url.split("?")[0])
+            or f"{i:08d}.jpg"
+        )
+        yield url, os.path.basename(fname)
+
+
+def fetch_image_list(list_path: str, storage_dir: str, *,
+                     max_items: Optional[int] = None,
+                     _opener=None) -> Dict[str, int]:
+    """Fetch every image of a per-image source list (the reference's
+    nocaps/sbu download loops and the DownloadConceptualCaptions streamer).
+    Per-item failures are tolerated and counted — dead links are normal in
+    these corpora; existing files are skipped (resume)."""
+    os.makedirs(storage_dir, exist_ok=True)
+    done = failed = skipped = 0
+    for n, (url, fname) in enumerate(iter_image_list(list_path)):
+        if max_items is not None and n >= max_items:
+            break
+        dest = os.path.join(storage_dir, fname)
+        if os.path.exists(dest):
+            skipped += 1
+            continue
+        try:
+            fetch_file(url, dest, _opener=_opener)
+            done += 1
+        except DownloadUnavailable:
+            failed += 1
+    return {"fetched": done, "skipped": skipped, "failed": failed}
+
+
 def download_entry(entry: DownloadEntry, root: str, *,
                    url_override: Optional[str] = None,
                    dry_run: bool = False,
                    keep_archive: bool = False,
+                   max_items: Optional[int] = None,
                    _opener=None) -> Optional[str]:
     """Fetch + verify + extract one manifest entry under
-    `<root>/<dataset>/<storage>`. Returns the storage dir (archives), the
-    downloaded file (files/annotation lists), or None for a dry run.
-    Manual entries raise ManualDownloadRequired with the recorded
-    instructions unless url_override supplies a direct link."""
+    `<root>/<dataset>/<storage>`. archive entries return the storage dir;
+    per_image_json entries fetch the source list AND loop the per-image
+    downloads into the storage dir (max_items bounds the loop), returning
+    the storage dir; plain files return the downloaded path; dry runs
+    return None. Manual entries raise ManualDownloadRequired with the
+    recorded instructions unless url_override supplies a direct link."""
     url = url_override or entry.url
     if entry.kind == "manual" and url_override is None:
         raise ManualDownloadRequired(
@@ -210,11 +273,15 @@ def download_entry(entry: DownloadEntry, root: str, *,
         if not keep_archive:
             os.remove(dest)
         return storage_dir
+    if entry.kind == "per_image_json":
+        fetch_image_list(dest, storage_dir, max_items=max_items, _opener=_opener)
+        return storage_dir
     return dest
 
 
 def download_dataset(dataset: str, root: str, *, dry_run: bool = False,
-                     skip_manual: bool = True, _opener=None) -> Dict[str, Optional[str]]:
+                     skip_manual: bool = True, max_items: Optional[int] = None,
+                     _opener=None) -> Dict[str, Optional[str]]:
     """Fetch every manifest entry of a dataset. With skip_manual (default),
     manual-flow entries are reported, not raised — the offline-safe
     behavior. Returns {entry_name: result_path | 'MANUAL: ...' | None}."""
@@ -226,7 +293,9 @@ def download_dataset(dataset: str, root: str, *, dry_run: bool = False,
     out: Dict[str, Optional[str]] = {}
     for e in ents:
         try:
-            out[e.name] = download_entry(e, root, dry_run=dry_run, _opener=_opener)
+            out[e.name] = download_entry(
+                e, root, dry_run=dry_run, max_items=max_items, _opener=_opener
+            )
         except ManualDownloadRequired as m:
             if not skip_manual:
                 raise

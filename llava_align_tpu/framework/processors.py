@@ -85,9 +85,19 @@ class BlipImageTrainProcessor:
                 return img.crop((x0, y0, x0 + cw, y0 + ch)).resize(
                     (self.image_size, self.image_size), resample=Image.BICUBIC
                 )
-        side = min(w, h)
-        x0, y0 = (w - side) // 2, (h - side) // 2
-        return img.crop((x0, y0, x0 + side, y0 + side)).resize(
+        # torchvision fallback: center crop clamped to the ratio range
+        min_ratio, max_ratio = 3 / 4, 4 / 3
+        in_ratio = w / h
+        if in_ratio < min_ratio:
+            cw = w
+            ch = int(round(cw / min_ratio))
+        elif in_ratio > max_ratio:
+            ch = h
+            cw = int(round(ch * max_ratio))
+        else:
+            cw, ch = w, h
+        x0, y0 = (w - cw) // 2, (h - ch) // 2
+        return img.crop((x0, y0, x0 + cw, y0 + ch)).resize(
             (self.image_size, self.image_size), resample=Image.BICUBIC
         )
 

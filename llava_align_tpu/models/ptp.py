@@ -153,6 +153,9 @@ class LocalBlend:
 
     def __init__(self, prompts: Sequence[str], words, tokenizer,
                  threshold: float = 0.3, max_num_words: int = MAX_NUM_WORDS):
+        # the reference hard-codes 77 and IGNORES its max_num_words argument
+        # (ptp_utils.py:172) — replicated verbatim so stored cross-attention
+        # map shapes stay interchangeable with reference controllers
         self.max_num_words = MAX_NUM_WORDS
         alpha_layers = np.zeros((len(prompts), 1, 1, 1, 1, self.max_num_words), np.float32)
         for i, (prompt, words_) in enumerate(zip(prompts, words)):

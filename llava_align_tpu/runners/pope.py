@@ -20,6 +20,7 @@ import time
 from typing import Optional
 
 import jax
+import numpy as np
 
 from llava_align_tpu.calibrate.posthoc import calibrate_label_dict, get_prob_from_logits
 from llava_align_tpu.decoding.engine import DecodeEngine
@@ -191,6 +192,8 @@ def run(args) -> str:
         (ids0, image0, stop), rest = prepped_group
         if args.use_cd and image0 is None:
             return None  # cd needs a noised prefix segment
+        if image0 is not None and np.asarray(image0).ndim == 4:
+            return None  # anyres grid stacks decode per question
         ids_list = [ids0] + rest
         p = DecodeEngine.common_token_prefix(ids_list)
         prefix = ids_list[0][:p]
@@ -226,11 +229,18 @@ def run(args) -> str:
                         engine.generate_batch_prefix(prefix, suffixes, img0, rng=rng)
                     )
                 elif group_by_image:
-                    outs.extend(
-                        engine.generate_batch(
-                            [(ids, image0) for ids in [ids0] + rest], rng=rng
+                    if image0 is not None and np.asarray(image0).ndim == 4:
+                        # anyres grid stacks are per-question engine inputs
+                        outs.extend(
+                            engine.generate(ids, image0, rng=rng)
+                            for ids in [ids0] + rest
                         )
-                    )
+                    else:
+                        outs.extend(
+                            engine.generate_batch(
+                                [(ids, image0) for ids in [ids0] + rest], rng=rng
+                            )
+                        )
                 else:
                     outs.extend(
                         engine.generate_batch(

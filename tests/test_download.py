@@ -143,6 +143,54 @@ def test_download_dataset_skips_manual_and_dry_run(tmp_path):
         dl.download_dataset("nope", str(tmp_path))
 
 
+def test_per_image_json_fetches_images(tmp_path):
+    """per_image_json entries fetch the source list AND loop the per-image
+    downloads (the reference nocaps/sbu loops + the CC TSV streamer) —
+    dead links tolerated, existing files skipped."""
+    ann = json.dumps({"images": [
+        {"coco_url": "http://img/a.jpg", "file_name": "a.jpg"},
+        {"coco_url": "http://img/b.jpg", "file_name": "b.jpg"},
+        {"coco_url": "http://dead/c.jpg", "file_name": "c.jpg"},
+    ]}).encode()
+    payload = b"IMAGEBYTES"
+
+    def opener(req, timeout=None):
+        url = req.full_url
+        if url.endswith("nocaps_val_image_info.json"):
+            return FakeResponse(ann)
+        if "dead" in url:
+            raise OSError("404")
+        return FakeResponse(payload)
+
+    (entry,) = [e for e in dl.entries_for("nocaps") if e.name == "val_ann"]
+    out = dl.download_entry(entry, str(tmp_path), _opener=opener)
+    assert out == str(tmp_path / "nocaps" / "val")
+    assert (tmp_path / "nocaps" / "val" / "a.jpg").read_bytes() == payload
+    assert (tmp_path / "nocaps" / "val" / "b.jpg").exists()
+    assert not (tmp_path / "nocaps" / "val" / "c.jpg").exists()  # dead link
+    # resume: second call skips existing images
+    stats = dl.fetch_image_list(
+        str(tmp_path / "nocaps" / "download" / "nocaps_val_image_info.json"),
+        str(tmp_path / "nocaps" / "val"), _opener=opener,
+    )
+    assert stats == {"fetched": 0, "skipped": 2, "failed": 1}
+
+
+def test_iter_image_list_tsv_and_sbu(tmp_path):
+    tsv = tmp_path / "cc.tsv"
+    tsv.write_text("a caption\thttp://x/1.jpg\nanother\thttp://x/2.jpg\n")
+    rows = list(dl.iter_image_list(str(tsv)))
+    assert rows == [("http://x/1.jpg", "00000000.jpg"),
+                    ("http://x/2.jpg", "00000001.jpg")]
+    sbu = tmp_path / "sbu.json"
+    sbu.write_text(json.dumps([
+        {"url": "http://s/aa.jpg", "image": "sub/aa.jpg"},
+        {"caption": "no url"},
+    ]))
+    rows = list(dl.iter_image_list(str(sbu)))
+    assert rows == [("http://s/aa.jpg", "aa.jpg")]
+
+
 def test_builder_cites_download_entries(tmp_path):
     """VERDICT r2 #7 'done' condition: builders cite a download entry per
     dataset."""

@@ -238,6 +238,45 @@ def test_groups_require_uniform_question_count(setup):
         )
 
 
+def test_qwen_ntk_boundary_matches_unshared():
+    """Dynamic-NTK alpha is driven by the same bucketed full-prompt length in
+    the grouped path as in the unshared path (code-review finding): prompts
+    crossing seq_length must produce identical tokens either way."""
+    from llava_align_tpu.decoding.adapters import QwenVLAdapter
+    from llava_align_tpu.models import qwen_vl
+    from llava_align_tpu.models.qwen import QwenConfig
+    from llava_align_tpu.models.qwen_vit import QwenVisionConfig
+    from llava_align_tpu.models.qwen_vl import QwenVLConfig
+
+    text = QwenConfig(
+        vocab_size=512, hidden_size=128, num_layers=2, num_heads=4, head_dim=32,
+        intermediate_size=256, seq_length=12,  # tiny: prompts cross it
+        use_logn_attn=True, use_dynamic_ntk=True, dtype=jnp.float32,
+    )
+    vis = QwenVisionConfig(
+        image_size=28, patch_size=14, width=32, num_layers=2, num_heads=2,
+        mlp_ratio=2.0, n_queries=4, output_dim=128, dtype=jnp.float32,
+    )
+    cfg = QwenVLConfig(text=text, vision=vis, image_start_id=500)
+    params = qwen_vl.init(jax.random.PRNGKey(0), cfg)
+    image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (3, 28, 28), jnp.float32)
+    )
+    span = qwen_vl.make_image_span_ids(cfg)
+    prefix, _ = qwen_vl.sentinelize_span([10, 20] + span + [30, 31, 32], cfg)
+    suffixes = [[40, 41, 42, 43], [50, 51], [60, 61, 62]]
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=False, eos_token_id=EOS, use_dd=True,
+    )
+    eng = DecodeEngine(
+        params, cfg, gen, adapter=QwenVLAdapter(cfg), attn_impl="xla", bucket=8
+    )
+    refs = [eng.generate(prefix + s, image) for s in suffixes]
+    outs = eng.generate_batch_prefix(prefix, suffixes, image)
+    for o, r in zip(outs, refs):
+        assert o.token_ids == r.token_ids
+
+
 def test_prefix_eos_stops_rows_independently(setup):
     """Rows finishing early pad with pad_token while others continue —
     same semantics as generate_batch (reference unfinished_sequences,

@@ -126,6 +126,18 @@ def test_runner_group_by_image_matches_ungrouped(grouped_question_file, tmp_path
     assert gen_m == gen_u
 
 
+def test_runner_anyres_groups_fall_back_per_question(grouped_question_file, tmp_path):
+    """anyres grid stacks ([K,3,H,W]) are per-question engine inputs; with
+    image grouping ON the runner must fall back to engine.generate instead of
+    feeding 4-D stacks into the grouped path (code-review regression fix)."""
+    out = str(tmp_path / "anyres.jsonl")
+    args = _args(grouped_question_file, out, use_dd=True, use_dd_unk=True)
+    args.image_aspect_ratio = "anyres"
+    pope.run(args)
+    recs = load_jsonl(out)
+    assert len(recs) == 6 and all(isinstance(r["text"], str) for r in recs)
+
+
 def test_runner_vcd_grouped_end_to_end(grouped_question_file, tmp_path):
     """VCD (use_cd) rides the shared-prefix grouped path: the noised image
     gets its own prefix segment per group. Deterministic under the seed."""
