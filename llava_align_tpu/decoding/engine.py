@@ -79,6 +79,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _make_fuse_and_warp(gen: GenerationConfig, n_contrast: int):
+    """[Q, nb, V] branch logits → warped [Q, V] (reference fusion chain,
+    vcd_sample.py:171-194 + HF warper order)."""
+
+    def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
+        main = branch_logits[:, 0]
+        if n_contrast:
+            contrast = jnp.mean(branch_logits[:, 1 : 1 + n_contrast], axis=1)
+            fused = S.fuse_contrastive_logits(main, contrast, gen.cd_alpha, gen.cd_beta)
+        else:
+            fused = main
+        return S.warp_logits(fused, gen.temperature, gen.top_k, gen.top_p)
+
+    return fuse_and_warp
+
+
+def _make_stop_hit(kws, Q: int):
+    """Per-question stop-keyword suffix matcher over [Q, T] output buffers."""
+
+    def stop_hit(out_buf: jax.Array, n: jax.Array) -> jax.Array:
+        done = jnp.zeros((Q,), bool)
+        for kw in kws:
+            m = len(kw)
+            start = jnp.maximum(n - m, 0)
+            window = jax.lax.dynamic_slice_in_dim(out_buf, start, m, axis=1)
+            done |= jnp.all(window == jnp.asarray(kw), axis=1) & (n >= m)
+        return done
+
+    return stop_hit
+
+
 @dataclasses.dataclass
 class GenerationOutput:
     token_ids: List[int]              # generated ids (trimmed at stop)
@@ -513,24 +544,8 @@ class DecodeEngine:
             ])
         )
 
-        def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
-            # branch_logits [Q, nb, V] → warped [Q, V]
-            main = branch_logits[:, 0]
-            if n_contrast:
-                contrast = jnp.mean(branch_logits[:, 1 : 1 + n_contrast], axis=1)
-                fused = S.fuse_contrastive_logits(main, contrast, gen.cd_alpha, gen.cd_beta)
-            else:
-                fused = main
-            return S.warp_logits(fused, gen.temperature, gen.top_k, gen.top_p)
-
-        def stop_hit(out_buf: jax.Array, n: jax.Array) -> jax.Array:
-            done = jnp.zeros((Q,), bool)
-            for kw in kws:
-                m = len(kw)
-                start = jnp.maximum(n - m, 0)
-                window = jax.lax.dynamic_slice_in_dim(out_buf, start, m, axis=1)
-                done |= jnp.all(window == jnp.asarray(kw), axis=1) & (n >= m)
-            return done
+        fuse_and_warp = _make_fuse_and_warp(gen, n_contrast)
+        stop_hit = _make_stop_hit(kws, Q)
 
         def batch_fn(params, pack_img, pack_txt, images, rng):
             from llava_align_tpu.ops.image import normalize_device
@@ -807,23 +822,8 @@ class DecodeEngine:
         r2q[M2:] = np.repeat(np.arange(M, dtype=np.int32), n_txt)
         row_to_q = jnp.asarray(r2q)
 
-        def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
-            main = branch_logits[:, 0]
-            if n_contrast:
-                contrast = jnp.mean(branch_logits[:, 1 : 1 + n_contrast], axis=1)
-                fused = S.fuse_contrastive_logits(main, contrast, gen.cd_alpha, gen.cd_beta)
-            else:
-                fused = main
-            return S.warp_logits(fused, gen.temperature, gen.top_k, gen.top_p)
-
-        def stop_hit(out_buf: jax.Array, n: jax.Array) -> jax.Array:
-            done = jnp.zeros((M,), bool)
-            for kw in kws:
-                m = len(kw)
-                start = jnp.maximum(n - m, 0)
-                window = jax.lax.dynamic_slice_in_dim(out_buf, start, m, axis=1)
-                done |= jnp.all(window == jnp.asarray(kw), axis=1) & (n >= m)
-            return done
+        fuse_and_warp = _make_fuse_and_warp(gen, n_contrast)
+        stop_hit = _make_stop_hit(kws, M)
 
         def groups_fn(params, pack_prefix, suf_tokens, suf_lens, pack_txt, images, rng):
             from llava_align_tpu.ops.image import normalize_device
