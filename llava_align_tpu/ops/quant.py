@@ -66,12 +66,30 @@ def int8_matmul_xla(h: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
 # ~180-540 GB/s of the previous (B, O, D)-tiled 256x512 kernel — the decode
 # matmul stack drops from ~22.9ms to ~8ms per token at 7B shapes.
 #
-# The kernel is decode-oriented (B <= 64: weight-read-bound). Larger B
-# (prefill) is compute-bound and dispatches to the XLA dequant path instead,
-# where re-streaming weights per B-block would be pure waste.
+# Dispatch (round 3, measured on a v5e chip — scripts/bench_int8_prefill.py,
+# slope-timed 7B stacks): the kernel streams each weight byte once with the
+# whole row block resident in VMEM, so it also wins at short-prefill row
+# counts for the OUTPUT-MAJOR stacks, where XLA's dequant path stays slow:
+#   B=256  qkv 2.60x  gateup 2.90x  down 0.55x
+#   B=640  qkv 1.61x  gateup 1.21x  down  (no block config)
+#   B=1024 qkv 1.02x  gateup 0.91x          <- parity: ceiling
+# The reduction-major down stack [4096, 11008] is the exception: XLA runs its
+# large-contraction dequant matmul at ~470 GB/s there, beating the kernel at
+# every prefill B, so it streams only at decode rows.  Hence the rule in
+# _stream_rows_ok: everything streams at B <= 64; O >= D stacks additionally
+# stream up to _STREAM_MAX_B; beyond that the pass is compute-bound and the
+# XLA dequant path takes over.
 # ---------------------------------------------------------------------------
 
-_DECODE_MAX_B = 64
+_DECODE_MAX_B = 64      # all stacks stream at decode-shaped row counts
+_STREAM_MAX_B = 640     # output-major (O >= D) stacks stream up to here
+
+
+def _stream_rows_ok(n_rows: int, O: int, D: int) -> bool:
+    """Measured dispatch rule: see the block comment above."""
+    if n_rows <= _DECODE_MAX_B:
+        return True
+    return n_rows <= _STREAM_MAX_B and O >= D
 
 
 def _round_up(x, m):
@@ -236,9 +254,11 @@ def int8_matmul_stacked_dispatch(
 ) -> jax.Array:
     """h [..., D] x stacked quantized [L, O, D] at layer_idx → [..., O].
 
-    Decode rows (B <= 64) take the weight-streaming Pallas kernel; prefill
-    (compute-bound) takes the XLA dequant path, where per-B-block weight
-    re-streaming would multiply HBM traffic for no benefit."""
+    Weight-bound row counts take the weight-streaming Pallas kernel — one
+    pass over the int8 bytes, no bf16 dequant materialization: decode rows
+    for every stack, and short prefills (<= _STREAM_MAX_B) for the
+    output-major (O >= D) stacks where it was measured to win; the rest
+    takes the XLA dequant path (see the dispatch comment above)."""
     q, s = wq["q"], wq["s"]
     lead = h.shape[:-1]
     n_rows = 1
@@ -251,7 +271,7 @@ def int8_matmul_stacked_dispatch(
             on_tpu = False
         ok = (
             on_tpu
-            and n_rows <= _DECODE_MAX_B
+            and _stream_rows_ok(n_rows, q.shape[1], q.shape[2])
             and _choose_blocks(q.shape[1], q.shape[2], _round_up(n_rows, 16))
             is not None
         )
@@ -281,7 +301,7 @@ def int8_matmul(h: jax.Array, wq: Dict[str, jax.Array], *, impl: str = "auto") -
             on_tpu = False
         ok = (
             on_tpu
-            and n_rows <= _DECODE_MAX_B
+            and _stream_rows_ok(n_rows, q.shape[0], q.shape[1])
             and _choose_blocks(q.shape[0], q.shape[1], _round_up(n_rows, 16))
             is not None
         )
@@ -464,7 +484,15 @@ def int8_matmul_stacked_tp(
     h2 = h.reshape(-1, h.shape[-1])
     li = jnp.asarray(layer_idx, jnp.int32)
 
-    decode_rows = h2.shape[0] <= _DECODE_MAX_B  # prefill is compute-bound: XLA per shard
+    # per-shard geometry decides streaming: column shards shrink O, row
+    # shards shrink D — apply the measured rule to the shapes the kernel
+    # will actually see on each device
+    n_shards = mesh.shape[axis]
+    if mode == "column":
+        o_shard, d_shard = q.shape[1] // n_shards, q.shape[2]
+    else:
+        o_shard, d_shard = q.shape[1], q.shape[2] // n_shards
+    decode_rows = _stream_rows_ok(h2.shape[0], o_shard, d_shard)
 
     if mode == "column":
 

@@ -197,3 +197,50 @@ def test_fused_quantization_matches_unfused():
     lf = llama.logits_from_hidden(qf, hf[:, -1])
     lu = llama.logits_from_hidden(qu, hu[:, -1])
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), atol=1e-5, rtol=1e-4)
+
+
+def test_stacked_kernel_prefill_rows_match_xla():
+    """Round-3 dispatch widening: the weight-streaming stacked kernel now
+    also serves prefill-shaped row counts (64 < B <= _STREAM_MAX_B) for
+    output-major stacks.  Pin the interpret-mode kernel against the XLA
+    dequant path at a prefill B, and the dispatch boundary itself (streams
+    below the ceiling for O >= D, XLA above, for reduction-major stacks at
+    prefill rows, and wherever no VMEM block config exists)."""
+    from llava_align_tpu.ops import quant
+
+    rng = np.random.default_rng(7)
+    L, O, D = 2, 512, 256
+    q = jnp.asarray(rng.integers(-127, 128, size=(L, O, D), dtype=np.int8))
+    s = jnp.asarray(rng.uniform(0.9, 1.1, size=(L, O)).astype(np.float32) * 0.01)
+    B = 200  # prefill-shaped: above the old decode-only 64-row cutoff
+    h = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    for li in (0, 1):
+        ref = np.asarray(
+            quant.int8_matmul_stacked_dispatch(h, {"q": q, "s": s}, li, impl="xla")
+        )
+        out = np.asarray(
+            quant.int8_matmul_stacked_dispatch(
+                h, {"q": q, "s": s}, li, impl="pallas_interpret"
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+    # boundary: feasible block configs exist right up to the ceiling...
+    Bp = quant._round_up(quant._STREAM_MAX_B, 16)
+    assert quant._choose_blocks(O, D, Bp) is not None
+    # ...and 7B's down projection (D=11008 halves only to 5504 under the
+    # 128-lane constraint) correctly reports infeasible at large B — the
+    # dispatcher falls back to XLA there instead of building a bad kernel
+    assert quant._choose_blocks(4096, 11008, 640) is None
+    assert quant._choose_blocks(4096, 11008, 64) is not None
+
+    # the measured dispatch rule (scripts/bench_int8_prefill.py on a v5e):
+    # everything streams at decode rows; output-major stacks (7B qkv
+    # [12288,4096], gateup [22016,4096]) stream up to the ceiling; the
+    # reduction-major down stack [4096,11008] loses to XLA at prefill rows
+    # (0.55x at B=256) and streams only at decode rows
+    assert quant._stream_rows_ok(64, 4096, 11008)
+    assert quant._stream_rows_ok(quant._STREAM_MAX_B, 12288, 4096)
+    assert quant._stream_rows_ok(256, 22016, 4096)
+    assert not quant._stream_rows_ok(256, 4096, 11008)
+    assert not quant._stream_rows_ok(quant._STREAM_MAX_B + 1, 12288, 4096)
