@@ -115,6 +115,63 @@ def score_results_dir(results_dir: str) -> Dict[str, Dict]:
     return report
 
 
+def score_sweep_dirs(
+    folder: str,
+    prefix: str,
+    *,
+    combined: bool = True,
+    filter_malformed: bool = True,
+    csv_path: str | None = None,
+) -> Dict[str, Dict]:
+    """Aggregate per-setting MME scores across results dirs named
+    ``{prefix}{setting}`` under `folder` — the main loops of the reference's
+    eval_tool/calculation_sampling.py:162-181 and
+    calculation_calibrate.py:160-182 (pandas/xlsx replaced with a returned
+    {setting: report} dict + optional CSV).
+
+    combined=True scores the single 'All' task group those variants use
+    (calculation_sampling.py:10); filter_malformed drops lines without the
+    4-field img\\tq\\tgt\\tpred shape (calculation_sampling.py:98)."""
+    eval_types = (
+        {"All": [t for ts in EVAL_TYPE_DICT.values() for t in ts]}
+        if combined
+        else EVAL_TYPE_DICT
+    )
+    results: Dict[str, Dict] = {}
+    for file in sorted(os.listdir(folder)):
+        full = os.path.join(folder, file)
+        if not (file.startswith(prefix) and os.path.isdir(full)):
+            continue
+        setting = file[len(prefix):] or "default"
+        report: Dict[str, Dict] = {}
+        for eval_type, tasks in eval_types.items():
+            total = 0.0
+            task_scores = {}
+            for task in tasks:
+                path = os.path.join(full, task + ".txt")
+                if not os.path.exists(path):
+                    continue
+                with open(path) as f:
+                    lines = f.readlines()
+                if filter_malformed:
+                    lines = [
+                        ln.strip() for ln in lines
+                        if len(ln.strip().split("\t")) == 4
+                    ]
+                m = score_task_lines(lines)
+                task_scores[task] = m
+                total += m["task_score"]
+            report[eval_type] = {"total_score": total, "tasks": task_scores}
+        results[setting] = report
+    if csv_path:
+        with open(csv_path, "w") as f:
+            f.write("setting,eval_type,total_score\n")
+            for setting in sorted(results):
+                for eval_type, rep in results[setting].items():
+                    f.write(f"{setting},{eval_type},{rep['total_score']:.2f}\n")
+    return results
+
+
 def calibrated_predictions(
     answers: Sequence[dict],
     setting: str = "none_unk",

@@ -3,7 +3,10 @@ per-category txts, score.
 
 Capability parity: experiments/eval/MME/run_llava.py (generation; prompt has
 no 'one word' suffix — the MME questions carry 'Please answer yes or no.'),
-convert_answer_to_mme.py, eval_tool/calculation.py.
+run_qwen.py (--model-family qwen: '<img>{path}</img>{q} Answer:' prompts via
+the qwen_pope runner, run_qwen.py:69,104-108), convert_answer_to_mme.py,
+eval_tool/calculation.py (+ the calculation_sampling.py / _calibrate.py
+multi-setting aggregation mains via evals.mme.score_sweep_dirs).
 
     python -m llava_align_tpu.runners.mme \
         --model-path /ckpt/llava-v1.5-7b \
@@ -51,10 +54,31 @@ def load_mme_gt(data_path: str) -> dict:
 
 
 def run(args) -> dict:
+    if getattr(args, "score_sweep", ""):
+        # scoring-only mode: aggregate {prefix}{setting} results dirs
+        # (reference calculation_sampling.py / _calibrate.py mains)
+        from llava_align_tpu.evals.mme import score_sweep_dirs
+
+        results = score_sweep_dirs(
+            args.score_sweep, args.sweep_prefix, csv_path=args.sweep_csv or None
+        )
+        for setting in sorted(results):
+            scores = {k: round(v["total_score"], 2) for k, v in results[setting].items()}
+            print(setting, json.dumps(scores))
+        return results
+
     args.one_word = False  # MME questions already instruct yes/no
-    if args.image_aspect_ratio is None:
-        args.image_aspect_ratio = "pad"  # llava-v1.5 config default
-    answers_file = pope.run(args)
+    if getattr(args, "model_family", "llava") == "qwen":
+        # reference MME/run_qwen.py: identical flow with the qwen prompt
+        # format; the qwen runner already groups MME's 2 questions/image
+        # onto the shared-prefix path
+        from llava_align_tpu.runners import qwen_pope
+
+        answers_file = qwen_pope.run(args)
+    else:
+        if args.image_aspect_ratio is None:
+            args.image_aspect_ratio = "pad"  # llava-v1.5 config default
+        answers_file = pope.run(args)
 
     if not args.mme_data_root:
         print("no --mme-data-root given; skipping conversion/scoring")
@@ -72,8 +96,25 @@ def run(args) -> dict:
 def build_parser():
     p = pope.build_parser()
     p.add_argument("--mme-data-root", type=str, default="")
+    p.add_argument("--model-family", default="llava", choices=["llava", "qwen"],
+                   help="qwen = reference MME/run_qwen.py counterpart")
+    p.add_argument("--score-sweep", type=str, default="",
+                   help="scoring-only: folder of {prefix}{setting} results dirs")
+    p.add_argument("--sweep-prefix", type=str, default="")
+    p.add_argument("--sweep-csv", type=str, default="")
     return p
 
 
 if __name__ == "__main__":
-    run(build_parser().parse_args())
+    import argparse
+    import sys
+
+    if "--score-sweep" in sys.argv:
+        # scoring-only CLI: model/question args are irrelevant
+        sp = argparse.ArgumentParser()
+        sp.add_argument("--score-sweep", required=True)
+        sp.add_argument("--sweep-prefix", default="")
+        sp.add_argument("--sweep-csv", default="")
+        run(sp.parse_args())
+    else:
+        run(build_parser().parse_args())

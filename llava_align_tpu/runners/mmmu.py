@@ -1,9 +1,14 @@
-"""MMMU benchmark runner (LLaVA engine) + calibrated N-way Post-Hoc scoring.
+"""MMMU benchmark runner (LLaVA + Qwen-VL engines) + calibrated N-way
+Post-Hoc scoring.
 
 Capability parity: experiments/eval/MMMU/run_llava.py (generation over val
 samples), run_llava_calibrate.py (per-question dynamic choice LABEL_DICT,
 content-free none/unk dumps, N-way affine calibration :82-135),
-main_eval_only.py (parse + evaluate + instruction-level accuracy).
+main_eval_only.py (parse + evaluate + instruction-level accuracy),
+run_qwen_sampling.py:24-66 (--model-family qwen: '<img>…</img>{q} Answer:'
+prompts with '<image 1>' stripped, eod stopping, max_new_tokens=20; the
+decoding-config sweep itself rides runners/sampling.py --benchmark mmmu,
+which also covers run_llava_sampling.py:129-173).
 
 Input format: jsonl samples with
     {id, subject?, question_type, answer, final_input_prompt,
@@ -44,7 +49,86 @@ from llava_align_tpu.runners.common import (
 from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_token
 
 
+def run_qwen(args) -> str:
+    """MMMU over the Qwen-VL engine (reference run_qwen_sampling.py:24-66):
+    prompt = image span + '{final_input_prompt minus <image 1>} Answer:',
+    eod stopping. Records carry the same fields as the llava path so every
+    scorer (score/score_sweep/print_results) applies unchanged."""
+    from llava_align_tpu.decoding.adapters import QwenVLAdapter
+    from llava_align_tpu.models import qwen_vl as qwen_vl_model
+    from llava_align_tpu.runners.qwen_pope import _load_image, load_qwen_model
+
+    tokenizer, params, cfg, model_name = load_qwen_model(args.model_path)
+    if getattr(args, "quant", "none") == "int8":
+        from llava_align_tpu.ops.quant import quantize_qwen_params
+
+        params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
+    eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
+    samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    if args.max_questions:
+        samples = samples[: args.max_questions]
+    ans = AnswerFile(args.answers_file, resume=args.resume)
+
+    gen = make_generation_config(
+        args, eos_token_id=eod, max_new_tokens=args.max_new_tokens
+    )
+    adapter = QwenVLAdapter(cfg)
+    engine = DecodeEngine(params, cfg, gen, adapter=adapter, bucket=64)
+    score_engine = None
+    if getattr(args, "calibrate", False):
+        score_gen = make_generation_config(
+            args, eos_token_id=eod, use_cd=False, use_dd=False,
+            use_dd_unk=False, max_new_tokens=1,
+        )
+        score_engine = DecodeEngine(params, cfg, score_gen, adapter=adapter, bucket=64)
+
+    span = qwen_vl_model.make_image_span_ids(cfg)
+
+    def _ids(text: str):
+        return list(tokenizer(text).input_ids)
+
+    for s in samples:
+        sid = s.get("id", s.get("question_id"))
+        if ans.is_done(sid):
+            continue
+        q = s["final_input_prompt"].replace("<image 1>", "").strip()
+        sent_ids, _ = qwen_vl_model.sentinelize_span(
+            span + _ids(f"{q} Answer:"), cfg
+        )
+        image = _load_image(args, s.get("image", ""), cfg)
+        rng = jax.random.PRNGKey(args.seed + (hash(str(sid)) % 65536))
+        out = engine.generate(sent_ids, image, rng=rng)
+        record = {
+            "question_id": sid,
+            "subject": s.get("subject", "all"),
+            "question_type": s.get("question_type", "multiple-choice"),
+            "answer": s.get("answer"),
+            "all_choices": s.get("all_choices"),
+            "index2ans": s.get("index2ans"),
+            "text": tokenizer.decode(out.token_ids, skip_special_tokens=True).strip(),
+            "model_id": model_name,
+            "naive": calibrate_label_dict(
+                out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
+            ),
+        }
+        if score_engine is not None and s.get("all_choices"):
+            # content-free probes mirror qwen_calibrate.py:36-41
+            o = score_engine.generate(_ids(f"{q} Answer:"), None, rng=rng)
+            record["none"] = calibrate_label_dict(
+                o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
+            )
+            o = score_engine.generate(_ids(f"None {q} Answer:"), None, rng=rng)
+            record["unk"] = calibrate_label_dict(
+                o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
+            )
+        ans.write(record)
+    ans.close()
+    return args.answers_file
+
+
 def run(args) -> str:
+    if getattr(args, "model_family", "llava") == "qwen":
+        return run_qwen(args)
     model = load_model(args.model_path)
     tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
     samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
@@ -57,7 +141,7 @@ def run(args) -> str:
     stop_ids = keyword_token_ids([stop_str], tokenizer)
     engine = DecodeEngine(params, cfg, gen, stop_keyword_ids=stop_ids)
     score_engine = None
-    if args.calibrate or args.calibrate_best:
+    if getattr(args, "calibrate", False) or getattr(args, "calibrate_best", False):
         score_gen = make_generation_config(
             args, use_cd=False, use_dd=False, use_dd_unk=False, max_new_tokens=1
         )
@@ -110,7 +194,7 @@ def run(args) -> str:
             record["unk"] = calibrate_label_dict(
                 o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
             )
-            if args.calibrate_best and image is not None:
+            if getattr(args, "calibrate_best", False) and image is not None:
                 # degraded-IMAGE probes for the full setting sweep
                 # (run_llava_calibrate_best.py:237-250): pure diffusion
                 # noise (step 999), all-zeros, all-ones — all in the
@@ -261,6 +345,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print-table", action="store_true", default=False,
                    help="print the domain/subject accuracy table "
                    "(reference print_results.py)")
+    p.add_argument("--model-family", default="llava", choices=["llava", "qwen"],
+                   help="qwen = reference MMMU run_qwen_sampling.py engine")
     return p
 
 

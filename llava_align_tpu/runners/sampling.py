@@ -4,7 +4,8 @@ Capability parity: experiments/eval/sampling/llava_sampling.py:150-194 (and
 qwenvl_sampling.py via --model-family qwen) — run the default config, then
 sweep temperature 0.05..1.0 (step .05), top-p 0..1 (step .05), and top-k
 {1,2,5,10,20,50,100,200,500}; answers-file name is templated on the literal
-'setting'.
+'setting'. --benchmark mmmu drives the same grid through the MMMU runner
+(reference MMMU/run_llava_sampling.py:129-173 and run_qwen_sampling.py).
 """
 
 from __future__ import annotations
@@ -15,9 +16,19 @@ import numpy as np
 
 from llava_align_tpu.runners import pope
 
+# the reference grids verbatim (llava_sampling.py:164-193)
+TEMPERATURE_GRID = [float(np.round(t, 2)) for t in np.arange(0.05, 1.05, 0.05)]
+TOP_P_GRID = [float(np.round(p, 2)) for p in np.arange(0, 1.05, 0.05)]
+TOP_K_GRID = [1, 2, 5, 10, 20, 50, 100, 200, 500]
+
 
 def _run_fn(args):
     family = getattr(args, "model_family", "llava")
+    if getattr(args, "benchmark", "pope") == "mmmu":
+        # mmmu.run dispatches llava/qwen internally on args.model_family
+        from llava_align_tpu.runners import mmmu
+
+        return mmmu.run
     if family == "qwen":
         from llava_align_tpu.runners import qwen_pope
 
@@ -47,18 +58,17 @@ def run_sweep(args) -> list:
     if args.use_cd:
         return produced
 
-    for temp in np.arange(0.05, 1.05, 0.05):
-        t = float(np.round(temp, 2))
+    for t in TEMPERATURE_GRID:
         a = copy.deepcopy(base)
         a.temperature = t
         run_one(a, f"temp_{t}")
 
-    for top_p in np.arange(0, 1.05, 0.05):
+    for top_p in TOP_P_GRID:
         a = copy.deepcopy(base)
-        a.top_p = float(np.round(top_p, 2))
+        a.top_p = top_p
         run_one(a, f"top_p_{a.top_p}")
 
-    for top_k in [1, 2, 5, 10, 20, 50, 100, 200, 500]:
+    for top_k in TOP_K_GRID:
         a = copy.deepcopy(base)
         a.top_k = top_k
         run_one(a, f"top_k_{top_k}")
@@ -68,6 +78,8 @@ def run_sweep(args) -> list:
 def build_parser():
     p = pope.build_parser()
     p.add_argument("--model-family", default="llava", choices=["llava", "qwen", "blip"])
+    p.add_argument("--benchmark", default="pope", choices=["pope", "mmmu"],
+                   help="mmmu = sweep over MMMU samples (run_llava_sampling.py)")
     return p
 
 

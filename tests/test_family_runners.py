@@ -56,6 +56,41 @@ def test_blip_runner_end_to_end(questions, tmp_path):
     assert {"naive", "none", "noise", "text"} <= set(recs[0])
 
 
+def test_mme_qwen_runner_end_to_end(tmp_path):
+    """--model-family qwen = reference MME/run_qwen.py: qwen prompts over the
+    MME question file, then the same convert+score pipeline."""
+    from llava_align_tpu.runners import mme
+
+    q_texts = ["Is there a dog in the image? Please answer yes or no.",
+               "Is there a cat in the image? Please answer yes or no."]
+    qf = tmp_path / "mme.jsonl"
+    with open(qf, "w") as f:
+        for i, q in enumerate(q_texts):
+            f.write(json.dumps({
+                "question_id": f"existence/i0.png",
+                "image": "i0.jpg", "text": q, "label": "no",
+            }) + "\n")
+    root = tmp_path / "MME_Benchmark" / "existence"
+    os.makedirs(root)
+    with open(root / "i0.txt", "w") as f:
+        for q in q_texts:
+            f.write(f"{q}\tyes\n")
+
+    out = str(tmp_path / "ans.jsonl")
+    args = mme.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", str(qf),
+         "--answers-file", out, "--model-family", "qwen",
+         "--mme-data-root", str(tmp_path / "MME_Benchmark"), "--use_dd_unk"]
+    )
+    args.synthetic_images = True
+    args.temperature = 0.0
+    args.max_new_tokens = 3
+    report = mme.run(args)
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2 and {"naive", "text"} <= set(recs[0])
+    assert "existence" in report["Perception"]["tasks"]
+
+
 def test_bias_probe_runner(questions, tmp_path):
     from llava_align_tpu.runners import bias_probe
 
@@ -138,6 +173,77 @@ def test_mmmu_calibrate_best_runner(tmp_path):
     assert set(res["settings"]) == set(SWEEP_SETTINGS)
     assert res["best_setting"] in SWEEP_SETTINGS
     assert "Overall-Art and Design" in res["table"]
+
+
+def test_mmmu_qwen_runner(tmp_path):
+    """--model-family qwen = reference MMMU run_qwen_sampling.py: qwen engine
+    over MMMU samples with the '<image 1>'-stripped ' Answer:' prompt; the
+    shared scorer applies unchanged."""
+    from llava_align_tpu.runners import mmmu
+
+    qf = tmp_path / "mmmu.jsonl"
+    with open(qf, "w") as f:
+        for i in range(2):
+            f.write(
+                json.dumps(
+                    {"id": f"val_art_{i}", "subject": "art",
+                     "question_type": "multiple-choice", "answer": "B",
+                     "all_choices": ["A", "B"],
+                     "index2ans": {"A": "w", "B": "x"},
+                     "final_input_prompt": f"<image 1> Pick one (A) w (B) x #{i}",
+                     "image": f"m{i}.jpg"}
+                ) + "\n"
+            )
+    out = str(tmp_path / "ans.jsonl")
+    args = mmmu.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", str(qf),
+         "--answers-file", out, "--model-family", "qwen", "--calibrate"]
+    )
+    args.synthetic_images = True
+    args.temperature = 0.0
+    args.max_new_tokens = 3
+    mmmu.run(args)
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2 and {"naive", "none", "unk", "text"} <= set(recs[0])
+    rep = mmmu.score(out, "none_unk")
+    assert "art" in rep["subjects"]
+
+
+def test_sampling_sweep_mmmu(tmp_path, monkeypatch):
+    """--benchmark mmmu routes the decoding-config grid through the MMMU
+    runner with 'setting'-templated answer files (run_llava_sampling.py)."""
+    from llava_align_tpu.runners import sampling
+
+    qf = tmp_path / "mmmu.jsonl"
+    with open(qf, "w") as f:
+        f.write(json.dumps(
+            {"id": "val_art_0", "subject": "art",
+             "question_type": "multiple-choice", "answer": "B",
+             "all_choices": ["A", "B"], "index2ans": {"A": "w", "B": "x"},
+             "final_input_prompt": "Pick one (A) w (B) x",
+             "image": "m0.jpg"}) + "\n")
+    out = str(tmp_path / "ans_setting.jsonl")
+    args = sampling.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", str(qf),
+         "--answers-file", out, "--benchmark", "mmmu"]
+    )
+    args.synthetic_images = True
+    args.max_new_tokens = 2
+
+    # full-grid shape is pinned below; the live smoke trims the grids so the
+    # engine compiles only a few settings
+    assert len(sampling.TEMPERATURE_GRID) == 20
+    assert sampling.TEMPERATURE_GRID[0] == 0.05 and sampling.TEMPERATURE_GRID[-1] == 1.0
+    assert len(sampling.TOP_P_GRID) == 21
+    assert sampling.TOP_K_GRID == [1, 2, 5, 10, 20, 50, 100, 200, 500]
+    monkeypatch.setattr(sampling, "TEMPERATURE_GRID", [0.5])
+    monkeypatch.setattr(sampling, "TOP_P_GRID", [0.5])
+    monkeypatch.setattr(sampling, "TOP_K_GRID", [1])
+    produced = sampling.run_sweep(args)
+    names = {os.path.basename(p) for p in produced}
+    assert "ans_default.jsonl" in names and "ans_top_k_1.jsonl" in names
+    recs = [json.loads(l) for l in open(tmp_path / "ans_default.jsonl")]
+    assert recs and "naive" in recs[0]
 
 
 def test_caption_runner_end_to_end(questions, tmp_path):

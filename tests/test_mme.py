@@ -60,6 +60,35 @@ def test_convert_and_score_dir(tmp_path):
     assert report["Perception"]["total_score"] == 200.0
 
 
+def test_score_sweep_dirs(tmp_path):
+    """calculation_sampling.py main-loop parity: per-setting dirs under one
+    folder aggregate into {setting: report} over the combined 'All' group."""
+    from llava_align_tpu.evals.mme import score_sweep_dirs
+
+    lines_good = [
+        "i0.txt\tIs there a dog? Please answer yes or no.\tyes\tYes\n",
+        "i0.txt\tIs there a cat? Please answer yes or no.\tno\tNo\n",
+    ]
+    lines_bad = [
+        "i0.txt\tIs there a dog? Please answer yes or no.\tyes\tNo\n",
+        "i0.txt\tIs there a cat? Please answer yes or no.\tno\tYes\n",
+        "malformed line without tabs\n",  # dropped by the 4-field filter
+        "a\tb\tc\n",
+    ]
+    for setting, lines in (("default", lines_good), ("temp_0.5", lines_bad)):
+        d = tmp_path / f"model-{setting}"
+        d.mkdir()
+        with open(d / "existence.txt", "w") as f:
+            f.writelines(lines)
+    csv = tmp_path / "sweep.csv"
+    results = score_sweep_dirs(str(tmp_path), "model-", csv_path=str(csv))
+    assert set(results) == {"default", "temp_0.5"}
+    assert results["default"]["All"]["total_score"] == 200.0
+    assert results["temp_0.5"]["All"]["total_score"] == 0.0
+    body = csv.read_text()
+    assert "default,All,200.00" in body and "temp_0.5,All,0.00" in body
+
+
 def test_calibrated_predictions_flip_bias():
     from llava_align_tpu.evals.mme import calibrated_predictions
 
