@@ -18,6 +18,7 @@ Extras reported: single-branch tps, POPE-style samples/sec, p50 answer latency.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -30,18 +31,29 @@ import numpy as np
 def _build_params(cfg, seed=0, quant: str = "none"):
     from llava_align_tpu.models import llava
 
-    if quant != "int8":
+    if quant not in ("int8", "int4"):
         return jax.block_until_ready(
             jax.jit(lambda k: llava.init(k, cfg))(jax.random.PRNGKey(seed))
         )
 
-    # int8: quantize the llama linears GROUP BY GROUP with explicit frees so
-    # the peak is int8-total + one bf16 group (a whole-tree bf16 init of 13B
-    # would itself exceed HBM). Real checkpoints quantize host-side per
-    # tensor. qkv and gate|up fuse into single stacks (one kernel launch per
-    # sublayer at decode).
+    # int8/int4: quantize the llama linears GROUP BY GROUP with explicit
+    # frees so the peak is quantized-total + one bf16 group (a whole-tree
+    # bf16 init of 13B would itself exceed HBM). Real checkpoints quantize
+    # host-side per tensor. qkv and gate|up fuse into single stacks (one
+    # kernel launch per sublayer at decode). int4 keeps the lm_head int8
+    # (quantize_llama_params semantics).
     from llava_align_tpu.models import llama
-    from llava_align_tpu.ops.quant import quantize_weight
+    from llava_align_tpu.ops.quant import (
+        int4_auto_group, quantize_weight, quantize_weight_int4,
+    )
+
+    if quant == "int4":
+        g = int4_auto_group(
+            (cfg.text.hidden_size, cfg.text.intermediate_size, cfg.text.q_dim)
+        )
+        qw = functools.partial(quantize_weight_int4, group=g)
+    else:
+        qw = quantize_weight
 
     params = jax.block_until_ready(
         jax.jit(lambda k: llava.init(k, cfg))(jax.random.PRNGKey(seed))
@@ -50,7 +62,7 @@ def _build_params(cfg, seed=0, quant: str = "none"):
     if params is not None:
         qlayers = dict(params["llama"]["layers"])
         qfuse = jax.jit(
-            lambda *ws: quantize_weight(jnp.concatenate(ws, axis=1))
+            lambda *ws: qw(jnp.concatenate(ws, axis=1))
         )
         for fused, names in (("qkv", ("q", "k", "v")), ("gateup", ("gate", "up"))):
             ws = [qlayers.pop(n) for n in names]
@@ -59,7 +71,7 @@ def _build_params(cfg, seed=0, quant: str = "none"):
                 w.delete()
         for name in ("o", "down"):
             w = qlayers[name]
-            qlayers[name] = jax.block_until_ready(jax.jit(quantize_weight)(w))
+            qlayers[name] = jax.block_until_ready(jax.jit(qw)(w))
             w.delete()
         params["llama"]["layers"] = qlayers
         lm = params["llama"]["lm_head"]
@@ -68,13 +80,20 @@ def _build_params(cfg, seed=0, quant: str = "none"):
         return params
 
     # 13B+: even the bf16 init does not fit; generate each quantized leaf
-    # directly (random int8 + unit-ish scales — shapes are what the bench
-    # measures) and the rest of the tree normally.
+    # directly (random int8/int4 + unit-ish scales — shapes are what the
+    # bench measures) and the rest of the tree normally.
     tcfg = cfg.text
     key = jax.random.PRNGKey(seed)
 
-    def rand_q(k, shape):
+    from llava_align_tpu.ops.quant import INT4_GROUP
+
+    def rand_q(k, shape, bits=8):
         def gen(kk):
+            if bits == 4:
+                L_, O_, D_ = shape
+                q4 = jax.random.randint(kk, (L_, D_ // 2, O_), -128, 128, jnp.int8)
+                gs = jnp.full((L_, D_ // INT4_GROUP, O_), 0.01, jnp.float32) / (D_ ** 0.5)
+                return {"q4": q4, "gs": gs}
             q = jax.random.randint(kk, shape, -127, 128, jnp.int8)
             s = jnp.full(shape[:-1], 0.01, jnp.float32) / (shape[-1] ** 0.5)
             return {"q": q, "s": s}
@@ -90,8 +109,9 @@ def _build_params(cfg, seed=0, quant: str = "none"):
         "gateup": (L, 2 * F, D), "down": (L, D, F),
     }
     keys = jax.random.split(key, len(shapes) + 4)
+    bits = 4 if quant == "int4" else 8
     layers = {
-        name: jax.block_until_ready(rand_q(keys[i], shape))
+        name: jax.block_until_ready(rand_q(keys[i], shape, bits))
         for i, (name, shape) in enumerate(shapes.items())
     }
     layers["attn_norm"] = jnp.ones((L, D), tcfg.dtype)
@@ -148,7 +168,10 @@ def main():
     ap.add_argument("--batch-questions", type=int, default=8)
     # int8 weight-only is the serving default: ~2x decode throughput over
     # bf16 (Pallas weight-streaming kernel, docs/DESIGN.md) + half the HBM
-    ap.add_argument("--quant", default="int8", choices=["none", "int8"])
+    ap.add_argument("--quant", default="int8", choices=["none", "int8", "int4"],
+                    help="int8 = serving default (~2x bf16 decode); int4 = "
+                    "g128 weight-only at int8 decode speed with HALF the "
+                    "weight HBM (13B batch serving on one 16GB chip)")
     ap.add_argument(
         "--mesh", default=None,
         help="shard the engine over a mesh: 'auto' (all devices on the model "

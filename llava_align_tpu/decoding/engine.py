@@ -208,6 +208,22 @@ class DecodeEngine:
                     "shard_map TP kernels); TP shards only the bf16 tensors.",
                     self._model_size,
                 )
+            has_quant4 = any(
+                isinstance(v, dict) and "q4" in v and "gs" in v
+                for v in jax.tree_util.tree_leaves(
+                    params,
+                    is_leaf=lambda x: isinstance(x, dict) and "q4" in x and "gs" in x,
+                )
+            )
+            if self._model_size > 1 and has_quant4:
+                # int4 group scales live inside the contraction, so there is
+                # no shard_map TP formulation yet — replicated is correct but
+                # unscaled; int4 is a single-chip serving config.
+                logger.warning(
+                    "int4-quantized stacks are replicated across the %d-way "
+                    "'model' axis (no int4 TP kernel); use int8 for TP "
+                    "serving.", self._model_size,
+                )
         else:
             self.params = params
             self._int8_tp = False

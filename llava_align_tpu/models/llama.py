@@ -156,16 +156,33 @@ def forward(
 
     is_decode = cache is not None and S == 1
 
-    # int8-quantized stacks ([L,O,D] dicts) must NOT ride the scan xs — the
-    # sliced pallas operand would materialize a per-layer weight copy every
-    # step. They stay whole; the kernel indexes the layer via scalar prefetch.
+    # quantized stacks ([L,O,D] int8 / [L,O,D/2] packed-int4 dicts) must NOT
+    # ride the scan xs — the sliced pallas operand would materialize a
+    # per-layer weight copy every step. They stay whole; the kernel indexes
+    # the layer via scalar prefetch.
     all_layers = params["layers"]
     quant_names = {
         k for k, v in all_layers.items() if isinstance(v, dict) and "q" in v and "s" in v
     }
-    scan_layers = {k: v for k, v in all_layers.items() if k not in quant_names}
+    quant4_names = {
+        k for k, v in all_layers.items()
+        if isinstance(v, dict) and "q4" in v and "gs" in v
+    }
+    scan_layers = {
+        k: v for k, v in all_layers.items()
+        if k not in quant_names and k not in quant4_names
+    }
 
     def _lin(h, lp, name, li):  # h [B,S,in] -> [B,S,out]
+        if name in quant4_names:
+            from llava_align_tpu.ops.quant import int4_matmul_stacked_dispatch
+
+            # int4 has no shard_map TP path (group scales live inside the
+            # contraction); under a mesh the stacks are replicated — the
+            # engine warns at init
+            return int4_matmul_stacked_dispatch(
+                h, all_layers[name], li if li is not None else 0
+            )
         if name in quant_names:
             from llava_align_tpu.ops.quant import (
                 int8_matmul_stacked_dispatch,

@@ -314,37 +314,344 @@ def int8_matmul(h: jax.Array, wq: Dict[str, jax.Array], *, impl: str = "auto") -
 
 
 # ---------------------------------------------------------------------------
+# int4 weight-only (group-wise): the 4-bit capability analog of the
+# reference's bitsandbytes load_4bit path (builder.py:29-38), TPU-native.
+#
+# Storage is TRANSPOSED: packed int8 [..., D/2, O] with the contraction dim
+# on SUBLANES and output channels on lanes, split-half packed (low nibble =
+# logical row d, high nibble = row D/2 + d, so a packed block unpacks into
+# two contiguous [bDp, bO] halves). Scales are per (128-row group, output
+# channel) absmax/7, stored [..., D/128, O] — the industry-standard w4 g128
+# RTN scheme. Per-weight quantization noise is ~12% of a group's scale (vs
+# ~0.9% for int8), so int4 is an OPT-IN config — int8 stays the default.
+#
+# Why transposed (all slope-measured on a v5e chip, L=4 vs L=12 cancels the
+# remote-dispatch overhead; scripts/bench_int4_probe*.py,
+# bench_int4_stacked.py, bench_int4_transposed.py):
+#   * row-major [O, D/2] needs the group scales broadcast along LANES; every
+#     formulation of that 128x lane-expansion relayouts (jnp.repeat: whole
+#     kernel at 102 GB/s; broadcast_in_dim+minor-merge: 107; an MXU
+#     expansion matmul: same) — the scale machinery alone cost ~0.3 ms per
+#     stack.
+#   * transposed, the expansion is broadcast_in_dim over a NEW LEADING dim +
+#     a leading-dim merge — layout-free. Kernel: 350 GB/s raw.
+#   * per-channel-scale row-major reached 467 GB/s raw (933 int8-equiv) but
+#     per-channel int4 noise (~15%/weight) is not defensible for an
+#     accuracy-gated framework.
+# Net: 350 GB/s raw = 700 GB/s int8-equivalent vs the int8 kernel's 712 in
+# the same harness — int4 decodes AT int8 speed on this chip (the VPU
+# unpack+scale work cancels the bandwidth win at decode row counts; both sit
+# near the B=16 MXU row-granularity limit) while HALVING weight HBM:
+# 7B 6.6 GB -> 3.4 GB, which is what unlocks 13B grouped-POPE serving and
+# larger KV budgets on one 16 GB chip.
+#
+# Unpack widens to i32 on the VPU ((p&15^8)-8 / p>>4) — Mosaic rejects
+# shift/compare on i8 vectors, and the pure-bf16 floor-arithmetic variant
+# VMEM-OOMs on the down stack. A runtime pl.ds lane slice that is consumed
+# crashes this backend's Mosaic (bisected in probe_int4_kernel_bisect.py),
+# so per-step scale groups come off STATIC slices (where-chain when nkh>1).
+# ---------------------------------------------------------------------------
+
+INT4_GROUP = 128
+
+
+def int4_auto_group(dims) -> int:
+    """Largest power-of-two group <= INT4_GROUP packing every contraction dim
+    in `dims` (tiny test configs have D < 256; real llama dims give 128 —
+    the only group size the Pallas kernel serves, smaller groups fall back
+    to the XLA dequant path)."""
+    g = INT4_GROUP
+    while g > 1 and any(int(d) % (2 * g) for d in dims):
+        g //= 2
+    return g
+
+
+def quantize_weight_int4(w: jax.Array, group: int = INT4_GROUP) -> Dict[str, jax.Array]:
+    """[..., O, D] float → {'q4': int8 [..., D/2, O] packed transposed,
+    'gs': f32 [..., D/group, O]}. D must be divisible by 2*group (every
+    llama/qwen stack dim is: 4096/5120/11008/13824 are all 256-multiples)."""
+    wf = w.astype(jnp.float32)
+    O, D = wf.shape[-2], wf.shape[-1]
+    if D % (2 * group):
+        raise ValueError(f"D={D} not divisible by 2*group={2*group}")
+    lead = wf.shape[:-2]
+    gr = wf.reshape(*lead, O, D // group, group)
+    absmax = jnp.max(jnp.abs(gr), axis=-1)
+    s = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    q = jnp.clip(jnp.round(gr / s[..., None]), -8, 7).astype(jnp.int8)
+    q = q.reshape(*lead, O, D)
+    lo = q[..., : D // 2] & 0xF
+    hi = q[..., D // 2 :] & 0xF
+    packed = (lo | (hi << 4)).astype(jnp.int8)          # [..., O, D/2]
+    nd = packed.ndim
+    perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+    return {
+        "q4": jnp.transpose(packed, perm),               # [..., D/2, O]
+        "gs": jnp.transpose(s.astype(jnp.float32), perm),  # [..., D/g, O]
+    }
+
+
+def is_quantized_int4(w: Any) -> bool:
+    return isinstance(w, dict) and "q4" in w and "gs" in w
+
+
+def _unpack_int4(q4: jax.Array):
+    """packed int8 → (lo, hi) int32 nibble values in [-8, 7]."""
+    q32 = q4.astype(jnp.int32)
+    return ((q32 & 15) ^ 8) - 8, q32 >> 4
+
+
+def _dequant_int4_kn(q4: jax.Array, gs: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """packed [..., D/2, O] + scales [..., D/g, O] → dense [..., D, O]."""
+    Dp = q4.shape[-2]
+    group = 2 * Dp // gs.shape[-2]
+    lo, hi = _unpack_int4(q4)
+    q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    s = jnp.repeat(gs, group, axis=-2)
+    return (q * s).astype(dtype)
+
+
+def dequantize_int4(wq: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    """→ dense [..., O, D] (torch convention, matching quantize input)."""
+    w = _dequant_int4_kn(wq["q4"], wq["gs"], dtype)
+    nd = w.ndim
+    perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+    return jnp.transpose(w, perm)
+
+
+def int4_matmul_xla(h: jax.Array, q4: jax.Array, gs: jax.Array) -> jax.Array:
+    """h [..., D] x packed-transposed int4 [D/2, O] (scales [D/g, O]) →
+    [..., O]. The dequantized [D, O] weight is already the natural [K, N]
+    GEMM operand — no transpose."""
+    w = _dequant_int4_kn(q4, gs, dtype=h.dtype)
+    return jax.lax.dot_general(
+        h, w, (((h.ndim - 1,), (0,)), ((), ())), preferred_element_type=h.dtype
+    )
+
+
+def _choose_blocks_int4(O: int, Dp: int, bB: int):
+    """(bDp, bO) over the transposed packed geometry: double-buffered packed
+    block + two h blocks + the layer's full scale rows + fp32 acc within
+    ~8MB VMEM. bO=2048 measured best (bench_int4_transposed.py)."""
+    budget = 8 * 2**20
+    nG = 2 * Dp // INT4_GROUP
+
+    def fits(bDp, bO):
+        return (
+            2 * (bDp * bO + 2 * 2 * bB * bDp) + 4 * bB * bO + 4 * nG * bO
+            <= budget
+        )
+
+    for bO in (2048, 1024, 4096, 512, 256, 128):
+        if bO > O or O % bO:
+            continue
+        bDp = Dp
+        while (
+            not fits(bDp, bO)
+            and bDp % 2 == 0
+            and (bDp // 2) % INT4_GROUP == 0
+            and Dp % (bDp // 2) == 0
+        ):
+            bDp //= 2
+        if fits(bDp, bO) and bDp % INT4_GROUP == 0:
+            return bDp, bO
+    return None
+
+
+def _make_int4_stacked_kernel(nkh: int, bG: int):
+    """nkh (D-grid steps) and bG (scale groups per block) are static, so each
+    step's scale groups come off STATIC sublane slices (where-chain when
+    nkh > 1; plain slice when the whole D fits one block)."""
+
+    def kern(li_ref, hlo_ref, hhi_ref, p_ref, s_ref, o_ref, acc_ref):
+        k = pl.program_id(1)
+        nk = pl.num_programs(1)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        h = hlo_ref[:]                       # [B, bDp]
+        lo, hi = _unpack_int4(p_ref[0])      # [bDp, bO] i32
+
+        def grp(base):                       # → [bG, bO]
+            if nkh == 1:
+                return s_ref[0, base : base + bG]
+            acc = None
+            for kk in range(nkh):
+                sl = s_ref[0, base + kk * bG : base + (kk + 1) * bG]
+                m = (k == kk).astype(sl.dtype)
+                acc = sl * m if acc is None else acc + sl * m
+            return acc
+
+        def rep(s):
+            # [bG, bO] → [bG*128, bO]: broadcast over a new LEADING dim +
+            # leading-dim merge — layout-free on the (sublane, lane) tiling,
+            # unlike any lane-direction expansion (see header)
+            b = jax.lax.broadcast_in_dim(
+                s, (s.shape[0], INT4_GROUP, s.shape[1]), (0, 2)
+            )
+            return b.reshape(s.shape[0] * INT4_GROUP, s.shape[1])
+
+        nGh = nkh * bG
+        w_lo = lo.astype(h.dtype) * rep(grp(0)).astype(h.dtype)
+        w_hi = hi.astype(h.dtype) * rep(grp(nGh)).astype(h.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            h, w_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_ref[:] += jax.lax.dot_general(
+            hhi_ref[:], w_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == nk - 1)
+        def _finalize():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul_stacked(
+    h: jax.Array,
+    q4: jax.Array,     # [L, D/2, O] packed int8, transposed
+    gs: jax.Array,     # [L, D/group, O] f32
+    layer_idx: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    B, D = h.shape
+    L, Dp, O = q4.shape
+    Bp = _round_up(B, 16)
+    blocks = _choose_blocks_int4(O, Dp, Bp)
+    if blocks is None or D != 2 * Dp or 2 * Dp != INT4_GROUP * gs.shape[1]:
+        # no viable block config / mismatched shapes / non-128 group size
+        qi = jax.lax.dynamic_index_in_dim(q4, layer_idx, 0, keepdims=False)
+        si = jax.lax.dynamic_index_in_dim(gs, layer_idx, 0, keepdims=False)
+        return int4_matmul_xla(h, qi, si)
+    bDp, bO = blocks
+    if Bp != B:
+        h = jnp.pad(h, ((0, Bp - B), (0, 0)))
+    nkh = Dp // bDp
+    nG = gs.shape[1]
+    bG = bDp // INT4_GROUP
+    li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(O // bO, nkh),
+        in_specs=[
+            pl.BlockSpec((Bp, bDp), lambda j, k, li_ref: (0, k)),
+            pl.BlockSpec((Bp, bDp), lambda j, k, li_ref: (0, k + nkh)),
+            pl.BlockSpec((1, bDp, bO), lambda j, k, li_ref: (li_ref[0], k, j)),
+            pl.BlockSpec((1, nG, bO), lambda j, k, li_ref: (li_ref[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((Bp, bO), lambda j, k, li_ref: (0, j)),
+        scratch_shapes=[pltpu.VMEM((Bp, bO), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _make_int4_stacked_kernel(nkh, bG),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, O), h.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(li, h, h, q4, gs)
+    return out[:B] if Bp != B else out
+
+
+def int4_matmul_stacked_dispatch(
+    h: jax.Array, wq: Dict[str, jax.Array], layer_idx: jax.Array, *, impl: str = "auto"
+) -> jax.Array:
+    """h [..., D] x stacked transposed int4 [L, D/2, O] at layer_idx →
+    [..., O].
+
+    Decode-shaped row counts stream through the Pallas kernel; larger row
+    counts (prefill) are compute-bound and take the XLA dequant path."""
+    q4, gs = wq["q4"], wq["gs"]
+    lead = h.shape[:-1]
+    n_rows = 1
+    for d in lead:
+        n_rows *= int(d)
+    if impl == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            on_tpu = False
+        ok = (
+            on_tpu
+            and n_rows <= _DECODE_MAX_B
+            and 2 * q4.shape[1] == INT4_GROUP * gs.shape[1]  # kernel assumes g=128
+            and _choose_blocks_int4(q4.shape[2], q4.shape[1], _round_up(n_rows, 16))
+            is not None
+        )
+        impl = "pallas" if ok else "xla"
+    if impl in ("pallas", "pallas_interpret"):
+        out = int4_matmul_stacked(
+            h.reshape(-1, h.shape[-1]), q4, gs, layer_idx,
+            interpret=(impl == "pallas_interpret"),
+        )
+        return out.reshape(*lead, q4.shape[2])
+    qi = jax.lax.dynamic_index_in_dim(q4, layer_idx, 0, keepdims=False)
+    si = jax.lax.dynamic_index_in_dim(gs, layer_idx, 0, keepdims=False)
+    return int4_matmul_xla(h, qi, si)
+
+
+# ---------------------------------------------------------------------------
 # llama param-tree quantization
 # ---------------------------------------------------------------------------
 
 _LLAMA_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
-def quantize_llama_params(params: Dict[str, Any], fuse: bool = True) -> Dict[str, Any]:
+def quantize_llama_params(
+    params: Dict[str, Any], fuse: bool = True, bits: int = 8,
+    group: Optional[int] = None,
+) -> Dict[str, Any]:
     """Quantize the hot llama linears (stacked [L, O, D]) + lm_head; the
     embedding table stays as-is (it is gathered, not matmul'd).
 
     fuse=True packs q|k|v into one [L, QD+2*KD, D] 'qkv' stack and gate|up
     into one 'gateup' stack: one kernel launch streams all three (two)
-    weights per sublayer — fewer launches and larger contiguous DMA. Scales
-    are per-output-channel, so quantizing the concatenation is bit-identical
-    to quantizing the parts."""
+    weights per sublayer — fewer launches and larger contiguous DMA. int8
+    scales are per-output-channel and int4 group scales run along the
+    contraction dim, so quantizing the concatenation is bit-identical to
+    quantizing the parts either way.
+
+    bits=4 (the reference's load_4bit capability analog) uses the group-wise
+    int4 scheme for the layer stacks; the lm_head stays int8 — it runs once
+    per token (~2% of decode weight bytes) and the logits gate every
+    accuracy metric, so the near-lossless path is kept there."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if bits == 4 and group is None:
+        # derive the largest packing group from the actual contraction dims
+        # (128 for every real llama; tiny test configs shrink)
+        group = int4_auto_group(
+            params["layers"][k].shape[-1] for k in _LLAMA_QUANT_KEYS
+        )
+    qw = (
+        functools.partial(quantize_weight_int4, group=group)
+        if bits == 4
+        else quantize_weight
+    )
     out = dict(params)
     layers = dict(params["layers"])
     if fuse:
-        layers["qkv"] = quantize_weight(
+        layers["qkv"] = qw(
             jnp.concatenate(
                 [layers.pop("q"), layers.pop("k"), layers.pop("v")], axis=1
             )
         )
-        layers["gateup"] = quantize_weight(
+        layers["gateup"] = qw(
             jnp.concatenate([layers.pop("gate"), layers.pop("up")], axis=1)
         )
-        layers["o"] = quantize_weight(layers["o"])
-        layers["down"] = quantize_weight(layers["down"])
+        layers["o"] = qw(layers["o"])
+        layers["down"] = qw(layers["down"])
     else:
         for k in _LLAMA_QUANT_KEYS:
-            layers[k] = quantize_weight(params["layers"][k])
+            layers[k] = qw(params["layers"][k])
     out["layers"] = layers
     out["lm_head"] = quantize_weight(params["lm_head"])
     return out

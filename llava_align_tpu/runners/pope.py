@@ -40,6 +40,15 @@ from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_toke
 def run(args) -> str:
     model = load_model(args.model_path)
     tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
+    quant = getattr(args, "quant", "none")
+    if quant in ("int8", "int4"):
+        # weight-only serving (reference load_8bit/load_4bit capability,
+        # builder.py:29-38): int8 ~2x bf16 decode; int4 g128 decodes at int8
+        # speed with half the weight HBM (ops/quant.py header)
+        from llava_align_tpu.ops.quant import quantize_llama_params
+
+        params = dict(params, llama=quantize_llama_params(
+            params["llama"], bits=4 if quant == "int4" else 8))
 
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
@@ -316,6 +325,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lockstep-decode consecutive same-image questions "
                    "with one shared prefix KV prefill (POPE has 6 per image)")
     p.add_argument("--verbose", action="store_true", default=True)
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int4"],
+                   help="weight-only decoder serving (reference load_8bit/"
+                   "load_4bit): int8 ~2x bf16 decode; int4 g128 = int8 "
+                   "decode speed at half the weight HBM. qwen family "
+                   "supports int8 only (13696-wide FFN is not 256-aligned "
+                   "for split-half int4 packing)")
     return p
 
 

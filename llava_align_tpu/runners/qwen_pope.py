@@ -64,6 +64,11 @@ def _text_ids(tokenizer, text: str):
 
 def run(args) -> str:
     tokenizer, params, cfg, model_name = load_qwen_model(args.model_path)
+    if getattr(args, "quant", "none") == "int4":
+        raise ValueError(
+            "qwen int4 is unsupported: the 13696-wide FFN is not 256-aligned "
+            "for split-half int4 packing; use --quant int8"
+        )
     if getattr(args, "quant", "none") == "int8":
         # int8 weight-only serving for the Qwen decoder (ops/quant; the
         # visual tower stays bf16 — it runs once per group, not per token)
@@ -204,8 +209,6 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = base()
     p.set_defaults(max_new_tokens=20)  # qwen_calibrate.py:47
-    p.add_argument("--quant", default="none", choices=["none", "int8"],
-                   help="int8 weight-only decoder (Pallas weight-streaming)")
     return p
 
 

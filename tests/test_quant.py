@@ -244,3 +244,121 @@ def test_stacked_kernel_prefill_rows_match_xla():
     assert quant._stream_rows_ok(256, 22016, 4096)
     assert not quant._stream_rows_ok(256, 4096, 11008)
     assert not quant._stream_rows_ok(quant._STREAM_MAX_B + 1, 12288, 4096)
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only (group-wise) — the reference load_4bit capability analog
+# ---------------------------------------------------------------------------
+
+
+def test_int4_quantize_roundtrip_error_small():
+    from llava_align_tpu.ops.quant import dequantize_int4, quantize_weight_int4
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, 512)).astype(np.float32)
+    wq = quantize_weight_int4(jnp.asarray(w), group=128)
+    # transposed storage: contraction dim on sublanes, channels on lanes
+    assert wq["q4"].shape == (256, 64) and wq["gs"].shape == (4, 64)
+    w2 = np.asarray(dequantize_int4(wq, jnp.float32))
+    # error bound: half a quantization step per group, step = absmax/7
+    groups = w.reshape(64, 4, 128)
+    bound = np.abs(groups).max(-1) / 7.0 / 2.0 + 1e-6
+    err = np.abs(w2 - w).reshape(64, 4, 128).max(-1)
+    assert np.all(err <= bound)
+
+
+def test_int4_zero_and_extreme_values():
+    from llava_align_tpu.ops.quant import dequantize_int4, quantize_weight_int4
+
+    w = jnp.zeros((8, 256), jnp.float32)
+    assert np.all(np.asarray(dequantize_int4(quantize_weight_int4(w))) == 0)
+    # full-scale values land exactly on the +-7 code (absmax/7 scaling never
+    # reaches the -8 code) and round-trip exactly
+    w = jnp.full((8, 256), -3.0, jnp.float32)
+    wq = quantize_weight_int4(w)
+    w2 = np.asarray(dequantize_int4(wq, jnp.float32))
+    np.testing.assert_allclose(w2, -3.0, rtol=1e-6)
+
+
+def test_int4_pallas_kernel_matches_xla_multiblock():
+    """interpret-mode stacked kernel == XLA dequant path, on shapes that
+    exercise multiple D-grid steps (the in-kernel pl.ds group slicing)."""
+    from llava_align_tpu.ops.quant import (
+        _choose_blocks_int4,
+        int4_matmul_stacked,
+        int4_matmul_xla,
+        quantize_weight_int4,
+    )
+
+    rng = np.random.default_rng(3)
+    L, O, D = 2, 512, 16384  # Dp=8192 exceeds the VMEM budget -> bDp halves, nkh>1
+    assert _choose_blocks_int4(O, D // 2, 16)[0] < D // 2
+    w = rng.normal(size=(L, O, D)).astype(np.float32) * 0.05
+    wq = quantize_weight_int4(jnp.asarray(w))
+    h = jnp.asarray(rng.normal(size=(3, D)).astype(np.float32))  # ragged B
+    for li in range(L):
+        ref = np.asarray(int4_matmul_xla(h, wq["q4"][li], wq["gs"][li]))
+        out = np.asarray(
+            int4_matmul_stacked(h, wq["q4"], wq["gs"], li, interpret=True)
+        )
+        assert out.shape == (3, O)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+
+def test_int4_llava_decode_matches_dequantized_params_exactly():
+    """Engine wiring: the int4 XLA path dequantizes to bf16 then matmuls, so
+    decoding with int4 params must match decoding with the SAME weights
+    dequantized to dense bf16 token-for-token — both paths see identical
+    bf16 weight VALUES (the transposed [K, N] contraction does reorder the
+    bf16 accumulation, so probs carry that noise but greedy tokens match)."""
+    from llava_align_tpu.ops.quant import (
+        dequantize_int4, is_quantized_int4, quantize_llama_params,
+    )
+
+    cfg = LlavaConfig.tiny(vocab_size=97)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    q4params = dict(params, llama=quantize_llama_params(
+        params["llama"], bits=4, group=8))
+    assert is_quantized_int4(q4params["llama"]["layers"]["qkv"])
+    # lm_head stays int8 (near-lossless logits)
+    assert "q" in q4params["llama"]["lm_head"]
+
+    deq_layers = {
+        k: dequantize_int4(v) if is_quantized_int4(v) else v
+        for k, v in q4params["llama"]["layers"].items()
+    }
+    deqparams = dict(params, llama=dict(
+        q4params["llama"], layers=deq_layers))
+
+    H = cfg.vision.image_size
+    image = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (3, H, H), jnp.float32))
+    ids = [1, 40, 50, IMAGE_TOKEN_INDEX, 60, 70]
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False, eos_token_id=2,
+                           use_dd=True, use_dd_unk=True)
+    o4 = DecodeEngine(q4params, cfg, gen, attn_impl="xla", bucket=8).generate(ids, image)
+    od = DecodeEngine(deqparams, cfg, gen, attn_impl="xla", bucket=8).generate(ids, image)
+    assert o4.token_ids == od.token_ids
+    # the transposed contraction + dequant fusion reorder bf16 accumulation
+    # vs the dense run — tokens are exact, first-step probs agree to
+    # accumulation-order noise
+    np.testing.assert_allclose(
+        o4.first_scores_top_probs, od.first_scores_top_probs, atol=2e-2
+    )
+
+
+def test_int4_fused_matches_unfused():
+    """Group scales run along the contraction dim, so quantizing the fused
+    qkv/gateup concatenation is bit-identical to quantizing the parts."""
+    from llava_align_tpu.ops.quant import quantize_llama_params
+
+    cfg = LlavaConfig.tiny(vocab_size=97)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    qf = quantize_llama_params(params["llama"], fuse=True, bits=4, group=8)
+    qu = quantize_llama_params(params["llama"], fuse=False, bits=4, group=8)
+    # transposed stacks [L, D/2, O]: the fused O axis is LAST
+    f = np.asarray(qf["layers"]["qkv"]["q4"])
+    parts = [np.asarray(qu["layers"][k]["q4"]) for k in ("q", "k", "v")]
+    np.testing.assert_array_equal(f, np.concatenate(parts, axis=2))
+    fg = np.asarray(qf["layers"]["gateup"]["gs"])
+    pg = [np.asarray(qu["layers"][k]["gs"]) for k in ("gate", "up")]
+    np.testing.assert_array_equal(fg, np.concatenate(pg, axis=2))
