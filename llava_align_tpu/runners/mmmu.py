@@ -325,6 +325,34 @@ def score_sweep(answers_file: str) -> dict:
     }
 
 
+def score_sweep_files(
+    folder: str, prefix: str, setting: str = "naive", csv_path: str | None = None
+) -> dict:
+    """Aggregate per-setting MMMU answer files named ``{prefix}{setting}.jsonl``
+    under `folder` — the reference's sampling-sweep aggregation main
+    (MMMU/samlping/main_eval_only.py:95-123: per-file evaluate + per-subject
+    acc table; pandas/xlsx replaced with a returned dict + optional CSV).
+    Pairs with runners/sampling.py --benchmark mmmu, whose outputs are
+    'setting'-templated files."""
+    results = {}
+    for file in sorted(os.listdir(os.path.expanduser(folder))):
+        if not file.startswith(prefix):
+            continue
+        if not (file.endswith(".jsonl") or file.endswith(".json")):
+            continue
+        name = file[len(prefix):].rsplit(".", 1)[0] or "default"
+        results[name] = score(os.path.join(folder, file), setting)
+    if csv_path:
+        with open(csv_path, "w") as f:
+            f.write("setting,subject,acc,num_example\n")
+            for name in sorted(results):
+                rep = results[name]
+                for subject, m in sorted(rep["subjects"].items()):
+                    f.write(f"{name},{subject},{m['acc']:.4f},{m['num_example']}\n")
+                f.write(f"{name},Overall,{rep['overall_acc']:.4f},\n")
+    return results
+
+
 def print_results(answers_file: str, setting: str = "naive") -> str:
     """Domain/subject accuracy table (reference print_results.py shape) for
     one setting of an answers file."""
@@ -351,6 +379,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
+    if "--score-sweep-files" in _sys.argv:
+        # scoring-only CLI over a sweep's per-setting answer files
+        # (reference MMMU/samlping/main_eval_only.py main)
+        sp = argparse.ArgumentParser()
+        sp.add_argument("--score-sweep-files", required=True)
+        sp.add_argument("--sweep-prefix", default="")
+        sp.add_argument("--sweep-csv", default="")
+        sp.add_argument("--score-setting", default="naive")
+        sa = sp.parse_args()
+        res = score_sweep_files(
+            sa.score_sweep_files, sa.sweep_prefix, sa.score_setting,
+            csv_path=sa.sweep_csv or None,
+        )
+        for name in sorted(res):
+            print(name, f"overall_acc={res[name]['overall_acc']:.4f}")
+        raise SystemExit(0)
+
     a = build_parser().parse_args()
     path = run(a)
     if a.calibrate_best:

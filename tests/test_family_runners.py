@@ -246,6 +246,27 @@ def test_sampling_sweep_mmmu(tmp_path, monkeypatch):
     assert recs and "naive" in recs[0]
 
 
+def test_mmmu_score_sweep_files(tmp_path):
+    """Per-setting sweep-file aggregation (reference
+    MMMU/samlping/main_eval_only.py main loop): evaluate every
+    {prefix}{setting}.jsonl and tabulate accs."""
+    from llava_align_tpu.runners import mmmu
+
+    rec = {"question_id": "val_art_0", "subject": "art",
+           "question_type": "multiple-choice", "answer": "B",
+           "all_choices": ["A", "B"], "index2ans": {"A": "w", "B": "x"}}
+    for setting, text in (("default", "B"), ("top_k_1", "A")):
+        with open(tmp_path / f"ans_{setting}.jsonl", "w") as f:
+            f.write(json.dumps(dict(rec, text=text)) + "\n")
+    csv = tmp_path / "sweep.csv"
+    res = mmmu.score_sweep_files(str(tmp_path), "ans_", csv_path=str(csv))
+    assert set(res) == {"default", "top_k_1"}
+    assert res["default"]["overall_acc"] == 1.0
+    assert res["top_k_1"]["overall_acc"] == 0.0
+    body = csv.read_text()
+    assert "default,Overall,1.0000" in body and "top_k_1,Overall,0.0000" in body
+
+
 def test_caption_runner_end_to_end(questions, tmp_path):
     """Beam-search captioning through CaptionTask (reference LAVIS caption
     flow with blip2 generate num_beams default)."""
