@@ -60,18 +60,43 @@ def _build_params(cfg, seed=0, quant: str = "none"):
     ) if cfg.text.num_layers <= 32 else None
 
     if params is not None:
+        L = cfg.text.num_layers
+
+        def q_chunked(fn, *ws):
+            # int4's grouped-absmax/pack pipeline materializes f32
+            # intermediates the size of the stack — on top of the live bf16
+            # tree that OOMs 16GB at 7B. Quantize a few layers at a time.
+            step = L if quant == "int8" else max(1, min(4, L))
+            outs = [
+                jax.block_until_ready(fn(*[w[i : i + step] for w in ws]))
+                for i in range(0, L, step)
+            ]
+            if len(outs) == 1:
+                return outs[0]
+            merged = {
+                k: jax.block_until_ready(
+                    jnp.concatenate([o[k] for o in outs], axis=0)
+                )
+                for k in outs[0]
+            }
+            for o in outs:
+                for v in o.values():
+                    v.delete()
+            return merged
+
         qlayers = dict(params["llama"]["layers"])
         qfuse = jax.jit(
             lambda *ws: qw(jnp.concatenate(ws, axis=1))
         )
         for fused, names in (("qkv", ("q", "k", "v")), ("gateup", ("gate", "up"))):
             ws = [qlayers.pop(n) for n in names]
-            qlayers[fused] = jax.block_until_ready(qfuse(*ws))
+            qlayers[fused] = q_chunked(qfuse, *ws)
             for w in ws:
                 w.delete()
+        qw_jit = jax.jit(qw)
         for name in ("o", "down"):
             w = qlayers[name]
-            qlayers[name] = jax.block_until_ready(jax.jit(qw)(w))
+            qlayers[name] = q_chunked(qw_jit, w)
             w.delete()
         params["llama"]["layers"] = qlayers
         lm = params["llama"]["lm_head"]
@@ -252,7 +277,13 @@ def main():
         * tcfg.head_dim * 2 * 2
     )
     overhead = 1.2e9
-    q_fit = int((HBM_BUDGET - params_bytes - overhead) // (3 * cache_row_bytes))
+    # the int4 batched program makes XLA duplicate the k-cache into an
+    # S-minor layout copy (+~60% cache footprint, observed in the HBM
+    # breakdown); budget for it rather than discover the OOM
+    cache_mult = 1.6 if args.quant == "int4" else 1.0
+    q_fit = int(
+        (HBM_BUDGET - params_bytes - overhead) // (3 * cache_row_bytes * cache_mult)
+    )
     Q = max(1, min(args.batch_questions, q_fit))
     results["pope_samples_per_sec"] = results["pope_samples_per_sec_single"]
     results["batch_questions_used"] = 1
@@ -269,7 +300,7 @@ def main():
             results["pope_samples_per_sec"] = Q / min(tb)
             results["batch_questions_used"] = Q
         except Exception as e:
-            sys.stderr.write(f"batched Q={Q} failed ({type(e).__name__}); using single\n")
+            sys.stderr.write(f"batched Q={Q} failed ({type(e).__name__}: {e}); using single\n")
 
     # grouped shared-prefix POPE: every split of every POPE dataset ships
     # exactly 6 questions per image (verified across all 9 files); the

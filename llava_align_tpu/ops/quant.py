@@ -421,11 +421,23 @@ def dequantize_int4(wq: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
 
 def int4_matmul_xla(h: jax.Array, q4: jax.Array, gs: jax.Array) -> jax.Array:
     """h [..., D] x packed-transposed int4 [D/2, O] (scales [D/g, O]) →
-    [..., O]. The dequantized [D, O] weight is already the natural [K, N]
-    GEMM operand — no transpose."""
-    w = _dequant_int4_kn(q4, gs, dtype=h.dtype)
+    [..., O], as TWO dots over the packed halves. Dequantizing each half to
+    bf16 separately (no concat, no f32 join) keeps the transients to one
+    bf16 [D/2, O] buffer per half — the concat formulation materialized
+    i32+f32 copies of the full dense weight and OOM'd 7B batched prefill."""
+    Dp = q4.shape[0]
+    group = 2 * Dp // gs.shape[0]
+    nGh = Dp // group
+    lo, hi = _unpack_int4(q4)
+    s_lo = jnp.repeat(gs[:nGh], group, axis=0)
+    s_hi = jnp.repeat(gs[nGh:], group, axis=0)
+    w_lo = (lo.astype(jnp.float32) * s_lo).astype(h.dtype)
+    w_hi = (hi.astype(jnp.float32) * s_hi).astype(h.dtype)
+    dims = (((h.ndim - 1,), (0,)), ((), ()))
     return jax.lax.dot_general(
-        h, w, (((h.ndim - 1,), (0,)), ((), ())), preferred_element_type=h.dtype
+        h[..., :Dp], w_lo, dims, preferred_element_type=h.dtype
+    ) + jax.lax.dot_general(
+        h[..., Dp:], w_hi, dims, preferred_element_type=h.dtype
     )
 
 
@@ -567,8 +579,12 @@ def int4_matmul_stacked_dispatch(
     """h [..., D] x stacked transposed int4 [L, D/2, O] at layer_idx →
     [..., O].
 
-    Decode-shaped row counts stream through the Pallas kernel; larger row
-    counts (prefill) are compute-bound and take the XLA dequant path."""
+    EVERY row count streams through the Pallas kernel when a block config
+    exists — unlike int8, the XLA fallback must materialize the dense bf16
+    weights (the nibble unpack + concat defeats fusion into the matmul), so
+    the kernel wins at prefill too (slope-measured 7B stacks,
+    scripts/bench_int4_prefill.py: 2.7x at B=256, 2.0x at B=640, 1.6x at
+    B=1024, 1.3x at B=2048)."""
     q4, gs = wq["q4"], wq["gs"]
     lead = h.shape[:-1]
     n_rows = 1
@@ -581,7 +597,6 @@ def int4_matmul_stacked_dispatch(
             on_tpu = False
         ok = (
             on_tpu
-            and n_rows <= _DECODE_MAX_B
             and 2 * q4.shape[1] == INT4_GROUP * gs.shape[1]  # kernel assumes g=128
             and _choose_blocks_int4(q4.shape[2], q4.shape[1], _round_up(n_rows, 16))
             is not None
@@ -595,7 +610,12 @@ def int4_matmul_stacked_dispatch(
         return out.reshape(*lead, q4.shape[2])
     qi = jax.lax.dynamic_index_in_dim(q4, layer_idx, 0, keepdims=False)
     si = jax.lax.dynamic_index_in_dim(gs, layer_idx, 0, keepdims=False)
-    return int4_matmul_xla(h, qi, si)
+    # 2D in, 2D out: without the reshapes XLA propagated the [K, N] dot's
+    # layout preference through the qkv projection into the KV cache and
+    # inserted a cache-sized transposing copy (observed: +4.5GB HBM, OOM at
+    # 7B batched prefill)
+    out = int4_matmul_xla(h.reshape(-1, h.shape[-1]), qi, si)
+    return out.reshape(*lead, q4.shape[2])
 
 
 # ---------------------------------------------------------------------------
@@ -631,27 +651,43 @@ def quantize_llama_params(
         group = int4_auto_group(
             params["layers"][k].shape[-1] for k in _LLAMA_QUANT_KEYS
         )
-    qw = (
+    qw1 = (
         functools.partial(quantize_weight_int4, group=group)
         if bits == 4
         else quantize_weight
     )
+
+    def qcat(*ws):
+        # int4's grouped-absmax/pack/transpose pipeline materializes f32
+        # intermediates the size of the stack; at real 7B/13B widths that
+        # (plus the fused concat) OOMs a 16GB chip on top of the live bf16
+        # tree — quantize a few layers at a time and stitch the results
+        L = int(ws[0].shape[0]) if ws[0].ndim == 3 else 1
+        step = L if (bits == 8 or ws[0].ndim != 3 or L <= 4) else 4
+        outs = []
+        for i in range(0, L, step):
+            chunk = (
+                jnp.concatenate([w[i : i + step] for w in ws], axis=1)
+                if len(ws) > 1
+                else ws[0][i : i + step]
+            )
+            outs.append(jax.block_until_ready(qw1(chunk)))
+        if len(outs) == 1:
+            return outs[0]
+        return {
+            k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }
+
     out = dict(params)
     layers = dict(params["layers"])
     if fuse:
-        layers["qkv"] = qw(
-            jnp.concatenate(
-                [layers.pop("q"), layers.pop("k"), layers.pop("v")], axis=1
-            )
-        )
-        layers["gateup"] = qw(
-            jnp.concatenate([layers.pop("gate"), layers.pop("up")], axis=1)
-        )
-        layers["o"] = qw(layers["o"])
-        layers["down"] = qw(layers["down"])
+        layers["qkv"] = qcat(layers.pop("q"), layers.pop("k"), layers.pop("v"))
+        layers["gateup"] = qcat(layers.pop("gate"), layers.pop("up"))
+        layers["o"] = qcat(layers["o"])
+        layers["down"] = qcat(layers["down"])
     else:
         for k in _LLAMA_QUANT_KEYS:
-            layers[k] = qw(params["layers"][k])
+            layers[k] = qcat(params["layers"][k])
     out["layers"] = layers
     out["lm_head"] = quantize_weight(params["lm_head"])
     return out
