@@ -444,8 +444,12 @@ def int4_matmul_xla(h: jax.Array, q4: jax.Array, gs: jax.Array) -> jax.Array:
 def _choose_blocks_int4(O: int, Dp: int, bB: int):
     """(bDp, bO) over the transposed packed geometry: double-buffered packed
     block + two h blocks + the layer's full scale rows + fp32 acc within
-    ~8MB VMEM. bO=2048 measured best (bench_int4_transposed.py)."""
-    budget = 8 * 2**20
+    ~7.5MB. bO=2048 measured best (bench_int4_transposed.py). The kernel's
+    unpack/scale stack temporaries roughly DOUBLE the modeled footprint
+    (observed: model 8.0M -> 16.7M scoped, over the 16M hardware limit on
+    the 13B down stack), so the budget stays at ~7.5M to keep real usage
+    under the cap."""
+    budget = int(7.5 * 2**20)
     nG = 2 * Dp // INT4_GROUP
 
     def fits(bDp, bO):
