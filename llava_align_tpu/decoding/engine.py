@@ -753,6 +753,10 @@ class DecodeEngine:
         )
         out_buf = np.asarray(out_buf)
         n_done = np.asarray(n_done)
+        # fetch ONCE: indexing a device array per row would cost one
+        # device round-trip per question (hundreds of ms over the tunnel)
+        top_probs = np.asarray(top_probs)
+        top_ids = np.asarray(top_ids)
         outs = []
         for qi in range(Q):
             n = int(n_done[qi])
@@ -760,8 +764,8 @@ class DecodeEngine:
                 GenerationOutput(
                     token_ids=[int(t) for t in out_buf[qi, :n]],
                     num_generated=n,
-                    first_scores_top_probs=np.asarray(top_probs[qi]),
-                    first_scores_top_ids=np.asarray(top_ids[qi]),
+                    first_scores_top_probs=top_probs[qi],
+                    first_scores_top_ids=top_ids[qi],
                     prompt_length=int(img_arrs[4][qi * n_img_k]),
                 )
             )
@@ -1167,6 +1171,10 @@ class DecodeEngine:
         )
         out_buf = np.asarray(out_buf)
         n_done = np.asarray(n_done)
+        # fetch ONCE: indexing a device array per row would cost one
+        # device round-trip per question (hundreds of ms over the tunnel)
+        top_probs = np.asarray(top_probs)
+        top_ids = np.asarray(top_ids)
         outs = []
         for row in range(M):
             n = int(n_done[row])
@@ -1174,8 +1182,8 @@ class DecodeEngine:
                 GenerationOutput(
                     token_ids=[int(t) for t in out_buf[row, :n]],
                     num_generated=n,
-                    first_scores_top_probs=np.asarray(top_probs[row]),
-                    first_scores_top_ids=np.asarray(top_ids[row]),
+                    first_scores_top_probs=top_probs[row],
+                    first_scores_top_ids=top_ids[row],
                     prompt_length=int(p_lens[row // Qg]) + int(suf_lens[row]),
                 )
             )
