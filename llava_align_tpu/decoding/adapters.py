@@ -146,7 +146,7 @@ class LlavaAdapter:
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
                 max_seq_len, cache_row_offset=0, tp_mesh=None,
                 shared_kv=None, shared_len=None,
-                shared_rows_per_prefix=None):
+                shared_rows_per_prefix=None, shared_rows_per_prefix2=0):
         from llava_align_tpu.models import llama
 
         return llama.forward(
@@ -154,6 +154,7 @@ class LlavaAdapter:
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
             tp_mesh=tp_mesh, shared_kv=shared_kv, shared_len=shared_len,
             shared_rows_per_prefix=shared_rows_per_prefix,
+            shared_rows_per_prefix2=shared_rows_per_prefix2,
         )
 
     # Shared-prefix decoding (engine.generate_batch_prefix) needs the model
@@ -303,7 +304,7 @@ class InstructBlipAdapter:
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
                 max_seq_len, cache_row_offset=0, tp_mesh=None,
                 shared_kv=None, shared_len=None,
-                shared_rows_per_prefix=None):
+                shared_rows_per_prefix=None, shared_rows_per_prefix2=0):
         from llava_align_tpu.models import llama
 
         return llama.forward(
@@ -311,6 +312,7 @@ class InstructBlipAdapter:
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
             shared_kv=shared_kv, shared_len=shared_len,
             shared_rows_per_prefix=shared_rows_per_prefix,
+            shared_rows_per_prefix2=shared_rows_per_prefix2,
         )
 
     def logits(self, params, hidden):
@@ -458,7 +460,7 @@ class QwenVLAdapter:
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
                 max_seq_len, cache_row_offset=0, tp_mesh=None,
                 shared_kv=None, shared_len=None,
-                shared_rows_per_prefix=None):
+                shared_rows_per_prefix=None, shared_rows_per_prefix2=0):
         from llava_align_tpu.models import qwen
 
         return qwen.forward(
@@ -467,6 +469,7 @@ class QwenVLAdapter:
             attn_impl=attn_impl, cache_row_offset=cache_row_offset,
             shared_kv=shared_kv, shared_len=shared_len,
             shared_rows_per_prefix=shared_rows_per_prefix,
+            shared_rows_per_prefix2=shared_rows_per_prefix2,
         )
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:

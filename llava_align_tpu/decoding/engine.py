@@ -787,28 +787,42 @@ class DecodeEngine:
     # ------------------------------------------------------------------
 
     def _get_groups_fn(self, pad_prefix: int, pad_suf: int, pad_txt: int,
-                       G: int, Qg: int, ntk_pad: int):
+                       G: int, Qg: int, ntk_pad: int,
+                       sh_kinds: tuple = (), pl_kinds: tuple = (),
+                       pad_tp: int = 0):
         """One jitted program decoding G image-groups of Qg questions each:
         G shared-prefix rows prefill batched, every question's suffix and
         degraded branches run against its group's prefix segment
         (ops/attention grouped shared variants). G=1 is the plain
         generate_batch_prefix case; G>1 amortizes per-call dispatch/transfer
-        across groups (the dominant cost once prefill is shared)."""
-        key = ("prefix", pad_prefix, pad_suf, pad_txt, G, Qg, ntk_pad)
+        across groups (the dominant cost once prefill is shared).
+
+        Text-only degraded branches whose transformed prompt prefix is shared
+        across the group's questions (sh_kinds — llava unk/none, qwen none;
+        verified exactly on the host per call) get their OWN per-group prefix
+        segments (second table, pad_tp bucket): the kind's transformed prefix
+        prefills once per group and per-question rows run suffix-only — the
+        reference re-prefills these branches per question AND per token loop
+        entry (vcd_sample.py:147-185). pl_kinds (explicit branch_ids, e.g.
+        qwen unk) keep full-prompt rows (pad_txt bucket, no segment)."""
+        key = ("prefix", pad_prefix, pad_suf, pad_txt, G, Qg, ntk_pad,
+               sh_kinds, pl_kinds, pad_tp)
         if key in self._compiled:
             return self._compiled[key]
 
         adapter, gen = self.adapter, self.gen
         nb = len(self.kinds)
-        n_txt = len(self.txt_kinds)
+        n_sh = len(sh_kinds)
+        n_pl = len(pl_kinds)
         img_kinds = self.img_kinds          # ['main'] or ['main', 'cd']
         n_img = len(img_kinds)
         M = G * Qg                          # questions
         M2 = M * n_img                      # image-bearing rows (segment-major)
-        R = M2 + M * n_txt
+        Msh = M * n_sh                      # shared-text rows (segment-major)
+        R = M2 + Msh + M * n_pl
         n_contrast = nb - 1
         T = gen.max_new_tokens
-        cache_len = max(pad_suf, pad_txt) + T
+        cache_len = max(pad_suf, pad_txt if n_pl else 0) + T
         # One length drives position-dependent scaling (qwen dynamic-NTK) in
         # every phase — and it must be the SAME length the unshared paths
         # would use for these prompts (bucket(full spliced length) + T,
@@ -819,33 +833,42 @@ class DecodeEngine:
         attn_impl = self.attn_impl
         topk = self.top_scores_k
 
-        # rows: [G*n_img segment blocks of Qg image-bearing rows | M*n_txt
-        # text rows (question-major)]. With use_cd the noised-image branch
-        # gets its OWN shared prefix segment per group (segment g*n_img+1).
+        # rows: [G*n_img segment blocks of Qg image-bearing rows |
+        # G*n_sh segment blocks of Qg shared-text rows | M*n_pl plain text
+        # rows (question-major)]. With use_cd the noised-image branch gets
+        # its OWN shared prefix segment per group (segment g*n_img+1).
         perm = np.zeros((M * nb,), np.int32)
         for qq in range(M):
             g, q = divmod(qq, Qg)
-            j = 0
+            jp = 0
             for b, kind in enumerate(self.kinds):
                 if kind in ("main", "cd"):
                     i = img_kinds.index(kind)
                     perm[qq * nb + b] = (g * n_img + i) * Qg + q
+                elif kind in sh_kinds:
+                    j = sh_kinds.index(kind)
+                    perm[qq * nb + b] = M2 + (g * n_sh + j) * Qg + q
                 else:
-                    perm[qq * nb + b] = M2 + qq * n_txt + j
-                    j += 1
+                    perm[qq * nb + b] = M2 + Msh + qq * n_pl + jp
+                    jp += 1
         perm = jnp.asarray(perm)
         r2q = np.zeros((R,), np.int32)
         for g in range(G):
             for i in range(n_img):
                 for q in range(Qg):
                     r2q[(g * n_img + i) * Qg + q] = g * Qg + q
-        r2q[M2:] = np.repeat(np.arange(M, dtype=np.int32), n_txt)
+        for g in range(G):
+            for j in range(n_sh):
+                for q in range(Qg):
+                    r2q[M2 + (g * n_sh + j) * Qg + q] = g * Qg + q
+        r2q[M2 + Msh:] = np.repeat(np.arange(M, dtype=np.int32), n_pl)
         row_to_q = jnp.asarray(r2q)
 
         fuse_and_warp = _make_fuse_and_warp(gen, n_contrast)
         stop_hit = _make_stop_hit(kws, M)
 
-        def groups_fn(params, pack_prefix, suf_tokens, suf_lens, pack_txt, images, rng):
+        def groups_fn(params, pack_prefix, suf_tokens, suf_lens, pack_tp,
+                      pack_txt, images, rng):
             from llava_align_tpu.ops.image import normalize_device
 
             p_tokens, p_tok_g, p_img_g, p_is_img, p_len, _ = pack_prefix
@@ -890,54 +913,99 @@ class DecodeEngine:
             shared = {"k": p_cache["k"], "v": p_cache["v"]}  # [L, n_seg, P, K, Dh]
             seg_len = seg_tile(p_len)  # [n_seg]
 
-            # ---- per-question suffixes against [segment's shared | local]
+            # ---- shared TEXT-branch prefixes: G*n_sh segment rows at their
+            # own (short) bucket — each kind's transformed prefix prefills
+            # once per group instead of once per question
+            if n_sh:
+                tp_tokens, tp_tok_g, tp_img_g, tp_is_img, tp_len, _ = pack_tp
+                n_seg_t = G * n_sh
+                t_cache = self._constrain_cache(
+                    adapter.init_cache(n_seg_t, pad_tp), n_seg_t
+                )
+                tp_embeds = adapter.splice_embeds(
+                    params, tp_tokens, tp_tok_g, tp_img_g, tp_is_img,
+                    jnp.zeros((n_seg_t, 1, D), feats.dtype),
+                )
+                tp_positions = jnp.broadcast_to(
+                    jnp.arange(pad_tp, dtype=jnp.int32), (n_seg_t, pad_tp)
+                )
+                _, t_cache = adapter.forward(
+                    params, tp_embeds, tp_positions, t_cache,
+                    jnp.zeros((n_seg_t,), jnp.int32), attn_impl=attn_impl,
+                    max_seq_len=total_len, tp_mesh=self._tp_mesh,
+                )
+                shared["k2"] = t_cache["k"]  # [L, G*n_sh, Pt, K, Dh]
+                shared["v2"] = t_cache["v"]
+                sh_len_txt = jnp.repeat(tp_len, Qg)  # [Msh], rows [g, j, q]
+
+            # ---- per-question suffixes against [segment's shared | local]:
+            # image-bearing rows AND shared-text rows in ONE forward (same
+            # suffix tokens; each row span attends its own segment table)
             cache = self._constrain_cache(adapter.init_cache(R, cache_len), R)
-            # suffix rows segment-major: [g, i, q]
-            suf_tokens2 = jnp.repeat(
-                suf_tokens.reshape(G, 1, Qg, -1), n_img, axis=1
-            ).reshape(M2, -1)
-            suf_lens2 = jnp.repeat(
-                suf_lens.reshape(G, 1, Qg), n_img, axis=1
-            ).reshape(M2)
-            s_embeds = adapter.embed_tokens(params, suf_tokens2)  # [M2, pad_suf, D]
+            # suffix rows span-blocked: ALL image rows [g, i, q] first, then
+            # ALL shared-text rows [g, j, q] (the attention tables cover
+            # contiguous row spans — interleaving per group would misalign
+            # rows and segments for G > 1)
+            def span_tile(x, n, rows):
+                return jnp.repeat(
+                    x.reshape((G, 1, Qg) + x.shape[2:]), n, axis=1
+                ).reshape((rows,) + x.shape[2:])
+
+            suf_t = suf_tokens.reshape(G, Qg, -1)
+            suf_l = suf_lens.reshape(G, Qg)
+            suf_tokens2 = span_tile(suf_t, n_img, M2)
+            suf_lens2 = span_tile(suf_l, n_img, M2)
+            if n_sh:
+                suf_tokens2 = jnp.concatenate(
+                    [suf_tokens2, span_tile(suf_t, n_sh, Msh)], axis=0
+                )
+                suf_lens2 = jnp.concatenate(
+                    [suf_lens2, span_tile(suf_l, n_sh, Msh)], axis=0
+                )
+            s_embeds = adapter.embed_tokens(params, suf_tokens2)
             sh_len_main = jnp.repeat(seg_len, Qg)  # [M2]
-            s_positions = sh_len_main[:, None] + jnp.broadcast_to(
-                jnp.arange(pad_suf, dtype=jnp.int32), (M2, pad_suf)
+            sh_len_suf = (
+                jnp.concatenate([sh_len_main, sh_len_txt], axis=0)
+                if n_sh
+                else sh_len_main
+            )
+            s_positions = sh_len_suf[:, None] + jnp.broadcast_to(
+                jnp.arange(pad_suf, dtype=jnp.int32), (M2 + Msh, pad_suf)
             )
             s_hidden, cache = adapter.forward(
                 params, s_embeds, s_positions, cache,
-                jnp.zeros((M2,), jnp.int32), attn_impl=attn_impl,
+                jnp.zeros((M2 + Msh,), jnp.int32), attn_impl=attn_impl,
                 max_seq_len=total_len, tp_mesh=self._tp_mesh,
-                shared_kv=shared, shared_len=sh_len_main,
-                shared_rows_per_prefix=Qg,
+                shared_kv=shared, shared_len=sh_len_suf,
+                shared_rows_per_prefix=Qg, shared_rows_per_prefix2=Qg,
             )
-            last = s_hidden[jnp.arange(M2), suf_lens2 - 1]
+            last = s_hidden[jnp.arange(M2 + Msh), suf_lens2 - 1]
             logits = adapter.logits(params, last)
             lengths = suf_lens2
 
-            # ---- text-only degraded rows: full short prompts, no shared
-            if n_txt:
+            # ---- plain text rows (explicit branch ids): full short prompts
+            if n_pl:
                 t_tokens, t_tok_g, t_img_g, t_is_img, len_txt, _ = pack_txt
-                zero_feats = jnp.zeros((M * n_txt, 1, D), feats.dtype)
+                zero_feats = jnp.zeros((M * n_pl, 1, D), feats.dtype)
                 t_embeds = adapter.splice_embeds(
                     params, t_tokens, t_tok_g, t_img_g, t_is_img, zero_feats
                 )
                 t_positions = jnp.broadcast_to(
-                    jnp.arange(pad_txt, dtype=jnp.int32), (M * n_txt, pad_txt)
+                    jnp.arange(pad_txt, dtype=jnp.int32), (M * n_pl, pad_txt)
                 )
                 t_hidden, cache = adapter.forward(
                     params, t_embeds, t_positions, cache,
-                    jnp.zeros((M * n_txt,), jnp.int32), attn_impl=attn_impl,
-                    max_seq_len=total_len, cache_row_offset=M2,
+                    jnp.zeros((M * n_pl,), jnp.int32), attn_impl=attn_impl,
+                    max_seq_len=total_len, cache_row_offset=M2 + Msh,
                     tp_mesh=self._tp_mesh,
                 )
-                t_last = t_hidden[jnp.arange(M * n_txt), len_txt - 1]
+                t_last = t_hidden[jnp.arange(M * n_pl), len_txt - 1]
                 logits = jnp.concatenate([logits, adapter.logits(params, t_last)], axis=0)
                 lengths = jnp.concatenate([lengths, len_txt], axis=0)
             V = logits.shape[-1]
             sh_len_all = jnp.concatenate(
-                [sh_len_main, jnp.zeros((M * n_txt,), jnp.int32)], axis=0
-            )  # [R]: image rows carry their segment length, text rows 0
+                [sh_len_suf, jnp.zeros((M * n_pl,), jnp.int32)], axis=0
+            )  # [R]: segmented rows carry their segment length, plain rows 0
 
             init = dict(
                 cache=cache,
@@ -976,7 +1044,7 @@ class DecodeEngine:
                     attn_impl=attn_impl, max_seq_len=total_len,
                     tp_mesh=self._tp_mesh,
                     shared_kv=shared, shared_len=sh_len_all,
-                    shared_rows_per_prefix=Qg,
+                    shared_rows_per_prefix=Qg, shared_rows_per_prefix2=Qg,
                 )
                 logits = adapter.logits(params, hidden[:, 0])
                 return dict(
@@ -1055,8 +1123,15 @@ class DecodeEngine:
                     "image sentinel must be inside the shared prefix, not a "
                     "suffix — group questions by image before splitting"
                 )
-        n_txt_k = len(self.txt_kinds)
         M = G * Qg
+        # text kinds whose transformed prompt prefix is shared across every
+        # question (verified exactly: branch(prefix)+suffix == branch(full))
+        # get per-group prefix segments; the rest keep full-prompt rows
+        sh_kinds = tuple(
+            k for k in self.txt_kinds if self._txt_kind_prefix_shareable(k, groups)
+        )
+        pl_kinds = tuple(k for k in self.txt_kinds if k not in sh_kinds)
+        n_sh_k, n_pl_k = len(sh_kinds), len(pl_kinds)
 
         # ---- prefix rows (one per group, shared bucket)
         prefix_packs = []
@@ -1099,19 +1174,53 @@ class DecodeEngine:
                 suf_tokens[row, : len(s)] = [int(t) for t in s]
                 suf_lens[row] = len(s)
 
-        # ---- text-only degraded rows [M * n_txt]
-        pad_txt = self.bucket if n_txt_k else 0
+        # ---- shared text-branch prefix rows [G * n_sh] (own short bucket):
+        # one row per (group, shared kind) — the kind's transformed prefix
+        tp_packs = []
+        pad_tp = 0
+        if n_sh_k:
+            pad_tp = self.bucket
+            for prefix_ids, _, _, _ in groups:
+                for kind in sh_kinds:
+                    pk = self._pack(list(prefix_ids), False, kinds=[kind])
+                    tp_packs.append(pk)
+                    pad_tp = max(pad_tp, pk[0])
+            rows = G * n_sh_k
+            tp_arrs = [
+                np.zeros((rows, pad_tp), np.int32),
+                np.zeros((rows, pad_tp), np.int32),
+                np.zeros((rows, pad_tp), np.int32),
+                np.zeros((rows, pad_tp), bool),
+            ]
+            tp_lens = np.zeros((rows,), np.int32)
+            for ri, pk in enumerate(tp_packs):
+                _, t, tg, ig, ii, ln, _ = pk
+                w = t.shape[1]
+                tp_arrs[0][ri, :w] = t[0]
+                tp_arrs[1][ri, :w] = tg[0]
+                tp_arrs[2][ri, :w] = ig[0]
+                tp_arrs[3][ri, :w] = ii[0]
+                tp_lens[ri] = ln[0]
+            pack_tp = tuple(
+                jnp.asarray(a)
+                for a in (*tp_arrs, tp_lens, np.full((rows,), -1, np.int32))
+            )
+        else:
+            pack_tp = tuple(jnp.zeros((0,), jnp.int32) for _ in range(6))
+
+        # ---- plain text-only degraded rows [M * n_pl] (full short prompts)
+        pad_txt = self.bucket if n_pl_k else 0
         txt_packs = []
-        if n_txt_k:
+        if n_pl_k:
             for gi, (prefix_ids, sfx, image, bids_list) in enumerate(groups):
                 has_image = prefix_packs[gi][1]
                 for qi, s in enumerate(sfx):
                     full = list(prefix_ids) + [int(t) for t in s]
                     bids = bids_list[qi] if bids_list else None
-                    pt = self._pack(full, has_image, bids, kinds=self.txt_kinds)
+                    pt = self._pack(full, has_image, bids, kinds=list(pl_kinds))
                     txt_packs.append(pt)
                     pad_txt = max(pad_txt, pt[0])
-            rows = M * n_txt_k
+            rows = M * n_pl_k
             t_arrs = [
                 np.zeros((rows, pad_txt), np.int32),
                 np.zeros((rows, pad_txt), np.int32),
@@ -1122,7 +1231,7 @@ class DecodeEngine:
             for qi, pack in enumerate(txt_packs):
                 _, t, tg, ig, ii, ln, _ = pack
                 w = t.shape[1]
-                sl = slice(qi * n_txt_k, (qi + 1) * n_txt_k)
+                sl = slice(qi * n_pl_k, (qi + 1) * n_pl_k)
                 t_arrs[0][sl, :w] = t
                 t_arrs[1][sl, :w] = tg
                 t_arrs[2][sl, :w] = ig
@@ -1155,12 +1264,16 @@ class DecodeEngine:
             int(p_lens[row // Qg]) + int(suf_lens[row]) for row in range(M)
         )
         ntk_pad = _round_up(max(max_full, self.bucket), self.bucket)
-        fn = self._get_groups_fn(pad_prefix, pad_suf, pad_txt, G, Qg, ntk_pad)
+        fn = self._get_groups_fn(
+            pad_prefix, pad_suf, pad_txt, G, Qg, ntk_pad,
+            sh_kinds=sh_kinds, pl_kinds=pl_kinds, pad_tp=pad_tp,
+        )
         out_buf, n_done, top_probs, top_ids = fn(
             self.params,
             self._put(pack_prefix),
             self._put(jnp.asarray(suf_tokens)),
             self._put(jnp.asarray(suf_lens)),
+            self._put(pack_tp),
             self._put(pack_txt),
             self._put(
                 jnp.asarray(images)
@@ -1188,6 +1301,29 @@ class DecodeEngine:
                 )
             )
         return outs
+
+    def _txt_kind_prefix_shareable(self, kind: str, groups) -> bool:
+        """True iff this text kind's branch transform is prefix-local for
+        EVERY question: branch(prefix) + suffix == branch(prefix + suffix),
+        so one per-group prefix segment reproduces the per-question rows
+        exactly. Explicit branch_ids (qwen 'unk': per-question retokenized
+        prompts, qwen_calibrate.py:37) are never splittable."""
+        adapter = self.adapter
+        for prefix_ids, sfx, _, bids_list in groups:
+            if bids_list and any(b and kind in b for b in bids_list):
+                return False
+            pref = [int(t) for t in prefix_ids]
+            try:
+                base = adapter.branch_token_ids(pref, kind)
+            except Exception:
+                return False
+            if not base:
+                return False  # empty transformed prefix: nothing to share
+            for s in sfx:
+                suf = [int(t) for t in s]
+                if adapter.branch_token_ids(pref + suf, kind) != list(base) + suf:
+                    return False
+        return True
 
     @staticmethod
     def common_token_prefix(token_lists: Sequence[Sequence[int]]) -> int:

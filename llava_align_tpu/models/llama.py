@@ -125,6 +125,7 @@ def forward(
     shared_kv: Optional[KVCache] = None,
     shared_len: Optional[jax.Array] = None,
     shared_rows_per_prefix: Optional[int] = None,
+    shared_rows_per_prefix2: int = 0,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -133,6 +134,10 @@ def forward(
     gives each row's valid prefix length (0 = no shared segment). When set,
     `positions` must be absolute (shared_len[b] + local index) while
     `cache_offset` stays LOCAL; prefill blocks are the first local content.
+    A grouped shared_kv may carry a SECOND segment table ('k2','v2':
+    [L, G2, P2, K, Dh], rows blocked by shared_rows_per_prefix2) covering the
+    rows right after the first table's span — the engine's shared text-branch
+    prefixes (ops/attention grouped two-table variants).
 
     tp_mesh: optional Mesh — int8-quantized stacks run tensor-parallel via
     shard_map around the weight-streaming kernel (column-parallel qkv/gate
@@ -236,6 +241,10 @@ def forward(
             k_sh = jax.lax.dynamic_index_in_dim(shared_kv["k"], li, 0, keepdims=False)
             v_sh = jax.lax.dynamic_index_in_dim(shared_kv["v"], li, 0, keepdims=False)
             grouped = k_sh.ndim == 4  # [G, P, K, Dh]: one prefix per row-group
+            k_sh2 = v_sh2 = None
+            if "k2" in shared_kv:  # second (text-branch) segment table
+                k_sh2 = jax.lax.dynamic_index_in_dim(shared_kv["k2"], li, 0, keepdims=False)
+                v_sh2 = jax.lax.dynamic_index_in_dim(shared_kv["v2"], li, 0, keepdims=False)
             if is_decode:
                 k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
                 v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
@@ -243,6 +252,7 @@ def forward(
                     attn = decode_attention_shared_grouped(
                         q, k_slice, v_slice, cache_offset, k_sh, v_sh,
                         shared_len, shared_rows_per_prefix,
+                        k_sh2, v_sh2, shared_rows_per_prefix2,
                     )
                 else:
                     attn = decode_attention_shared(
@@ -250,7 +260,8 @@ def forward(
                     )
             elif grouped:
                 attn = chunk_attention_shared_grouped(
-                    q, k, v, k_sh, v_sh, shared_len, shared_rows_per_prefix
+                    q, k, v, k_sh, v_sh, shared_len, shared_rows_per_prefix,
+                    k_sh2, v_sh2, shared_rows_per_prefix2,
                 )
             else:
                 attn = chunk_attention_shared(q, k, v, k_sh, v_sh, shared_len)

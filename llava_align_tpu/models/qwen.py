@@ -141,10 +141,12 @@ def forward(
     shared_kv: Optional[Dict[str, jax.Array]] = None,
     shared_len: Optional[jax.Array] = None,
     shared_rows_per_prefix: Optional[int] = None,
+    shared_rows_per_prefix2: int = 0,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """shared_kv: optional read-only prefix segment {'k','v': [L, P, K, Dh]}
     (same contract as models/llama.forward: positions absolute, cache_offset
-    local)."""
+    local; optional second table 'k2'/'v2' for the shared text-branch
+    prefixes, rows blocked by shared_rows_per_prefix2)."""
     B, S, D = embeds.shape
     H, Dh = cfg.num_heads, cfg.head_dim
     base = cfg.rotary_emb_base * ntk_alpha ** (Dh / (Dh - 2))
@@ -204,6 +206,10 @@ def forward(
             k_sh = jax.lax.dynamic_index_in_dim(shared_kv["k"], li, 0, keepdims=False)
             v_sh = jax.lax.dynamic_index_in_dim(shared_kv["v"], li, 0, keepdims=False)
             grouped = k_sh.ndim == 4  # [G, P, K, Dh]: one prefix per row-group
+            k_sh2 = v_sh2 = None
+            if "k2" in shared_kv:  # second (text-branch) segment table
+                k_sh2 = jax.lax.dynamic_index_in_dim(shared_kv["k2"], li, 0, keepdims=False)
+                v_sh2 = jax.lax.dynamic_index_in_dim(shared_kv["v2"], li, 0, keepdims=False)
             if is_decode:
                 k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
                 v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
@@ -211,6 +217,7 @@ def forward(
                     attn = decode_attention_shared_grouped(
                         q, k_slice, v_slice, cache_offset, k_sh, v_sh,
                         shared_len, shared_rows_per_prefix,
+                        k_sh2, v_sh2, shared_rows_per_prefix2,
                     )
                 else:
                     attn = decode_attention_shared(
@@ -218,7 +225,8 @@ def forward(
                     )
             elif grouped:
                 attn = chunk_attention_shared_grouped(
-                    q, k, v, k_sh, v_sh, shared_len, shared_rows_per_prefix
+                    q, k, v, k_sh, v_sh, shared_len, shared_rows_per_prefix,
+                    k_sh2, v_sh2, shared_rows_per_prefix2,
                 )
             else:
                 attn = chunk_attention_shared(q, k, v, k_sh, v_sh, shared_len)

@@ -239,44 +239,40 @@ def decode_attention_shared(
 # (engine.generate_batch_groups packs several image-groups into one lockstep
 # call to amortize per-call dispatch/transfer). k_sh/v_sh: [G, P, K, Dh];
 # sh_len: [B] per-row valid prefix length.
+#
+# An optional SECOND segment table (k_sh2/v_sh2, its own prefix bucket)
+# covers the rows immediately after the first table's span — the engine uses
+# it for the text-only degraded VDD branches, whose (transformed) prompt
+# prefix is shared across each group's questions just like the image prefix
+# (reference re-prefills those branches per question, vcd_sample.py:147-185).
 # ---------------------------------------------------------------------------
 
 
-def _grouped(q5: jax.Array, rows_per_prefix: int):
-    B = q5.shape[0]
-    G = B // rows_per_prefix
-    return q5.reshape((G, rows_per_prefix) + q5.shape[1:])
-
-
-def chunk_attention_shared_grouped(
-    q: jax.Array,
-    k: jax.Array,
+def _chunk_span_shared(
+    qr: jax.Array,  # [Bs, K, g, S, Dh] rows of this span
+    k: jax.Array,   # [Bs, S, K, Dh] local keys
     v: jax.Array,
-    k_sh: jax.Array,
+    k_sh: jax.Array,  # [G, P, K, Dh]
     v_sh: jax.Array,
-    sh_len: jax.Array,
-    rows_per_prefix: int,
+    sh_len: jax.Array,  # [Bs]
+    R: int,
+    scale: float,
 ) -> jax.Array:
-    """Suffix prefill with one shared prefix per static row-group."""
-    B, S, H, Dh = q.shape
-    K = k.shape[2]
-    group = H // K
-    scale = 1.0 / (Dh**0.5)
+    """One-table grouped chunk attention over a contiguous row span.
+    Returns [Bs, K, g, S, Dh] fp32."""
+    Bs, K, g, S, Dh = qr.shape
     G = k_sh.shape[0]
-    R = rows_per_prefix
-
-    qr = q.astype(k.dtype).reshape(B, S, K, group, Dh).transpose(0, 2, 3, 1, 4)
-    qg = _grouped(qr, R)  # [G, R, K, g, S, Dh]
+    P = k_sh.shape[1]
+    qg = qr.reshape(G, R, K, g, S, Dh)
     sh = jnp.einsum(
-        "Grkgsd,Gpkd->Grkgsp", qg, k_sh.astype(k.dtype),
+        "Grkgsd,Gpkd->Grkgsp", qg, k_sh,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ) * scale
-    P = k_sh.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (G, R, 1, 1, 1, P), 5)
     sh = jnp.where(
         col < sh_len.reshape(G, R, 1, 1, 1, 1), sh, NEG_INF
-    ).reshape(B, K, group, S, P)
+    ).reshape(Bs, K, g, S, P)
 
     loc = jnp.einsum(
         "bkgsd,btkd->bkgst", qr, k,
@@ -291,16 +287,99 @@ def chunk_attention_shared_grouped(
     probs = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
     out_sh = jnp.einsum(
         "Grkgsp,Gpkd->Grkgsd",
-        _grouped(probs[..., :P], R).astype(v.dtype), v_sh,
+        probs[..., :P].reshape(G, R, K, g, S, P).astype(v.dtype), v_sh,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape(B, K, group, S, Dh)
-    out = out_sh + jnp.einsum(
+    ).reshape(Bs, K, g, S, Dh)
+    return out_sh + jnp.einsum(
         "bkgst,btkd->bkgsd", probs[..., P:].astype(v.dtype), v,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def chunk_attention_shared_grouped(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_sh: jax.Array,
+    v_sh: jax.Array,
+    sh_len: jax.Array,
+    rows_per_prefix: int,
+    k_sh2: jax.Array | None = None,
+    v_sh2: jax.Array | None = None,
+    rows_per_prefix2: int = 0,
+) -> jax.Array:
+    """Suffix prefill with one shared prefix per static row-group. Rows are
+    [table-1 span | table-2 span (optional)]; each span's rows block by its
+    own rows_per_prefix."""
+    B, S, H, Dh = q.shape
+    K = k.shape[2]
+    group = H // K
+    scale = 1.0 / (Dh**0.5)
+    M1 = k_sh.shape[0] * rows_per_prefix
+
+    qr = q.astype(k.dtype).reshape(B, S, K, group, Dh).transpose(0, 2, 3, 1, 4)
+    out1 = _chunk_span_shared(
+        qr[:M1], k[:M1], v[:M1], k_sh.astype(k.dtype), v_sh,
+        sh_len[:M1], rows_per_prefix, scale,
+    )
+    if k_sh2 is None:
+        out = out1
+    else:
+        out2 = _chunk_span_shared(
+            qr[M1:], k[M1:], v[M1:], k_sh2.astype(k.dtype), v_sh2,
+            sh_len[M1:], rows_per_prefix2, scale,
+        )
+        out = jnp.concatenate([out1, out2], axis=0)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S, H, Dh).astype(q.dtype)
+
+
+def _decode_span_shared(
+    qr: jax.Array,  # [Ms, K, g, Dh]
+    k_cache: jax.Array,  # [Ms, Smax, K, Dh]
+    v_cache: jax.Array,
+    lengths: jax.Array,  # [Ms]
+    k_sh: jax.Array,  # [G, P, K, Dh]
+    v_sh: jax.Array,
+    sh_len: jax.Array,  # [Ms]
+    R: int,
+    scale: float,
+) -> jax.Array:
+    """One-table grouped decode attention over a row span → [Ms, K, g, Dh]."""
+    Ms, K, g, Dh = qr.shape
+    G = k_sh.shape[0]
+    P = k_sh.shape[1]
+    Smax = k_cache.shape[1]
+    qg = qr.reshape(G, R, K, g, Dh)
+    sh = jnp.einsum(
+        "Grkgd,Gpkd->Grkgp", qg, k_sh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, R, 1, 1, P), 4)
+    sh = jnp.where(
+        col < sh_len.reshape(G, R, 1, 1, 1), sh, NEG_INF
+    ).reshape(Ms, K, g, P)
+    loc = jnp.einsum(
+        "bkgd,bskd->bkgs", qr, k_cache,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Ms, 1, 1, Smax), 3)
+    loc = jnp.where(pos <= lengths[:, None, None, None], loc, NEG_INF)
+    logits = jnp.concatenate([sh, loc], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "Grkgp,Gpkd->Grkgd",
+        probs[..., :P].reshape(G, R, K, g, P).astype(v_cache.dtype), v_sh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(Ms, K, g, Dh) + jnp.einsum(
+        "bkgs,bskd->bkgd", probs[..., P:].astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def decode_attention_shared_grouped(
@@ -312,59 +391,42 @@ def decode_attention_shared_grouped(
     v_sh: jax.Array,
     sh_len: jax.Array,
     rows_per_prefix: int,
+    k_sh2: jax.Array | None = None,
+    v_sh2: jax.Array | None = None,
+    rows_per_prefix2: int = 0,
 ) -> jax.Array:
-    """Decode over [group's shared prefix | local cache]. Rows beyond
-    G*rows_per_prefix (text-only branches) attend their local cache only."""
+    """Decode over [group's shared prefix | local cache]. Row layout:
+    [table-1 span | table-2 span (optional) | plain rows]; plain rows (text
+    branches with no shared segment) attend their local cache only."""
     B = q.shape[0]
-    G = k_sh.shape[0]
-    M = G * rows_per_prefix
-    if M == B:
-        main = q
-        rest = None
-    else:
-        main, rest = q[:M], q[M:]
+    M1 = k_sh.shape[0] * rows_per_prefix
+    M2 = (k_sh2.shape[0] * rows_per_prefix2) if k_sh2 is not None else 0
+    M = M1 + M2
     _, _, H, Dh = q.shape
     K = k_cache.shape[2]
     group = H // K
     scale = 1.0 / (Dh**0.5)
-    Smax = k_cache.shape[1]
-    P = k_sh.shape[1]
 
-    qr = main.astype(k_cache.dtype).reshape(M, K, group, Dh)
-    qg = qr.reshape(G, rows_per_prefix, K, group, Dh)
-    sh = jnp.einsum(
-        "Grkgd,Gpkd->Grkgp", qg, k_sh.astype(k_cache.dtype),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, (G, rows_per_prefix, 1, 1, P), 4)
-    sh = jnp.where(
-        col < sh_len[:M].reshape(G, rows_per_prefix, 1, 1, 1), sh, NEG_INF
-    ).reshape(M, K, group, P)
-    loc = jnp.einsum(
-        "bkgd,bskd->bkgs", qr, k_cache[:M],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
-    pos = jax.lax.broadcasted_iota(jnp.int32, (M, 1, 1, Smax), 3)
-    loc = jnp.where(pos <= lengths[:M, None, None, None], loc, NEG_INF)
-    logits = jnp.concatenate([sh, loc], axis=-1)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out_m = jnp.einsum(
-        "Grkgp,Gpkd->Grkgd",
-        probs[..., :P].reshape(G, rows_per_prefix, K, group, P).astype(v_cache.dtype),
-        v_sh,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(M, K, group, Dh) + jnp.einsum(
-        "bkgs,bskd->bkgd", probs[..., P:].astype(v_cache.dtype), v_cache[:M],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    qr = q[:M].astype(k_cache.dtype).reshape(M, K, group, Dh)
+    out1 = _decode_span_shared(
+        qr[:M1], k_cache[:M1], v_cache[:M1], lengths[:M1],
+        k_sh.astype(k_cache.dtype), v_sh, sh_len[:M1], rows_per_prefix, scale,
     )
-    out_m = out_m.reshape(M, 1, H, Dh).astype(q.dtype)
-    if rest is None:
+    outs = [out1]
+    if M2:
+        outs.append(
+            _decode_span_shared(
+                qr[M1:M], k_cache[M1:M], v_cache[M1:M], lengths[M1:M],
+                k_sh2.astype(k_cache.dtype), v_sh2, sh_len[M1:M],
+                rows_per_prefix2, scale,
+            )
+        )
+    out_m = (
+        jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    ).reshape(M, 1, H, Dh).astype(q.dtype)
+    if M == B:
         return out_m
-    out_r = decode_attention(rest, k_cache[M:], v_cache[M:], lengths[M:])
+    out_r = decode_attention(q[M:], k_cache[M:], v_cache[M:], lengths[M:])
     return jnp.concatenate([out_m, out_r], axis=0)
 
 
