@@ -1096,6 +1096,21 @@ class DecodeEngine:
         (group 0's questions first). With use_cd (VCD) each group gets a
         SECOND shared segment holding the diffusion-noised image's prefix KV
         — the cd branch rides the grouped machinery too."""
+        return self.collect_batch_groups(self.submit_batch_groups(groups, rng=rng))
+
+    def submit_batch_groups(
+        self,
+        groups: Sequence[tuple],
+        *,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Async half of generate_batch_groups: host packing + jitted-call
+        dispatch, no blocking fetch. Returns a handle for
+        collect_batch_groups. Submitting call g+1 before collecting call g
+        overlaps g+1's host packing and input transfer with g's device
+        execution — the per-call fixed cost (~135ms over the remote tunnel)
+        that otherwise serializes between calls. Inputs are small (token
+        packs + uint8 images), so one queued call adds no meaningful HBM."""
         if self.gen.use_cd and any(g[2] is None for g in groups):
             raise ValueError(
                 "use_cd groups need an image (the noised prefix segment); "
@@ -1282,6 +1297,12 @@ class DecodeEngine:
             ),
             self._put(rng),
         )
+        return (out_buf, n_done, top_probs, top_ids, p_lens, suf_lens, Qg, M)
+
+    def collect_batch_groups(self, handle) -> List[GenerationOutput]:
+        """Blocking half of generate_batch_groups: fetch the device outputs
+        of a submit_batch_groups handle and assemble GenerationOutputs."""
+        out_buf, n_done, top_probs, top_ids, p_lens, suf_lens, Qg, M = handle
         out_buf = np.asarray(out_buf)
         n_done = np.asarray(n_done)
         # fetch ONCE: indexing a device array per row would cost one

@@ -37,6 +37,32 @@ from llava_align_tpu.runners.common import (
 from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_token
 
 
+def _auto_group_batch(engine, Qg: int, max_new: int) -> int:
+    """Analytic multi-group batch pick: amortize per-call dispatch/transfer
+    across as many image-groups as the HBM budget allows (≤4 — measured flat
+    beyond that on a v5e chip). Mirrors bench.py's never-compile-to-discover
+    policy: one per-group [prefix segment + Qg·branches local rows] estimate
+    against HBM minus weights."""
+    try:
+        params_bytes = sum(
+            int(x.nbytes) for x in jax.tree_util.tree_leaves(engine.params)
+        )
+        shp = jax.eval_shape(lambda: engine.adapter.init_cache(1, 1))
+        per_pos = sum(  # KV bytes per (row, position)
+            int(np.prod(s.shape)) * s.dtype.itemsize
+            for s in jax.tree_util.tree_leaves(shp)
+        )
+        n_img_tok = getattr(engine.adapter, "num_image_tokens", 576) or 576
+        bucket = max(int(getattr(engine, "bucket", 64)), 1)
+        pad_prefix = -(-(n_img_tok + 128) // bucket) * bucket
+        rows = Qg * max(len(engine.kinds), 1)
+        group_bytes = (pad_prefix + rows * (64 + max_new)) * per_pos
+        fit = int((15.0e9 - params_bytes - 1.2e9) // max(group_bytes, 1))
+        return max(1, min(4, fit))
+    except Exception:
+        return 1
+
+
 def run(args) -> str:
     model = load_model(args.model_path)
     tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
@@ -177,8 +203,13 @@ def run(args) -> str:
 
     # multi-group batching: GB uniform-size image-groups decode in ONE jitted
     # call (engine.generate_batch_groups) — per-call dispatch/transfer is the
-    # dominant cost once the prefill is shared
-    GB = max(1, getattr(args, "group_batch", 1))
+    # dominant cost once the prefill is shared. 0 = auto: pick GB analytically
+    # from the HBM budget (a failed remote compile costs minutes — never
+    # discover OOM by trying; same policy as bench.py)
+    GB = getattr(args, "group_batch", 0)
+    if GB <= 0 and group_by_image:
+        GB = _auto_group_batch(engine, max(B, 6), args.max_new_tokens)
+    GB = max(1, GB)
     if group_by_image and GB > 1:
         batches, cur = [], []
         for g in groups:
@@ -210,6 +241,44 @@ def run(args) -> str:
             return None
         return prefix, [ids[p:] for ids in ids_list], image0
 
+    def _finish_chunk(chunk, outs, stop_str, rng):
+        nonlocal n_done
+        outs_none = outs_unk = [None] * len(chunk)
+        if score_engine is not None:
+            # content-free scoring runs, batched the same way
+            # (reference calibrate_label_sapce, llava_calibrate.py:41-89:
+            # 'none' = prompt w/o image token; 'unk' = sentinel→unk id)
+            nu = [none_unk_ids(l) for l in chunk]
+            if len(chunk) == 1:
+                outs_none = [score_engine.generate(nu[0][0], None, rng=rng)]
+                outs_unk = [score_engine.generate(nu[0][1], None, rng=rng)]
+            else:
+                outs_none = score_engine.generate_batch(
+                    [(n_ids, None) for n_ids, _ in nu], rng=rng
+                )
+                outs_unk = score_engine.generate_batch(
+                    [(u_ids, None) for _, u_ids in nu], rng=rng
+                )
+        for line, out, o_n, o_u in zip(chunk, outs, outs_none, outs_unk):
+            finalize(line, out, stop_str, o_n, o_u)
+        n_done += len(chunk)
+        if args.verbose and n_done % 20 < len(chunk):
+            rate = n_done / (time.time() - t0)
+            print(f"{n_done} done, {rate:.2f} samples/s")
+
+    # one in-flight grouped call: submitting batch g+1 before collecting g
+    # overlaps g+1's host packing + input transfer with g's device execution
+    # (the per-call fixed cost over the remote tunnel)
+    pending = None  # (chunk, stop_str, rng, handle)
+
+    def _flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        chunk_p, stop_p, rng_p, handle = pending
+        pending = None
+        _finish_chunk(chunk_p, engine.collect_batch_groups(handle), stop_p, rng_p)
+
     for prepped_batch in loader:
         prepped_batch = prepped_batch[0]
         chunk = [l for g, _ in prepped_batch for l in g]
@@ -217,12 +286,26 @@ def run(args) -> str:
         rng = jax.random.PRNGKey(args.seed + start)
         start += len(chunk)
 
+        splits = [split_prefix(pg) for _, pg in prepped_batch] if group_by_image else []
+        submit_ok = (
+            score_engine is None
+            and group_by_image
+            and all(len(g) > 1 for g, _ in prepped_batch)
+            and len({len(g) for g, _ in prepped_batch}) == 1
+            and splits
+            and all(sp is not None for sp in splits)
+        )
         multi = (
             group_by_image
             and len(prepped_batch) > 1
             and all(len(g) > 1 for g, _ in prepped_batch)
         )
-        splits = [split_prefix(pg) for _, pg in prepped_batch] if group_by_image else []
+        if submit_ok:
+            handle = engine.submit_batch_groups(splits, rng=rng)
+            _flush_pending()  # collect the previous call while this one runs
+            pending = (chunk, stop_str, rng, handle)
+            continue
+        _flush_pending()
         if multi and all(sp is not None for sp in splits):
             outs = engine.generate_batch_groups(splits, rng=rng)
         else:
@@ -258,30 +341,9 @@ def run(args) -> str:
                         )
                     )
 
-        outs_none = outs_unk = [None] * len(chunk)
-        if score_engine is not None:
-            # content-free scoring runs, batched the same way
-            # (reference calibrate_label_sapce, llava_calibrate.py:41-89:
-            # 'none' = prompt w/o image token; 'unk' = sentinel→unk id)
-            nu = [none_unk_ids(l) for l in chunk]
-            if len(chunk) == 1:
-                outs_none = [score_engine.generate(nu[0][0], None, rng=rng)]
-                outs_unk = [score_engine.generate(nu[0][1], None, rng=rng)]
-            else:
-                outs_none = score_engine.generate_batch(
-                    [(n_ids, None) for n_ids, _ in nu], rng=rng
-                )
-                outs_unk = score_engine.generate_batch(
-                    [(u_ids, None) for _, u_ids in nu], rng=rng
-                )
+        _finish_chunk(chunk, outs, stop_str, rng)
 
-        for line, out, o_n, o_u in zip(chunk, outs, outs_none, outs_unk):
-            finalize(line, out, stop_str, o_n, o_u)
-        n_done += len(chunk)
-        if args.verbose and n_done % 20 < len(chunk):
-            rate = n_done / (time.time() - t0)
-            print(f"{n_done} done, {rate:.2f} samples/s")
-
+    _flush_pending()
     ans.close()
     return args.answers_file
 
@@ -317,9 +379,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-questions", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=1,
                    help="questions decoded in lockstep (packed Q*branches batch)")
-    p.add_argument("--group-batch", type=int, default=1,
+    p.add_argument("--group-batch", type=int, default=0,
                    help="uniform-size image-groups decoded per jitted call "
-                   "(amortizes per-call dispatch; engine.generate_batch_groups)")
+                   "(amortizes per-call dispatch; engine.generate_batch_groups). "
+                   "0 = auto: analytic HBM-budget pick, capped at 4")
     p.add_argument("--group-by-image", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="lockstep-decode consecutive same-image questions "
