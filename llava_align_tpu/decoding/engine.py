@@ -79,6 +79,33 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _flatten_blob(arrs):
+    """Concatenate host pack arrays into ONE int32 transfer buffer.
+
+    The remote device stream charges ~5ms latency per input transfer
+    (measured: 15 small pack transfers cost ~80ms serialized before the
+    program runs); one blob costs one. Returns (blob, spec) — spec is fully
+    determined by the compile key's shape parameters, so a cached program's
+    closure-captured spec always matches later calls with the same key."""
+    spec = tuple((tuple(a.shape), str(np.asarray(a).dtype)) for a in arrs)
+    parts = [np.asarray(a, dtype=np.int32).ravel() for a in arrs]
+    blob = np.concatenate(parts) if parts else np.zeros((0,), np.int32)
+    return blob, spec
+
+
+def _unflatten_blob(blob, spec):
+    """Inverse of _flatten_blob inside jit: static slices, free at runtime."""
+    out, off = [], 0
+    for shape, dt in spec:
+        n = int(np.prod(shape, dtype=np.int64))
+        x = jax.lax.slice_in_dim(blob, off, off + n, axis=0).reshape(shape)
+        if dt == "bool":
+            x = x.astype(jnp.bool_)
+        out.append(x)
+        off += n
+    return out
+
+
 def _make_fuse_and_warp(gen: GenerationConfig, n_contrast: int):
     """[Q, nb, V] branch logits → warped [Q, V] (reference fusion chain,
     vcd_sample.py:171-194 + HF warper order)."""
@@ -789,7 +816,7 @@ class DecodeEngine:
     def _get_groups_fn(self, pad_prefix: int, pad_suf: int, pad_txt: int,
                        G: int, Qg: int, ntk_pad: int,
                        sh_kinds: tuple = (), pl_kinds: tuple = (),
-                       pad_tp: int = 0):
+                       pad_tp: int = 0, spec: tuple = ()):
         """One jitted program decoding G image-groups of Qg questions each:
         G shared-prefix rows prefill batched, every question's suffix and
         degraded branches run against its group's prefix segment
@@ -867,8 +894,12 @@ class DecodeEngine:
         fuse_and_warp = _make_fuse_and_warp(gen, n_contrast)
         stop_hit = _make_stop_hit(kws, M)
 
-        def groups_fn(params, pack_prefix, suf_tokens, suf_lens, pack_tp,
-                      pack_txt, images, rng):
+        def groups_fn(params, blob, images, rng):
+            xs = _unflatten_blob(blob, spec)
+            pack_prefix = tuple(xs[0:6])
+            suf_tokens, suf_lens = xs[6], xs[7]
+            pack_tp = tuple(xs[8:14])
+            pack_txt = tuple(xs[14:20])
             from llava_align_tpu.ops.image import normalize_device
 
             p_tokens, p_tok_g, p_img_g, p_is_img, p_len, _ = pack_prefix
@@ -1173,10 +1204,7 @@ class DecodeEngine:
             p_arrs[2][gi, :w] = ig[0]
             p_arrs[3][gi, :w] = ii[0]
             p_lens[gi] = ln[0]
-        pack_prefix = tuple(
-            jnp.asarray(a)
-            for a in (*p_arrs, p_lens, np.full((G,), -1, np.int32))
-        )
+        pack_prefix = (*p_arrs, p_lens, np.full((G,), -1, np.int32))
 
         # ---- suffix rows [M]
         max_suf = max(len(s) for _, sfx, _, _ in groups for s in sfx)
@@ -1216,12 +1244,9 @@ class DecodeEngine:
                 tp_arrs[2][ri, :w] = ig[0]
                 tp_arrs[3][ri, :w] = ii[0]
                 tp_lens[ri] = ln[0]
-            pack_tp = tuple(
-                jnp.asarray(a)
-                for a in (*tp_arrs, tp_lens, np.full((rows,), -1, np.int32))
-            )
+            pack_tp = (*tp_arrs, tp_lens, np.full((rows,), -1, np.int32))
         else:
-            pack_tp = tuple(jnp.zeros((0,), jnp.int32) for _ in range(6))
+            pack_tp = tuple(np.zeros((0,), np.int32) for _ in range(6))
 
         # ---- plain text-only degraded rows [M * n_pl] (full short prompts)
         pad_txt = self.bucket if n_pl_k else 0
@@ -1252,12 +1277,9 @@ class DecodeEngine:
                 t_arrs[2][sl, :w] = ig
                 t_arrs[3][sl, :w] = ii
                 t_lens[sl] = ln
-            pack_txt = tuple(
-                jnp.asarray(a)
-                for a in (*t_arrs, t_lens, np.full((rows,), -1, np.int32))
-            )
+            pack_txt = (*t_arrs, t_lens, np.full((rows,), -1, np.int32))
         else:
-            pack_txt = tuple(jnp.zeros((0,), jnp.int32) for _ in range(6))
+            pack_txt = tuple(np.zeros((0,), np.int32) for _ in range(6))
 
         # ---- images [G, 3, H, W] (uint8 ships raw when uniform)
         imgs_np = [
@@ -1279,17 +1301,18 @@ class DecodeEngine:
             int(p_lens[row // Qg]) + int(suf_lens[row]) for row in range(M)
         )
         ntk_pad = _round_up(max(max_full, self.bucket), self.bucket)
+        # ONE transfer for every token-pack array (the spec is determined by
+        # the compile key, so the cached program's unpack always matches)
+        blob, spec = _flatten_blob(
+            [*pack_prefix, suf_tokens, suf_lens, *pack_tp, *pack_txt]
+        )
         fn = self._get_groups_fn(
             pad_prefix, pad_suf, pad_txt, G, Qg, ntk_pad,
-            sh_kinds=sh_kinds, pl_kinds=pl_kinds, pad_tp=pad_tp,
+            sh_kinds=sh_kinds, pl_kinds=pl_kinds, pad_tp=pad_tp, spec=spec,
         )
         out_buf, n_done, top_probs, top_ids = fn(
             self.params,
-            self._put(pack_prefix),
-            self._put(jnp.asarray(suf_tokens)),
-            self._put(jnp.asarray(suf_lens)),
-            self._put(pack_tp),
-            self._put(pack_txt),
+            self._put(jnp.asarray(blob)),
             self._put(
                 jnp.asarray(images)
                 if images.dtype == np.uint8
