@@ -130,29 +130,7 @@ def run(args) -> str:
 
     from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
 
-    for gi, group in enumerate(groups):
-        image = _load_image(args, group[0].get("image", ""), cfg)
-        rng = jax.random.PRNGKey(args.seed + (gi % 65536))
-        prepped = [prompt_ids(l["text"]) for l in group]
-        ids_list = [ids for ids, _ in prepped]
-        if len(group) > 1:
-            p = DecodeEngine.common_token_prefix(ids_list)
-            prefix = ids_list[0][:p]
-            if IMAGE_TOKEN_INDEX in prefix:
-                outs = engine.generate_batch_prefix(
-                    prefix, [ids[p:] for ids in ids_list], image,
-                    rng=rng, branch_ids_list=[b for _, b in prepped],
-                )
-            else:
-                outs = [
-                    engine.generate(ids, image, rng=rng, branch_ids=b)
-                    for ids, b in prepped
-                ]
-        else:
-            outs = [
-                engine.generate(ids_list[0], image, rng=rng, branch_ids=prepped[0][1])
-            ]
-
+    def write_group(group, outs, rng):
         for line, out in zip(group, outs):
             q = line["text"]
             text = tokenizer.decode(out.token_ids, skip_special_tokens=True).strip()
@@ -183,6 +161,83 @@ def run(args) -> str:
                     out_unk.first_scores_top_probs, out_unk.first_scores_top_ids, tokenizer
                 )
             ans.write(record)
+
+    def make_split(group, image):
+        """(prefix, suffixes, image, bids_list) for the grouped engine path,
+        or None when the group can't share a prefix."""
+        prepped = [prompt_ids(l["text"]) for l in group]
+        ids_list = [ids for ids, _ in prepped]
+        if len(group) < 2:
+            return None, prepped
+        p = DecodeEngine.common_token_prefix(ids_list)
+        prefix = ids_list[0][:p]
+        if IMAGE_TOKEN_INDEX not in prefix:
+            return None, prepped
+        return (
+            prefix, [ids[p:] for ids in ids_list], image,
+            [b for _, b in prepped],
+        ), prepped
+
+    # multi-group batching + one in-flight call (same layout as runners/
+    # pope.py): GB uniform-size image-groups per jitted call, submit g+1
+    # before collecting g so host prep + input transfer overlap device
+    # execution. 0 = auto HBM-budget pick.
+    from llava_align_tpu.runners.pope import _auto_group_batch
+
+    GB = getattr(args, "group_batch", 0)
+    if GB <= 0 and group_by_image:
+        GB = _auto_group_batch(engine, 6, args.max_new_tokens)
+    GB = max(1, GB)
+    batches, cur = [], []
+    for g in groups:
+        if cur and (len(g) != len(cur[0]) or len(cur) >= GB):
+            batches.append(cur)
+            cur = []
+        cur.append(g)
+    if cur:
+        batches.append(cur)
+
+    pending = None  # (groups, rng, handle)
+
+    def _flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        gl, rng_p, handle = pending
+        pending = None
+        outs = engine.collect_batch_groups(handle)
+        off = 0
+        for g in gl:
+            write_group(g, outs[off : off + len(g)], rng_p)
+            off += len(g)
+
+    gi = 0
+    for batch in batches:
+        rng = jax.random.PRNGKey(args.seed + (gi % 65536))
+        gi += len(batch)
+        images = [_load_image(args, g[0].get("image", ""), cfg) for g in batch]
+        splits = [make_split(g, im) for g, im in zip(batch, images)]
+        if all(sp is not None for sp, _ in splits):
+            handle = engine.submit_batch_groups(
+                [sp for sp, _ in splits], rng=rng
+            )
+            _flush_pending()  # collect the previous call while this one runs
+            pending = (batch, rng, handle)
+            continue
+        _flush_pending()
+        for g, im, (sp, prepped) in zip(batch, images, splits):
+            if sp is not None:
+                outs = engine.collect_batch_groups(
+                    engine.submit_batch_groups([sp], rng=rng)
+                )
+            else:
+                outs = [
+                    engine.generate(ids, im, rng=rng, branch_ids=b)
+                    for ids, b in prepped
+                ]
+            write_group(g, outs, rng)
+
+    _flush_pending()
     ans.close()
     return args.answers_file
 
