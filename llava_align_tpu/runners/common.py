@@ -219,9 +219,11 @@ class LoadedModel:
     model_name: str
 
 
-def load_model(model_path: str, dtype=None) -> LoadedModel:
+def load_model(model_path: str, dtype=None, quant: str = "none") -> LoadedModel:
     """Load a llava checkpoint dir, or a synthetic model for offline smoke:
-    'random:tiny' | 'random:7b' | 'random:13b'."""
+    'random:tiny' | 'random:7b' | 'random:13b'. For random sizes, quant
+    ('int8'/'int4') builds the quantized tree directly, group by group —
+    quantizing beside a live bf16 7B/13B tree would OOM a 16GB chip."""
     import jax
     import jax.numpy as jnp
 
@@ -238,7 +240,12 @@ def load_model(model_path: str, dtype=None) -> LoadedModel:
             cfg = LlavaConfig.llava_v15_13b()
         else:
             raise ValueError(size)
-        params = jax.jit(lambda k: llava_model.init(k, cfg))(jax.random.PRNGKey(0))
+        if quant in ("int8", "int4") and size != "tiny":
+            from llava_align_tpu.utils.synthetic import build_random_llava_params
+
+            params = build_random_llava_params(cfg, quant=quant)
+        else:
+            params = jax.jit(lambda k: llava_model.init(k, cfg))(jax.random.PRNGKey(0))
         return LoadedModel(MockTokenizer(), params, cfg, f"random-{size}")
 
     from transformers import AutoTokenizer

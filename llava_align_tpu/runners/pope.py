@@ -64,10 +64,16 @@ def _auto_group_batch(engine, Qg: int, max_new: int) -> int:
 
 
 def run(args) -> str:
-    model = load_model(args.model_path)
-    tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
     quant = getattr(args, "quant", "none")
-    if quant in ("int8", "int4"):
+    # random:{7b,13b} + quant builds the quantized tree directly (group by
+    # group) — quantizing beside a live bf16 tree would OOM a 16GB chip
+    model = load_model(args.model_path, quant=quant)
+    tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
+    already_quant = (
+        args.model_path.startswith("random:")
+        and not args.model_path.endswith(":tiny")
+    )
+    if quant in ("int8", "int4") and not already_quant:
         # weight-only serving (reference load_8bit/load_4bit capability,
         # builder.py:29-38): int8 ~2x bf16 decode; int4 g128 decodes at int8
         # speed with half the weight HBM (ops/quant.py header)
