@@ -1518,6 +1518,26 @@ class DecodeEngine:
         precomputed_feats: [n_srcs, N, D] image features computed outside the
         engine (row 0 = main, row 1 = cd); replaces on-engine vision encode
         (InstructBLIP's text-conditioned Q-Former path)."""
+        return self.collect_generate(
+            self.submit_generate(
+                input_ids, image, rng=rng, branch_ids=branch_ids,
+                precomputed_feats=precomputed_feats,
+            )
+        )
+
+    def submit_generate(
+        self,
+        input_ids: Sequence[int],
+        image: Optional[np.ndarray] = None,
+        *,
+        rng: Optional[jax.Array] = None,
+        branch_ids: Optional[Mapping[str, Sequence[int]]] = None,
+        precomputed_feats: Optional[np.ndarray] = None,
+    ):
+        """Async half of generate: host packing + jitted-call dispatch, no
+        blocking fetch. Returns a handle for collect_generate; submitting the
+        next question before collecting this one overlaps host prep + input
+        transfer with device execution (serial runners: MMMU, sweeps)."""
         has_image = (image is not None or precomputed_feats is not None) and any(
             t == IMAGE_TOKEN_INDEX for t in input_ids
         )
@@ -1566,6 +1586,12 @@ class DecodeEngine:
             self.params, self._put(pack_img), self._put(pack_txt),
             self._put(images), self._put(rng),
         )
+        return (out_buf, n, top_probs, top_ids, main_len)
+
+    def collect_generate(self, handle) -> GenerationOutput:
+        """Blocking half of generate: fetch the device outputs of a
+        submit_generate handle."""
+        out_buf, n, top_probs, top_ids, main_len = handle
         n = int(n)
         return GenerationOutput(
             token_ids=[int(t) for t in np.asarray(out_buf)[:n]],

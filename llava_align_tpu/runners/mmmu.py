@@ -87,17 +87,8 @@ def run_qwen(args) -> str:
     def _ids(text: str):
         return list(tokenizer(text).input_ids)
 
-    for s in samples:
-        sid = s.get("id", s.get("question_id"))
-        if ans.is_done(sid):
-            continue
+    def _finish(s, sid, out, rng):
         q = s["final_input_prompt"].replace("<image 1>", "").strip()
-        sent_ids, _ = qwen_vl_model.sentinelize_span(
-            span + _ids(f"{q} Answer:"), cfg
-        )
-        image = _load_image(args, s.get("image", ""), cfg)
-        rng = jax.random.PRNGKey(args.seed + (hash(str(sid)) % 65536))
-        out = engine.generate(sent_ids, image, rng=rng)
         record = {
             "question_id": sid,
             "subject": s.get("subject", "all"),
@@ -122,6 +113,32 @@ def run_qwen(args) -> str:
                 o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
             )
         ans.write(record)
+
+    # one question in flight: submit q+1 before collecting q (hides host
+    # prep + input transfer behind device execution; engine.submit_generate)
+    pending = None
+    for s in samples:
+        sid = s.get("id", s.get("question_id"))
+        if ans.is_done(sid):
+            continue
+        q = s["final_input_prompt"].replace("<image 1>", "").strip()
+        sent_ids, _ = qwen_vl_model.sentinelize_span(
+            span + _ids(f"{q} Answer:"), cfg
+        )
+        image = _load_image(args, s.get("image", ""), cfg)
+        rng = jax.random.PRNGKey(args.seed + (hash(str(sid)) % 65536))
+        if score_engine is None:
+            handle = engine.submit_generate(sent_ids, image, rng=rng)
+            if pending is not None:
+                ps, psid, ph, prng = pending
+                _finish(ps, psid, engine.collect_generate(ph), prng)
+            pending = (s, sid, handle, rng)
+            continue
+        out = engine.generate(sent_ids, image, rng=rng)
+        _finish(s, sid, out, rng)
+    if pending is not None:
+        ps, psid, ph, prng = pending
+        _finish(ps, psid, engine.collect_generate(ph), prng)
     ans.close()
     return args.answers_file
 
@@ -147,6 +164,34 @@ def run(args) -> str:
         )
         score_engine = DecodeEngine(params, cfg, score_gen, stop_keyword_ids=stop_ids)
 
+    # one question in flight on the no-calibrate path: submit q+1 before
+    # collecting q (hides host prep + input transfer behind device execution)
+    pending = None
+
+    def _finish_plain(s, sid, stop_str, out):
+        record = {
+            "question_id": sid,
+            "subject": s.get("subject", "all"),
+            "question_type": s.get("question_type", "multiple-choice"),
+            "answer": s.get("answer"),
+            "all_choices": s.get("all_choices"),
+            "index2ans": s.get("index2ans"),
+            "text": postprocess_answer(
+                tokenizer.decode(out.token_ids, skip_special_tokens=True), stop_str
+            ),
+            "naive": calibrate_label_dict(
+                out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
+            ),
+        }
+        ans.write(record)
+
+    def _flush_pending():
+        nonlocal pending
+        if pending is not None:
+            ps, psid, pstop, ph = pending
+            pending = None
+            _finish_plain(ps, psid, pstop, engine.collect_generate(ph))
+
     for s in samples:
         sid = s.get("id", s.get("question_id"))
         if ans.is_done(sid):
@@ -164,6 +209,11 @@ def run(args) -> str:
             synthetic_ok=args.synthetic_images,
         )
         rng = jax.random.PRNGKey(args.seed + (hash(str(sid)) % 65536))
+        if score_engine is None:
+            handle = engine.submit_generate(input_ids, image, rng=rng)
+            _flush_pending()
+            pending = (s, sid, stop_str, handle)
+            continue
         out = engine.generate(input_ids, image, rng=rng)
         text = postprocess_answer(
             tokenizer.decode(out.token_ids, skip_special_tokens=True), stop_str
@@ -223,6 +273,7 @@ def run(args) -> str:
                         o.first_scores_top_probs, o.first_scores_top_ids, tokenizer
                     )
         ans.write(record)
+    _flush_pending()
     ans.close()
     return args.answers_file
 
