@@ -181,13 +181,10 @@ def run(args) -> str:
     # multi-group batching + one in-flight call (same layout as runners/
     # pope.py): GB uniform-size image-groups per jitted call, submit g+1
     # before collecting g so host prep + input transfer overlap device
-    # execution. 0 = auto HBM-budget pick.
-    from llava_align_tpu.runners.pope import _auto_group_batch
-
-    GB = getattr(args, "group_batch", 0)
-    if GB <= 0 and group_by_image:
-        GB = _auto_group_batch(engine, 6, args.max_new_tokens)
-    GB = max(1, GB)
+    # execution. Qwen's auto pick is GB=1: measured 28.6 samples/s at GB=1
+    # vs 21.3 at GB=2 on Qwen-7B int8 (scripts/bench_qwen_grouped.py) — the
+    # MHA cache's 4x-per-token KV traffic makes bigger working sets lose.
+    GB = max(1, getattr(args, "group_batch", 0) or 1)
     batches, cur = [], []
     for g in groups:
         if cur and (len(g) != len(cur[0]) or len(cur) >= GB):

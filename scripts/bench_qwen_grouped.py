@@ -1,0 +1,122 @@
+"""Grouped POPE throughput at Qwen-7B shapes, int8 decoder.
+
+Builds the quantized decoder leaf-by-leaf (a bf16 Qwen-7B tree would OOM the
+chip beside its int8 copy) plus a bf16 visual tower, then measures the POPE
+runner's execution layout: 6 questions/image sharing the <img>-span prefix
+segment, per-question explicit 'unk' branch ids (qwen_calibrate.py:37), the
+derived 'none' branch on the shared text-segment path, multi-group batching,
+one call in flight.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from llava_align_tpu.decoding.adapters import QwenVLAdapter
+from llava_align_tpu.decoding.engine import DecodeEngine
+from llava_align_tpu.models import qwen_vl
+from llava_align_tpu.models.qwen_vl import QwenVLConfig
+
+
+def build_params(cfg):
+    t = cfg.text
+    L, D, V, QD, F2 = (
+        t.num_layers, t.hidden_size, t.vocab_size, t.q_dim, t.ff_dim,
+    )
+    key = jax.random.PRNGKey(0)
+
+    def rand_q(k, shape):
+        def gen(kk):
+            q = jax.random.randint(kk, shape, -127, 128, jnp.int8)
+            s = jnp.full(shape[:-1], 0.01, jnp.float32) / (shape[-1] ** 0.5)
+            return {"q": q, "s": s}
+
+        return jax.block_until_ready(jax.jit(gen)(k))
+
+    shapes = {
+        "c_attn_w": (L, 3 * QD, D), "attn_proj": (L, D, QD),
+        "w12": (L, 2 * F2, D), "mlp_proj": (L, D, F2),
+    }
+    ks = jax.random.split(key, len(shapes) + 4)
+    layers = {n: rand_q(ks[i], sh) for i, (n, sh) in enumerate(shapes.items())}
+    layers["ln_1"] = jnp.ones((L, D), jnp.bfloat16)
+    layers["ln_2"] = jnp.ones((L, D), jnp.bfloat16)
+    layers["c_attn_b"] = jnp.zeros((L, 3 * QD), jnp.bfloat16)
+    n = len(shapes)
+    qwen_params = {
+        "wte": jax.block_until_ready(
+            jax.jit(
+                lambda k: (jax.random.normal(k, (V, D), jnp.float32) * 0.02).astype(jnp.bfloat16)
+            )(ks[n])
+        ),
+        "layers": layers,
+        "ln_f": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": rand_q(ks[n + 1], (V, D)),
+    }
+    from llava_align_tpu.models import qwen_vit
+
+    visual = qwen_vit.init(ks[n + 2], cfg.vision)
+    return {"qwen": qwen_params, "visual": visual}
+
+
+def main():
+    cfg = QwenVLConfig()  # Qwen-VL 7B defaults
+    params = build_params(cfg)
+    adapter = QwenVLAdapter(cfg)
+    from llava_align_tpu.config import GenerationConfig
+
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=True, temperature=1.0,
+        use_dd=True, use_dd_unk=True, cd_alpha=1.0, cd_beta=0.1,
+        eos_token_id=10**9,
+    )
+    eng = DecodeEngine(params, cfg, gen, adapter=adapter, bucket=64)
+
+    span = qwen_vl.make_image_span_ids(cfg)
+    rngq = np.random.default_rng(3)
+    Qg = 6
+    prompts, bids = [], []
+    for _ in range(Qg):
+        q_ids = [int(t) for t in rngq.integers(100, 100000, size=10)]
+        sent_ids, _ = qwen_vl.sentinelize_span(span + q_ids, cfg)
+        prompts.append(sent_ids)
+        # 'None {q} Answer:' — explicit short text branch
+        bids.append({"unk": [151644] + q_ids})
+    p = DecodeEngine.common_token_prefix(prompts)
+    prefix = prompts[0][:p]
+    suffixes = [ids[p:] for ids in prompts]
+    H = cfg.vision.image_size
+    image = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(7), (3, H, H), 0, 256),
+        dtype=np.uint8,
+    ).astype(np.float32) / 255.0
+
+    for GB in (1, 2):
+        gps = [(prefix, suffixes, image, bids)] * GB
+        eng.generate_batch_groups(gps)  # compile
+        N = 8
+        pending = None
+        t0 = time.perf_counter()
+        for i in range(N):
+            h = eng.submit_batch_groups(gps, rng=jax.random.PRNGKey(100 + i))
+            if pending is not None:
+                eng.collect_batch_groups(pending)
+            pending = h
+        eng.collect_batch_groups(pending)
+        dt = (time.perf_counter() - t0) / N
+        print(
+            f"qwen-7B int8 grouped POPE GB={GB}: {dt*1e3:.1f}ms/call "
+            f"-> {GB*Qg/dt:.2f} samples/s (pipelined)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
