@@ -18,7 +18,6 @@ Extras reported: single-branch tps, POPE-style samples/sec, p50 answer latency.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time

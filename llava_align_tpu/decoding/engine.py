@@ -1172,10 +1172,18 @@ class DecodeEngine:
         M = G * Qg
         # text kinds whose transformed prompt prefix is shared across every
         # question (verified exactly: branch(prefix)+suffix == branch(full))
-        # get per-group prefix segments; the rest keep full-prompt rows
-        sh_kinds = tuple(
-            k for k in self.txt_kinds if self._txt_kind_prefix_shareable(k, groups)
-        )
+        # get per-group prefix segments; the rest keep full-prompt rows.
+        # (At most two compile keys per shape family can arise from a
+        # partition flip — both stay cached, so a non-conforming batch costs
+        # one extra compile, not a flip-flop.)
+        tp_bases = {}  # kind -> per-group transformed prefix ids
+        sh = []
+        for k in self.txt_kinds:
+            bases = self._txt_kind_prefix_bases(k, groups)
+            if bases is not None:
+                sh.append(k)
+                tp_bases[k] = bases
+        sh_kinds = tuple(sh)
         pl_kinds = tuple(k for k in self.txt_kinds if k not in sh_kinds)
         n_sh_k, n_pl_k = len(sh_kinds), len(pl_kinds)
 
@@ -1223,9 +1231,14 @@ class DecodeEngine:
         pad_tp = 0
         if n_sh_k:
             pad_tp = self.bucket
-            for prefix_ids, _, _, _ in groups:
+            for gi, (prefix_ids, _, _, _) in enumerate(groups):
                 for kind in sh_kinds:
-                    pk = self._pack(list(prefix_ids), False, kinds=[kind])
+                    # pass the already-computed transformed prefix as explicit
+                    # branch ids — no recompute, no idempotency assumption
+                    pk = self._pack(
+                        list(prefix_ids), False,
+                        {kind: tp_bases[kind][gi]}, kinds=[kind],
+                    )
                     tp_packs.append(pk)
                     pad_tp = max(pad_tp, pk[0])
             rows = G * n_sh_k
@@ -1325,6 +1338,8 @@ class DecodeEngine:
     def collect_batch_groups(self, handle) -> List[GenerationOutput]:
         """Blocking half of generate_batch_groups: fetch the device outputs
         of a submit_batch_groups handle and assemble GenerationOutputs."""
+        if not handle:  # submit of an empty groups list returns []
+            return []
         out_buf, n_done, top_probs, top_ids, p_lens, suf_lens, Qg, M = handle
         out_buf = np.asarray(out_buf)
         n_done = np.asarray(n_done)
@@ -1346,28 +1361,31 @@ class DecodeEngine:
             )
         return outs
 
-    def _txt_kind_prefix_shareable(self, kind: str, groups) -> bool:
-        """True iff this text kind's branch transform is prefix-local for
-        EVERY question: branch(prefix) + suffix == branch(prefix + suffix),
-        so one per-group prefix segment reproduces the per-question rows
-        exactly. Explicit branch_ids (qwen 'unk': per-question retokenized
-        prompts, qwen_calibrate.py:37) are never splittable."""
+    def _txt_kind_prefix_bases(self, kind: str, groups):
+        """Per-group transformed prefixes when this text kind's branch
+        transform is prefix-local for EVERY question — branch(prefix) +
+        suffix == branch(prefix + suffix) — so one per-group prefix segment
+        reproduces the per-question rows exactly; None otherwise. Explicit
+        branch_ids (qwen 'unk': per-question retokenized prompts,
+        qwen_calibrate.py:37) are never splittable."""
         adapter = self.adapter
+        bases = []
         for prefix_ids, sfx, _, bids_list in groups:
             if bids_list and any(b and kind in b for b in bids_list):
-                return False
+                return None
             pref = [int(t) for t in prefix_ids]
             try:
-                base = adapter.branch_token_ids(pref, kind)
+                base = list(adapter.branch_token_ids(pref, kind))
             except Exception:
-                return False
+                return None
             if not base:
-                return False  # empty transformed prefix: nothing to share
+                return None  # empty transformed prefix: nothing to share
             for s in sfx:
                 suf = [int(t) for t in s]
-                if adapter.branch_token_ids(pref + suf, kind) != list(base) + suf:
-                    return False
-        return True
+                if adapter.branch_token_ids(pref + suf, kind) != base + suf:
+                    return None
+            bases.append(base)
+        return bases
 
     @staticmethod
     def common_token_prefix(token_lists: Sequence[Sequence[int]]) -> int:

@@ -116,7 +116,7 @@ def run_qwen(args) -> str:
 
     # one question in flight: submit q+1 before collecting q (hides host
     # prep + input transfer behind device execution; engine.submit_generate)
-    pending = None
+    in_flight = None
     for s in samples:
         sid = s.get("id", s.get("question_id"))
         if ans.is_done(sid):
@@ -129,15 +129,15 @@ def run_qwen(args) -> str:
         rng = jax.random.PRNGKey(args.seed + (hash(str(sid)) % 65536))
         if score_engine is None:
             handle = engine.submit_generate(sent_ids, image, rng=rng)
-            if pending is not None:
-                ps, psid, ph, prng = pending
+            if in_flight is not None:
+                ps, psid, ph, prng = in_flight
                 _finish(ps, psid, engine.collect_generate(ph), prng)
-            pending = (s, sid, handle, rng)
+            in_flight = (s, sid, handle, rng)
             continue
         out = engine.generate(sent_ids, image, rng=rng)
         _finish(s, sid, out, rng)
-    if pending is not None:
-        ps, psid, ph, prng = pending
+    if in_flight is not None:
+        ps, psid, ph, prng = in_flight
         _finish(ps, psid, engine.collect_generate(ph), prng)
     ans.close()
     return args.answers_file
@@ -166,10 +166,10 @@ def run(args) -> str:
 
     # one question in flight on the no-calibrate path: submit q+1 before
     # collecting q (hides host prep + input transfer behind device execution)
-    pending = None
+    in_flight = None
 
-    def _finish_plain(s, sid, stop_str, out):
-        record = {
+    def _base_record(s, sid, stop_str, out):
+        return {
             "question_id": sid,
             "subject": s.get("subject", "all"),
             "question_type": s.get("question_type", "multiple-choice"),
@@ -183,14 +183,13 @@ def run(args) -> str:
                 out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
             ),
         }
-        ans.write(record)
 
     def _flush_pending():
-        nonlocal pending
-        if pending is not None:
-            ps, psid, pstop, ph = pending
-            pending = None
-            _finish_plain(ps, psid, pstop, engine.collect_generate(ph))
+        nonlocal in_flight
+        if in_flight is not None:
+            ps, psid, pstop, ph = in_flight
+            in_flight = None
+            ans.write(_base_record(ps, psid, pstop, engine.collect_generate(ph)))
 
     for s in samples:
         sid = s.get("id", s.get("question_id"))
@@ -212,24 +211,10 @@ def run(args) -> str:
         if score_engine is None:
             handle = engine.submit_generate(input_ids, image, rng=rng)
             _flush_pending()
-            pending = (s, sid, stop_str, handle)
+            in_flight = (s, sid, stop_str, handle)
             continue
         out = engine.generate(input_ids, image, rng=rng)
-        text = postprocess_answer(
-            tokenizer.decode(out.token_ids, skip_special_tokens=True), stop_str
-        )
-        record = {
-            "question_id": sid,
-            "subject": s.get("subject", "all"),
-            "question_type": s.get("question_type", "multiple-choice"),
-            "answer": s.get("answer"),
-            "all_choices": s.get("all_choices"),
-            "index2ans": s.get("index2ans"),
-            "text": text,
-            "naive": calibrate_label_dict(
-                out.first_scores_top_probs, out.first_scores_top_ids, tokenizer
-            ),
-        }
+        record = _base_record(s, sid, stop_str, out)
         if score_engine is not None and s.get("all_choices"):
             p_none, _ = build_prompt(q, args.conv_mode, with_image=False)
             o = score_engine.generate(tokenizer_image_token(p_none, tokenizer), None, rng=rng)

@@ -57,7 +57,11 @@ def _auto_group_batch(engine, Qg: int, max_new: int) -> int:
         pad_prefix = -(-(n_img_tok + 128) // bucket) * bucket
         rows = Qg * max(len(engine.kinds), 1)
         group_bytes = (pad_prefix + rows * (64 + max_new)) * per_pos
-        fit = int((15.0e9 - params_bytes - 1.2e9) // max(group_bytes, 1))
+        try:  # budget from the device when it reports one (bytes_limit)
+            hbm = float(jax.devices()[0].memory_stats()["bytes_limit"])
+        except Exception:
+            hbm = 16.0e9
+        fit = int((hbm * 0.94 - params_bytes - 1.2e9) // max(group_bytes, 1))
         return max(1, min(4, fit))
     except Exception:
         return 1
@@ -275,14 +279,14 @@ def run(args) -> str:
     # one in-flight grouped call: submitting batch g+1 before collecting g
     # overlaps g+1's host packing + input transfer with g's device execution
     # (the per-call fixed cost over the remote tunnel)
-    pending = None  # (chunk, stop_str, rng, handle)
+    in_flight = None  # (chunk, stop_str, rng, handle)
 
     def _flush_pending():
-        nonlocal pending
-        if pending is None:
+        nonlocal in_flight
+        if in_flight is None:
             return
-        chunk_p, stop_p, rng_p, handle = pending
-        pending = None
+        chunk_p, stop_p, rng_p, handle = in_flight
+        in_flight = None
         _finish_chunk(chunk_p, engine.collect_batch_groups(handle), stop_p, rng_p)
 
     for prepped_batch in loader:
@@ -309,7 +313,7 @@ def run(args) -> str:
         if submit_ok:
             handle = engine.submit_batch_groups(splits, rng=rng)
             _flush_pending()  # collect the previous call while this one runs
-            pending = (chunk, stop_str, rng, handle)
+            in_flight = (chunk, stop_str, rng, handle)
             continue
         _flush_pending()
         if multi and all(sp is not None for sp in splits):

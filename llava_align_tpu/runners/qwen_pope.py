@@ -194,14 +194,14 @@ def run(args) -> str:
     if cur:
         batches.append(cur)
 
-    pending = None  # (groups, rng, handle)
+    in_flight = None  # (groups, rng, handle)
 
     def _flush_pending():
-        nonlocal pending
-        if pending is None:
+        nonlocal in_flight
+        if in_flight is None:
             return
-        gl, rng_p, handle = pending
-        pending = None
+        gl, rng_p, handle = in_flight
+        in_flight = None
         outs = engine.collect_batch_groups(handle)
         off = 0
         for g in gl:
@@ -219,7 +219,7 @@ def run(args) -> str:
                 [sp for sp, _ in splits], rng=rng
             )
             _flush_pending()  # collect the previous call while this one runs
-            pending = (batch, rng, handle)
+            in_flight = (batch, rng, handle)
             continue
         _flush_pending()
         for g, im, (sp, prepped) in zip(batch, images, splits):
