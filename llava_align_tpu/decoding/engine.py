@@ -707,7 +707,21 @@ class DecodeEngine:
         degraded rows at their own (≈8× smaller) bucket, into disjoint cache
         row groups.
         """
+        return self.collect_batch(self.submit_batch(batch, rng=rng))
+
+    def submit_batch(
+        self,
+        batch: Sequence[tuple],
+        *,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Async half of generate_batch (host packing + dispatch, no fetch);
+        finish with collect_batch. Lets callers overlap several lockstep
+        calls — e.g. the calibrate dump path submits the main VDD call and
+        both content-free scoring calls before collecting any of them."""
         Q = len(batch)
+        if Q == 0:
+            return []
         n_img_k = len(self.img_kinds)
         n_txt_k = len(self.txt_kinds)
 
@@ -778,6 +792,13 @@ class DecodeEngine:
             ),
             self._put(rng),
         )
+        return (out_buf, n_done, top_probs, top_ids, img_arrs[4], n_img_k, Q)
+
+    def collect_batch(self, handle) -> List[GenerationOutput]:
+        """Blocking half of generate_batch: fetch a submit_batch handle."""
+        if not handle:  # submit of an empty batch returns []
+            return []
+        out_buf, n_done, top_probs, top_ids, lens_img, n_img_k, Q = handle
         out_buf = np.asarray(out_buf)
         n_done = np.asarray(n_done)
         # fetch ONCE: indexing a device array per row would cost one
@@ -793,7 +814,7 @@ class DecodeEngine:
                     num_generated=n,
                     first_scores_top_probs=top_probs[qi],
                     first_scores_top_ids=top_ids[qi],
-                    prompt_length=int(img_arrs[4][qi * n_img_k]),
+                    prompt_length=int(lens_img[qi * n_img_k]),
                 )
             )
         return outs

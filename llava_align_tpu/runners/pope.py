@@ -251,10 +251,15 @@ def run(args) -> str:
             return None
         return prefix, [ids[p:] for ids in ids_list], image0
 
-    def _finish_chunk(chunk, outs, stop_str, rng):
+    def _finish_chunk(chunk, outs, stop_str, rng, score_handles=None):
         nonlocal n_done
         outs_none = outs_unk = [None] * len(chunk)
-        if score_engine is not None:
+        if score_handles is not None:
+            # pre-submitted content-free runs (pipelined calibrate path)
+            h_none, h_unk = score_handles
+            outs_none = score_engine.collect_batch(h_none)
+            outs_unk = score_engine.collect_batch(h_unk)
+        elif score_engine is not None:
             # content-free scoring runs, batched the same way
             # (reference calibrate_label_sapce, llava_calibrate.py:41-89:
             # 'none' = prompt w/o image token; 'unk' = sentinel→unk id)
@@ -263,12 +268,14 @@ def run(args) -> str:
                 outs_none = [score_engine.generate(nu[0][0], None, rng=rng)]
                 outs_unk = [score_engine.generate(nu[0][1], None, rng=rng)]
             else:
-                outs_none = score_engine.generate_batch(
+                h_none = score_engine.submit_batch(
                     [(n_ids, None) for n_ids, _ in nu], rng=rng
                 )
-                outs_unk = score_engine.generate_batch(
+                h_unk = score_engine.submit_batch(
                     [(u_ids, None) for _, u_ids in nu], rng=rng
                 )
+                outs_none = score_engine.collect_batch(h_none)
+                outs_unk = score_engine.collect_batch(h_unk)
         for line, out, o_n, o_u in zip(chunk, outs, outs_none, outs_unk):
             finalize(line, out, stop_str, o_n, o_u)
         n_done += len(chunk)
@@ -279,15 +286,18 @@ def run(args) -> str:
     # one in-flight grouped call: submitting batch g+1 before collecting g
     # overlaps g+1's host packing + input transfer with g's device execution
     # (the per-call fixed cost over the remote tunnel)
-    in_flight = None  # (chunk, stop_str, rng, handle)
+    in_flight = None  # (chunk, stop_str, rng, handle, score_handles)
 
     def _flush_pending():
         nonlocal in_flight
         if in_flight is None:
             return
-        chunk_p, stop_p, rng_p, handle = in_flight
+        chunk_p, stop_p, rng_p, handle, sh = in_flight
         in_flight = None
-        _finish_chunk(chunk_p, engine.collect_batch_groups(handle), stop_p, rng_p)
+        _finish_chunk(
+            chunk_p, engine.collect_batch_groups(handle), stop_p, rng_p,
+            score_handles=sh,
+        )
 
     for prepped_batch in loader:
         prepped_batch = prepped_batch[0]
@@ -298,8 +308,7 @@ def run(args) -> str:
 
         splits = [split_prefix(pg) for _, pg in prepped_batch] if group_by_image else []
         submit_ok = (
-            score_engine is None
-            and group_by_image
+            group_by_image
             and all(len(g) > 1 for g, _ in prepped_batch)
             and len({len(g) for g, _ in prepped_batch}) == 1
             and splits
@@ -312,8 +321,21 @@ def run(args) -> str:
         )
         if submit_ok:
             handle = engine.submit_batch_groups(splits, rng=rng)
+            score_handles = None
+            if score_engine is not None:
+                # calibrate dumps: queue both content-free runs behind the
+                # main call so all three overlap the previous chunk's finish
+                nu = [none_unk_ids(l) for l in chunk]
+                score_handles = (
+                    score_engine.submit_batch(
+                        [(n_ids, None) for n_ids, _ in nu], rng=rng
+                    ),
+                    score_engine.submit_batch(
+                        [(u_ids, None) for _, u_ids in nu], rng=rng
+                    ),
+                )
             _flush_pending()  # collect the previous call while this one runs
-            in_flight = (chunk, stop_str, rng, handle)
+            in_flight = (chunk, stop_str, rng, handle, score_handles)
             continue
         _flush_pending()
         if multi and all(sp is not None for sp in splits):
