@@ -1503,7 +1503,9 @@ class DecodeEngine:
         )
         n_tok = None
         if precomputed_feats is not None:
-            n_tok = int(np.asarray(precomputed_feats).shape[1])
+            # np.shape reads metadata only — np.asarray on a device
+            # array would block and fetch the whole feature tensor
+            n_tok = int(np.shape(precomputed_feats)[1])
         elif image is not None and np.asarray(image).ndim == 4:
             n_tok = self.adapter.num_image_tokens * int(np.asarray(image).shape[0])
         pad, *pi = self._pack(
@@ -1582,7 +1584,9 @@ class DecodeEngine:
         )
         n_tok = None
         if precomputed_feats is not None:
-            n_tok = int(np.asarray(precomputed_feats).shape[1])
+            # np.shape reads metadata only — np.asarray on a device
+            # array would block and fetch the whole feature tensor
+            n_tok = int(np.shape(precomputed_feats)[1])
         elif image is not None and np.asarray(image).ndim == 4:
             n_tok = self.adapter.num_image_tokens * int(np.asarray(image).shape[0])
 

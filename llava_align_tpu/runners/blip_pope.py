@@ -77,60 +77,82 @@ def run(args) -> str:
         imgs = jnp.asarray(image_np, cfg.vision.dtype)[None]
         if noise_rng is not None:
             imgs = add_diffusion_noise(imgs, noise_rng, noise_step)
-        # Q-Former instruction conditioning (blip2_vicuna_instruct.py:286-296)
-        tid = np.asarray(bert_tok(prompt_text).input_ids, np.int32)[None]
+        # Q-Former instruction conditioning (blip2_vicuna_instruct.py:286-296;
+        # the reference tokenizes with truncation=True — cap at the Q-Former's
+        # position table minus the query slots)
+        max_txt = cfg.qformer.max_position_embeddings - cfg.qformer.query_length
+        tid = np.asarray(bert_tok(prompt_text).input_ids, np.int32)[None, :max_txt]
         tmask = np.ones_like(tid)
-        return np.asarray(encode_jit(params, imgs, jnp.asarray(tid), jnp.asarray(tmask)))
+        # stays a DEVICE array: fetching it to host (np.asarray) would block
+        # per question and round-trip the features through the tunnel
+        return encode_jit(params, imgs, jnp.asarray(tid), jnp.asarray(tmask))
 
-    for line in questions:
+    def _submit(line):
+        """Queue every device call for one question; nothing blocks."""
         idx = line["question_id"]
-        if ans.is_done(idx, line.get("text")):
-            continue
         q = line["text"]
-        image_file = line.get("image", "")
         prompt = q + " Please answer this question with one word."
         ids = [IMAGE_TOKEN_INDEX] + list(llm_tok(prompt).input_ids)
-
-        image = _load_image(args, image_file, cfg)
+        image = _load_image(args, line.get("image", ""), cfg)
         rng = jax.random.PRNGKey(args.seed + (hash(str(idx)) % 65536))
 
         feats = encode_feats(image, prompt)
         if gen.use_cd:
             rng, rng_noise = jax.random.split(rng)
             feats_cd = encode_feats(image, prompt, rng_noise, gen.noise_step)
-            feats = np.concatenate([feats, feats_cd], axis=0)
+            feats = jnp.concatenate([feats, feats_cd], axis=0)
 
-        out = engine.generate(ids, None, rng=rng, precomputed_feats=feats)
-        text = llm_tok.decode(out.token_ids, skip_special_tokens=True).strip()
-        tokens_naive = calibrate_label_dict(
-            out.first_scores_top_probs, out.first_scores_top_ids, llm_tok
-        )
-        record = {
-            "question_id": idx,
-            "prompt": q,
-            "text": text,
-            "model_id": model_name,
-            "image": image_file,
-            "logits_score": get_prob_from_logits(tokens_naive),
-            "naive": tokens_naive,
-            "metadata": {},
-        }
+        handles = {"main": engine.submit_generate(ids, None, rng=rng, precomputed_feats=feats)}
         if score_engine is not None:
             # 'none' = text-only (use_image=False path, blip_calibrate.py:95);
             # dummy feats — no sentinel in the ids, so never gathered
             dummy = np.zeros((1, 1, feats.shape[-1]), np.float32)
-            out_none = score_engine.generate(ids[1:], None, rng=rng, precomputed_feats=dummy)
-            record["none"] = calibrate_label_dict(
-                out_none.first_scores_top_probs, out_none.first_scores_top_ids, llm_tok
+            handles["none"] = score_engine.submit_generate(
+                ids[1:], None, rng=rng, precomputed_feats=dummy
             )
             # 'noise' = pure-noise image (noise_step=999, blip_calibrate.py:94)
             rng, rng999 = jax.random.split(rng)
             feats_noise = encode_feats(image, prompt, rng999, 999)
-            out_noise = score_engine.generate(ids, None, rng=rng, precomputed_feats=feats_noise)
-            record["noise"] = calibrate_label_dict(
-                out_noise.first_scores_top_probs, out_noise.first_scores_top_ids, llm_tok
+            handles["noise"] = score_engine.submit_generate(
+                ids, None, rng=rng, precomputed_feats=feats_noise
             )
+        return line, handles
+
+    def _finish(line, handles):
+        out = engine.collect_generate(handles["main"])
+        tokens_naive = calibrate_label_dict(
+            out.first_scores_top_probs, out.first_scores_top_ids, llm_tok
+        )
+        record = {
+            "question_id": line["question_id"],
+            "prompt": line["text"],
+            "text": llm_tok.decode(out.token_ids, skip_special_tokens=True).strip(),
+            "model_id": model_name,
+            "image": line.get("image", ""),
+            "logits_score": get_prob_from_logits(tokens_naive),
+            "naive": tokens_naive,
+            "metadata": {},
+        }
+        for name in ("none", "noise"):
+            if name in handles:
+                o = score_engine.collect_generate(handles[name])
+                record[name] = calibrate_label_dict(
+                    o.first_scores_top_probs, o.first_scores_top_ids, llm_tok
+                )
         ans.write(record)
+
+    # one question in flight: all of q+1's device calls (Q-Former encodes +
+    # main + content-free scores) queue while q's outputs are collected
+    in_flight = None
+    for line in questions:
+        if ans.is_done(line["question_id"], line.get("text")):
+            continue
+        entry = _submit(line)
+        if in_flight is not None:
+            _finish(*in_flight)
+        in_flight = entry
+    if in_flight is not None:
+        _finish(*in_flight)
     ans.close()
     return args.answers_file
 
