@@ -126,6 +126,32 @@ def test_runner_group_by_image_matches_ungrouped(grouped_question_file, tmp_path
     assert gen_m == gen_u
 
 
+def test_runner_calibrate_pipelined_matches_ungrouped(grouped_question_file, tmp_path):
+    """The pipelined calibrate path (main + none/unk submitted before the
+    previous chunk collects) must write the same answers AND the same
+    content-free top-k dumps as the unpipelined ungrouped run."""
+    out_g = str(tmp_path / "cal_grouped.jsonl")
+    pope.run(
+        _args(grouped_question_file, out_g, use_dd=True, use_dd_unk=True,
+              calibrate=True)
+    )
+    out_u = str(tmp_path / "cal_ungrouped.jsonl")
+    pope.run(
+        _args(grouped_question_file, out_u, use_dd=True, use_dd_unk=True,
+              calibrate=True, group_by_image=False)
+    )
+    g = {r["question_id"]: r for r in load_jsonl(out_g)}
+    u = {r["question_id"]: r for r in load_jsonl(out_u)}
+    assert g.keys() == u.keys() and len(g) == 6
+    for qid in g:
+        assert g[qid]["text"] == u[qid]["text"]
+        for name in ("naive", "none", "unk"):
+            gk, uk = g[qid][name], u[qid][name]
+            assert set(gk) == set(uk), (qid, name)
+            for tok in gk:
+                assert abs(gk[tok] - uk[tok]) < 1e-5, (qid, name, tok)
+
+
 def test_runner_anyres_groups_fall_back_per_question(grouped_question_file, tmp_path):
     """anyres grid stacks ([K,3,H,W]) are per-question engine inputs; with
     image grouping ON the runner must fall back to engine.generate instead of
