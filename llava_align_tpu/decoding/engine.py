@@ -799,12 +799,10 @@ class DecodeEngine:
         if not handle:  # submit of an empty batch returns []
             return []
         out_buf, n_done, top_probs, top_ids, lens_img, n_img_k, Q = handle
-        out_buf = np.asarray(out_buf)
-        n_done = np.asarray(n_done)
-        # fetch ONCE: indexing a device array per row would cost one
-        # device round-trip per question (hundreds of ms over the tunnel)
-        top_probs = np.asarray(top_probs)
-        top_ids = np.asarray(top_ids)
+        # ONE batched fetch — see collect_batch_groups
+        out_buf, n_done, top_probs, top_ids = jax.device_get(
+            (out_buf, n_done, top_probs, top_ids)
+        )
         outs = []
         for qi in range(Q):
             n = int(n_done[qi])
@@ -1362,12 +1360,12 @@ class DecodeEngine:
         if not handle:  # submit of an empty groups list returns []
             return []
         out_buf, n_done, top_probs, top_ids, p_lens, suf_lens, Qg, M = handle
-        out_buf = np.asarray(out_buf)
-        n_done = np.asarray(n_done)
-        # fetch ONCE: indexing a device array per row would cost one
-        # device round-trip per question (hundreds of ms over the tunnel)
-        top_probs = np.asarray(top_probs)
-        top_ids = np.asarray(top_ids)
+        # ONE batched fetch (jax.device_get starts every copy async before
+        # blocking) — four sequential np.asarray round-trips cost ~65ms over
+        # the tunnel; per-row indexing would cost one round-trip per question
+        out_buf, n_done, top_probs, top_ids = jax.device_get(
+            (out_buf, n_done, top_probs, top_ids)
+        )
         outs = []
         for row in range(M):
             n = int(n_done[row])
@@ -1531,6 +1529,7 @@ class DecodeEngine:
             min_new_tokens,
         )
         seq, n, score = fn(self.params, self._put(pack), self._put(images))
+        seq, n = jax.device_get((seq, n))  # one batched fetch
         n = int(n)
         return GenerationOutput(
             token_ids=[int(t) for t in np.asarray(seq)[:n]],
@@ -1635,9 +1634,13 @@ class DecodeEngine:
         """Blocking half of generate: fetch the device outputs of a
         submit_generate handle."""
         out_buf, n, top_probs, top_ids, main_len = handle
+        # ONE batched fetch — see collect_batch_groups
+        out_buf, n, top_probs, top_ids = jax.device_get(
+            (out_buf, n, top_probs, top_ids)
+        )
         n = int(n)
         return GenerationOutput(
-            token_ids=[int(t) for t in np.asarray(out_buf)[:n]],
+            token_ids=[int(t) for t in out_buf[:n]],
             num_generated=n,
             first_scores_top_probs=np.asarray(top_probs),
             first_scores_top_ids=np.asarray(top_ids),
