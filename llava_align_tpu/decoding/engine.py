@@ -381,7 +381,8 @@ class DecodeEngine:
     def txt_kinds(self) -> List[str]:
         return [k for k in self.kinds if k not in ("main", "cd")]
 
-    def _get_fn(self, pad_img: int, pad_txt: int, precomputed_feats: bool = False):
+    def _get_fn(self, pad_img: int, pad_txt: int, precomputed_feats: bool = False,
+                spec: tuple = ()):
         """Split-bucket prefill: the image-bearing branches (≥576 image tokens)
         and the text-only degraded branches (~10% the length) prefill as two
         forwards at their own buckets into disjoint rows of one cache —
@@ -421,7 +422,9 @@ class DecodeEngine:
                 done |= jnp.all(window == jnp.asarray(kw)) & (n >= m)
             return done
 
-        def generate_fn(params, pack_img, pack_txt, images, rng):
+        def generate_fn(params, blob, images, rng):
+            xs = _unflatten_blob(blob, spec)
+            pack_img, pack_txt = tuple(xs[0:6]), tuple(xs[6:12])
             tokens, tok_g, img_g, is_img, len_img, feats_src = pack_img
             # ---- vision encode (main + optional noised copy, one tower call)
             if precomputed_feats:
@@ -541,7 +544,8 @@ class DecodeEngine:
     # batched multi-question generation (throughput path)
     # ------------------------------------------------------------------
 
-    def _get_batch_fn(self, pad_img: int, pad_txt: int, Q: int):
+    def _get_batch_fn(self, pad_img: int, pad_txt: int, Q: int,
+                      spec: tuple = ()):
         """Lockstep multi-question decode with split-bucket prefill.
 
         Cache rows are grouped [all image-bearing rows | all text-only rows]
@@ -590,7 +594,9 @@ class DecodeEngine:
         fuse_and_warp = _make_fuse_and_warp(gen, n_contrast)
         stop_hit = _make_stop_hit(kws, Q)
 
-        def batch_fn(params, pack_img, pack_txt, images, rng):
+        def batch_fn(params, blob, images, rng):
+            xs = _unflatten_blob(blob, spec)
+            pack_img, pack_txt = tuple(xs[0:6]), tuple(xs[6:12])
             from llava_align_tpu.ops.image import normalize_device
 
             tokens, tok_g, img_g, is_img, len_img, feats_src = pack_img
@@ -780,11 +786,11 @@ class DecodeEngine:
 
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
-        fn = self._get_batch_fn(pad_img, pad_txt, Q)
+        blob, spec = _flatten_blob([*img_arrs, *txt_arrs])  # ONE pack transfer
+        fn = self._get_batch_fn(pad_img, pad_txt, Q, spec=spec)
         out_buf, n_done, top_probs, top_ids = fn(
             self.params,
-            self._put(tuple(jnp.asarray(a) for a in img_arrs)),
-            self._put(tuple(jnp.asarray(a) for a in txt_arrs)),
+            self._put(jnp.asarray(blob)),
             self._put(
                 jnp.asarray(images)
                 if images.dtype == np.uint8
@@ -1593,16 +1599,14 @@ class DecodeEngine:
             input_ids, has_image, branch_ids, num_image_tokens=n_tok,
             kinds=self.img_kinds,
         )
-        pack_img = tuple(jnp.asarray(a) for a in pi)
         if self.txt_kinds:
             pad_txt, *pt = self._pack(
                 input_ids, has_image, branch_ids, num_image_tokens=n_tok,
                 kinds=self.txt_kinds,
             )
-            pack_txt = tuple(jnp.asarray(a) for a in pt)
         else:
             pad_txt = 0
-            pack_txt = tuple(jnp.zeros((0,), jnp.int32) for _ in range(6))
+            pt = [np.zeros((0,), np.int32) for _ in range(6)]
         main_len = int(pi[4][0])
 
         if precomputed_feats is not None:
@@ -1623,9 +1627,10 @@ class DecodeEngine:
             images = jnp.zeros((1, 3, H, H), self.adapter.vision_dtype)
         if rng is None:
             rng = jax.random.PRNGKey(self.gen.seed)
-        fn = self._get_fn(pad_img, pad_txt, precomputed_feats is not None)
+        blob, spec = _flatten_blob([*pi, *pt])  # ONE pack transfer
+        fn = self._get_fn(pad_img, pad_txt, precomputed_feats is not None, spec=spec)
         out_buf, n, top_probs, top_ids = fn(
-            self.params, self._put(pack_img), self._put(pack_txt),
+            self.params, self._put(jnp.asarray(blob)),
             self._put(images), self._put(rng),
         )
         return (out_buf, n, top_probs, top_ids, main_len)
