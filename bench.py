@@ -188,15 +188,13 @@ def main():
             [int(t) for t in rngq.integers(10, 20000, size=6)] for _ in range(G)
         ]
         # multi-group: GB image-groups of G questions per jitted call
-        # (runner --group-batch). Pick GB from the HBM budget: per group a
-        # [L, pad_prefix] prefix segment + G*3 local rows.
-        prefix_bytes = (
-            tcfg.num_layers * pad_to * tcfg.num_kv_heads * tcfg.head_dim * 2 * 2
-        )
-        local_bytes = (
-            3 * G * tcfg.num_layers * (128 + args.answer_new)
-            * tcfg.num_kv_heads * tcfg.head_dim * 2 * 2
-        )
+        # (runner --group-batch). Pick GB from the HBM budget: per group the
+        # [L, pad_prefix] image segment + 2 short text-prefix segments +
+        # G*3 local rows at the SUFFIX bucket (with shared text-branch
+        # prefixes the local caches hold only suffix + generated tokens).
+        per_pos = tcfg.num_layers * tcfg.num_kv_heads * tcfg.head_dim * 2 * 2
+        prefix_bytes = (pad_to + 2 * 64) * per_pos
+        local_bytes = 3 * G * (32 + args.answer_new) * per_pos
         gb_fit = int(
             (HBM_BUDGET - params_bytes - overhead) // (prefix_bytes + local_bytes)
         )
