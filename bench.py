@@ -193,7 +193,7 @@ def main():
         # G*3 local rows at the SUFFIX bucket (with shared text-branch
         # prefixes the local caches hold only suffix + generated tokens).
         per_pos = tcfg.num_layers * tcfg.num_kv_heads * tcfg.head_dim * 2 * 2
-        prefix_bytes = (pad_to + 2 * 64) * per_pos
+        prefix_bytes = (pad_to + 2 * 128) * per_pos  # + text segments (128 bucket)
         local_bytes = 3 * G * (32 + args.answer_new) * per_pos
         gb_fit = int(
             (HBM_BUDGET - params_bytes - overhead) // (prefix_bytes + local_bytes)

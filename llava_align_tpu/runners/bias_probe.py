@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import argparse
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,7 +58,7 @@ def run(args) -> str:
         if ans.is_done(idx, line.get("text")):
             continue
         qs = line["text"]
-        rng = jax.random.PRNGKey(args.seed + (hash(str(idx)) % 65536))
+        rng = jax.random.PRNGKey(args.seed + (zlib.crc32(str(idx).encode()) % 65536))
 
         p_img, _ = build_prompt(qs, args.conv_mode, with_image=True, one_word=args.one_word)
         p_txt, _ = build_prompt(qs, args.conv_mode, with_image=False, one_word=args.one_word)

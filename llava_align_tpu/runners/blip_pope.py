@@ -78,11 +78,24 @@ def run(args) -> str:
         if noise_rng is not None:
             imgs = add_diffusion_noise(imgs, noise_rng, noise_step)
         # Q-Former instruction conditioning (blip2_vicuna_instruct.py:286-296;
-        # the reference tokenizes with truncation=True — cap at the Q-Former's
-        # position table minus the query slots)
-        max_txt = cfg.qformer.max_position_embeddings - cfg.qformer.query_length
-        tid = np.asarray(bert_tok(prompt_text).input_ids, np.int32)[None, :max_txt]
-        tmask = np.ones_like(tid)
+        # the reference tokenizes with truncation=True, max_length=
+        # max_txt_len=128 and keeps the trailing [SEP]); also cap at the
+        # Q-Former's own position table (text positions start at 0)
+        max_txt = min(
+            int(getattr(cfg, "max_txt_len", 128)),
+            cfg.qformer.max_position_embeddings,
+        )
+        raw = [int(t) for t in bert_tok(prompt_text).input_ids]
+        if len(raw) > max_txt:
+            raw = raw[: max_txt - 1] + [raw[-1]]
+        # bucket the instruction length so encode_jit compiles once per
+        # 32-bucket, not once per distinct prompt length (mask zeros pad)
+        pad = min(-(-len(raw) // 32) * 32, max_txt)
+        pad = max(pad, len(raw))
+        tid = np.zeros((1, pad), np.int32)
+        tid[0, : len(raw)] = raw
+        tmask = np.zeros_like(tid)
+        tmask[0, : len(raw)] = 1
         # stays a DEVICE array: fetching it to host (np.asarray) would block
         # per question and round-trip the features through the tunnel
         return encode_jit(params, imgs, jnp.asarray(tid), jnp.asarray(tmask))
@@ -94,7 +107,7 @@ def run(args) -> str:
         prompt = q + " Please answer this question with one word."
         ids = [IMAGE_TOKEN_INDEX] + list(llm_tok(prompt).input_ids)
         image = _load_image(args, line.get("image", ""), cfg)
-        rng = jax.random.PRNGKey(args.seed + (hash(str(idx)) % 65536))
+        rng = jax.random.PRNGKey(args.seed + (zlib.crc32(str(idx).encode()) % 65536))
 
         feats = encode_feats(image, prompt)
         if gen.use_cd:
@@ -147,7 +160,13 @@ def run(args) -> str:
     for line in questions:
         if ans.is_done(line["question_id"], line.get("text")):
             continue
-        entry = _submit(line)
+        try:
+            entry = _submit(line)
+        except BaseException:
+            if in_flight is not None:  # don't lose the decoded answer
+                _finish(*in_flight)
+                in_flight = None
+            raise
         if in_flight is not None:
             _finish(*in_flight)
         in_flight = entry

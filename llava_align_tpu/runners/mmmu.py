@@ -24,6 +24,8 @@ import json
 import os
 from collections import defaultdict
 
+import zlib
+
 import jax
 import numpy as np
 
@@ -126,7 +128,7 @@ def run_qwen(args) -> str:
             span + _ids(f"{q} Answer:"), cfg
         )
         image = _load_image(args, s.get("image", ""), cfg)
-        rng = jax.random.PRNGKey(args.seed + (hash(str(sid)) % 65536))
+        rng = jax.random.PRNGKey(args.seed + (zlib.crc32(str(sid).encode()) % 65536))
         if score_engine is None:
             handle = engine.submit_generate(sent_ids, image, rng=rng)
             if in_flight is not None:
@@ -207,7 +209,7 @@ def run(args) -> str:
             image_aspect_ratio=args.image_aspect_ratio,
             synthetic_ok=args.synthetic_images,
         )
-        rng = jax.random.PRNGKey(args.seed + (hash(str(sid)) % 65536))
+        rng = jax.random.PRNGKey(args.seed + (zlib.crc32(str(sid).encode()) % 65536))
         if score_engine is None:
             handle = engine.submit_generate(input_ids, image, rng=rng)
             _flush_pending()

@@ -53,10 +53,13 @@ def _auto_group_batch(engine, Qg: int, max_new: int) -> int:
             for s in jax.tree_util.tree_leaves(shp)
         )
         n_img_tok = getattr(engine.adapter, "num_image_tokens", 576) or 576
-        bucket = max(int(getattr(engine, "bucket", 64)), 1)
+        bucket = max(int(getattr(engine, "bucket", 128)), 1)
         pad_prefix = -(-(n_img_tok + 128) // bucket) * bucket
         rows = Qg * max(len(engine.kinds), 1)
-        group_bytes = (pad_prefix + rows * (64 + max_new)) * per_pos
+        # image segment + 2 text-prefix segments (bucket) + local rows at the
+        # SUFFIX bucket (shared text-branch prefixes shrank the local caches;
+        # same model as bench.py's gb_fit)
+        group_bytes = (pad_prefix + 2 * bucket + rows * (32 + max_new)) * per_pos
         try:  # budget from the device when it reports one (bytes_limit)
             hbm = float(jax.devices()[0].memory_stats()["bytes_limit"])
         except Exception:
@@ -251,6 +254,17 @@ def run(args) -> str:
             return None
         return prefix, [ids[p:] for ids in ids_list], image0
 
+    def _submit_scores(chunk, rng):
+        """Queue both content-free scoring runs (reference
+        calibrate_label_sapce, llava_calibrate.py:41-89: 'none' = prompt w/o
+        image token; 'unk' = sentinel→unk id) — one logic for the pipelined
+        and fallback calibrate paths."""
+        nu = [none_unk_ids(l) for l in chunk]
+        return (
+            score_engine.submit_batch([(n_ids, None) for n_ids, _ in nu], rng=rng),
+            score_engine.submit_batch([(u_ids, None) for _, u_ids in nu], rng=rng),
+        )
+
     def _finish_chunk(chunk, outs, stop_str, rng, score_handles=None):
         nonlocal n_done
         outs_none = outs_unk = [None] * len(chunk)
@@ -260,20 +274,12 @@ def run(args) -> str:
             outs_none = score_engine.collect_batch(h_none)
             outs_unk = score_engine.collect_batch(h_unk)
         elif score_engine is not None:
-            # content-free scoring runs, batched the same way
-            # (reference calibrate_label_sapce, llava_calibrate.py:41-89:
-            # 'none' = prompt w/o image token; 'unk' = sentinel→unk id)
-            nu = [none_unk_ids(l) for l in chunk]
             if len(chunk) == 1:
+                nu = [none_unk_ids(l) for l in chunk]
                 outs_none = [score_engine.generate(nu[0][0], None, rng=rng)]
                 outs_unk = [score_engine.generate(nu[0][1], None, rng=rng)]
             else:
-                h_none = score_engine.submit_batch(
-                    [(n_ids, None) for n_ids, _ in nu], rng=rng
-                )
-                h_unk = score_engine.submit_batch(
-                    [(u_ids, None) for _, u_ids in nu], rng=rng
-                )
+                h_none, h_unk = _submit_scores(chunk, rng)
                 outs_none = score_engine.collect_batch(h_none)
                 outs_unk = score_engine.collect_batch(h_unk)
         for line, out, o_n, o_u in zip(chunk, outs, outs_none, outs_unk):
@@ -321,19 +327,11 @@ def run(args) -> str:
         )
         if submit_ok:
             handle = engine.submit_batch_groups(splits, rng=rng)
-            score_handles = None
-            if score_engine is not None:
-                # calibrate dumps: queue both content-free runs behind the
-                # main call so all three overlap the previous chunk's finish
-                nu = [none_unk_ids(l) for l in chunk]
-                score_handles = (
-                    score_engine.submit_batch(
-                        [(n_ids, None) for n_ids, _ in nu], rng=rng
-                    ),
-                    score_engine.submit_batch(
-                        [(u_ids, None) for _, u_ids in nu], rng=rng
-                    ),
-                )
+            # calibrate dumps: queue both content-free runs behind the main
+            # call so all three overlap the previous chunk's finish
+            score_handles = (
+                _submit_scores(chunk, rng) if score_engine is not None else None
+            )
             _flush_pending()  # collect the previous call while this one runs
             in_flight = (chunk, stop_str, rng, handle, score_handles)
             continue
