@@ -63,10 +63,14 @@ def main():
     ap.add_argument("--batch-questions", type=int, default=8)
     # int8 weight-only is the serving default: ~2x decode throughput over
     # bf16 (Pallas weight-streaming kernel, docs/DESIGN.md) + half the HBM
-    ap.add_argument("--quant", default="int8", choices=["none", "int8", "int4"],
+    ap.add_argument("--quant", default="int8",
+                    choices=["none", "int8", "int4", "w8a8"],
                     help="int8 = serving default (~2x bf16 decode); int4 = "
                     "g128 weight-only at int8 decode speed with HALF the "
-                    "weight HBM (13B batch serving on one 16GB chip)")
+                    "weight HBM (13B batch serving on one 16GB chip); w8a8 = "
+                    "int8 weights + dynamic activation quant on prefill "
+                    "(~1.4x prefill matmuls on the int8 MXU, NOT bit-exact "
+                    "with int8 — throughput mode)")
     ap.add_argument(
         "--mesh", default=None,
         help="shard the engine over a mesh: 'auto' (all devices on the model "
@@ -94,7 +98,8 @@ def main():
         else:
             d, m = (int(x) for x in args.mesh.split(","))
             mesh = make_mesh(model=m, data=d)
-    params = _build_params(cfg, quant=args.quant)
+    weight_quant = "int8" if args.quant == "w8a8" else args.quant
+    params = _build_params(cfg, quant=weight_quant)
     ids = _prompt_ids(args.text_len)
     H = cfg.vision.image_size
     # uint8 pixels, normalized in-jit (the serving transfer path)
@@ -115,7 +120,10 @@ def main():
             cd_beta=0.1,
             eos_token_id=NO_EOS,
         )
-        return DecodeEngine(params, cfg, gen, attn_impl="auto", mesh=mesh)
+        return DecodeEngine(
+            params, cfg, gen, attn_impl="auto", mesh=mesh,
+            act_quant=(args.quant == "w8a8"),
+        )
 
     results = {}
     for label, dual in [("dual", True), ("single", False)]:

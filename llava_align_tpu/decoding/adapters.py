@@ -155,12 +155,18 @@ class LlavaAdapter:
             tp_mesh=tp_mesh, shared_kv=shared_kv, shared_len=shared_len,
             shared_rows_per_prefix=shared_rows_per_prefix,
             shared_rows_per_prefix2=shared_rows_per_prefix2,
+            act_quant=self.act_quant,
         )
 
     # Shared-prefix decoding (engine.generate_batch_prefix) needs the model
     # forward to accept a read-only prefix KV segment; llama-backed adapters
     # support it.
     supports_shared_prefix = True
+
+    # Opt-in W8A8 prefill (set by DecodeEngine(act_quant=True)): int8 stacks
+    # run compute-bound row counts through int8-MXU matmuls with dynamic
+    # activation quant — ~1.4x prefill, not bit-exact (ops/quant W8A8 note).
+    act_quant = False
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
         from llava_align_tpu.models import llama
@@ -236,6 +242,7 @@ class InstructBlipAdapter:
     (blip2_vicuna_instruct.py:330-410)."""
 
     name = "instructblip"
+    act_quant = False  # see LlavaAdapter.act_quant
 
     def __init__(self, cfg):
         self.cfg = cfg  # models.instructblip.InstructBlipConfig
@@ -313,6 +320,7 @@ class InstructBlipAdapter:
             shared_kv=shared_kv, shared_len=shared_len,
             shared_rows_per_prefix=shared_rows_per_prefix,
             shared_rows_per_prefix2=shared_rows_per_prefix2,
+            act_quant=self.act_quant,
         )
 
     def logits(self, params, hidden):
@@ -384,6 +392,7 @@ class QwenVLAdapter:
 
     name = "qwen_vl"
     supports_shared_prefix = True
+    act_quant = False  # see LlavaAdapter.act_quant
 
     def __init__(self, cfg):
         self.cfg = cfg  # models.qwen_vl.QwenVLConfig
@@ -470,6 +479,7 @@ class QwenVLAdapter:
             shared_kv=shared_kv, shared_len=shared_len,
             shared_rows_per_prefix=shared_rows_per_prefix,
             shared_rows_per_prefix2=shared_rows_per_prefix2,
+            act_quant=self.act_quant,
         )
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:

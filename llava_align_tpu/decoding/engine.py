@@ -176,9 +176,23 @@ class DecodeEngine:
         top_scores_k: int = 100,
         mesh: Optional[Mesh] = None,
         max_compiled: int = 16,
+        act_quant: bool = False,
     ):
         self.cfg = cfg
         self.adapter = adapter if adapter is not None else LlavaAdapter(cfg)
+        if act_quant:
+            # Opt-in W8A8: compute-bound int8 matmuls take the int8-MXU path
+            # with dynamic activation quant (~1.4x prefill, not bit-exact;
+            # ops/quant W8A8 note). A compile-time constant on the adapter so
+            # no call signature changes; decode rows stay on the exact
+            # weight-streaming kernels either way.
+            if not hasattr(type(self.adapter), "act_quant"):
+                logger.warning(
+                    "act_quant requested but adapter %s has no W8A8 path; "
+                    "ignoring.", getattr(self.adapter, "name", "?"),
+                )
+            else:
+                self.adapter.act_quant = True
         self.gen = gen
         self.kinds = branch_kinds(gen)
         self.stop_keyword_ids = [list(map(int, k)) for k in (stop_keyword_ids or [])]

@@ -126,8 +126,14 @@ def forward(
     shared_len: Optional[jax.Array] = None,
     shared_rows_per_prefix: Optional[int] = None,
     shared_rows_per_prefix2: int = 0,
+    act_quant: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack.
+
+    act_quant: opt-in W8A8 — int8-quantized stacks run compute-bound row
+    counts through dynamic activation quant + int8 MXU matmuls
+    (ops/quant.int8_matmul_w8a8; ~1.4x prefill, NOT bit-exact). Decode rows
+    and the TP shard_map path keep the exact weight-streaming kernels.
 
     shared_kv: optional read-only prefix KV segment {'k','v': [L, P, K, Dh]}
     shared by all rows (ops/attention shared-prefix design). shared_len [B]
@@ -201,7 +207,8 @@ def forward(
                     tp_mesh, int8_tp_mode(name),
                 )
             return int8_matmul_stacked_dispatch(
-                h, all_layers[name], li if li is not None else 0
+                h, all_layers[name], li if li is not None else 0,
+                act_quant=act_quant,
             )
         w = lp[name]
         return jax.lax.dot_general(

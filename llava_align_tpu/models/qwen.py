@@ -142,6 +142,7 @@ def forward(
     shared_len: Optional[jax.Array] = None,
     shared_rows_per_prefix: Optional[int] = None,
     shared_rows_per_prefix2: int = 0,
+    act_quant: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """shared_kv: optional read-only prefix segment {'k','v': [L, P, K, Dh]}
     (same contract as models/llama.forward: positions absolute, cache_offset
@@ -174,7 +175,8 @@ def forward(
             from llava_align_tpu.ops.quant import int8_matmul_stacked_dispatch
 
             return int8_matmul_stacked_dispatch(
-                h, all_layers[name], li if li is not None else 0
+                h, all_layers[name], li if li is not None else 0,
+                act_quant=act_quant,
             )
         w = lp[name]
         return jax.lax.dot_general(

@@ -92,6 +92,47 @@ def _stream_rows_ok(n_rows: int, O: int, D: int) -> bool:
     return n_rows <= _STREAM_MAX_B and O >= D
 
 
+# ---------------------------------------------------------------------------
+# W8A8: dynamic per-row activation quantization -> int8 x int8 on the MXU.
+#
+# Prefill is compute-bound (93-94% MXU at 7B shapes, docs/DESIGN.md), and the
+# v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate. Measured on a v5e
+# chip against the repo's real dispatch path (scripts/bench_w8a8_stack2.py,
+# 7B qkv/gateup/down scan, [L,O,D] stacks):
+#   B=128  parity (1.00x)      B=256  1.42x
+#   B=640  1.38x               B=2560 1.38x  (211.8 TF/s > bf16 peak 197)
+# Decode shapes are HBM-bound — W8A8 measured ~0-10% there (round 2) and is
+# never taken (the weight-streaming kernel stays the decode path).
+#
+# Numerics: activations quantize per ROW (dynamic absmax over the model dim),
+# weights keep their per-output-channel scales, accumulation is exact int32,
+# the scale epilogue is fp32. This is NOT bit-exact with the dequant paths —
+# it is an opt-in throughput mode (engine/bench/runner `--quant w8a8`,
+# default off); the exact int8 weight-only path remains the accuracy
+# configuration. The reference's own load_8bit/load_4bit (builder.py:29-38)
+# accept the same kind of speed-for-numerics trade.
+# ---------------------------------------------------------------------------
+
+_W8A8_MIN_B = 256  # measured crossover: parity at 128 rows, 1.4x from 256 up
+
+
+def int8_matmul_w8a8(h: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """h [..., D] x int8 [O, D] (scales [O]) → [..., O] in h.dtype.
+
+    Per-row dynamic activation quant; int32 MXU accumulation; fp32 epilogue
+    a_scale[row] * s[col]."""
+    hf = h.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax, 1e-30) / 127.0
+    hq = jnp.clip(jnp.round(hf / a_scale), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        hq, q,
+        (((h.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * a_scale * s).astype(h.dtype)
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -250,7 +291,8 @@ def int8_matmul_stacked(
 
 
 def int8_matmul_stacked_dispatch(
-    h: jax.Array, wq: Dict[str, jax.Array], layer_idx: jax.Array, *, impl: str = "auto"
+    h: jax.Array, wq: Dict[str, jax.Array], layer_idx: jax.Array, *, impl: str = "auto",
+    act_quant: bool = False,
 ) -> jax.Array:
     """h [..., D] x stacked quantized [L, O, D] at layer_idx → [..., O].
 
@@ -258,12 +300,20 @@ def int8_matmul_stacked_dispatch(
     pass over the int8 bytes, no bf16 dequant materialization: decode rows
     for every stack, and short prefills (<= _STREAM_MAX_B) for the
     output-major (O >= D) stacks where it was measured to win; the rest
-    takes the XLA dequant path (see the dispatch comment above)."""
+    takes the XLA dequant path (see the dispatch comment above).
+
+    act_quant=True additionally routes compute-bound row counts
+    (>= _W8A8_MIN_B) through the W8A8 int8-MXU path — opt-in, not bit-exact
+    (see the W8A8 block comment)."""
     q, s = wq["q"], wq["s"]
     lead = h.shape[:-1]
     n_rows = 1
     for d in lead:
         n_rows *= int(d)
+    if act_quant and impl == "auto" and n_rows >= _W8A8_MIN_B:
+        qi = jax.lax.dynamic_index_in_dim(q, layer_idx, 0, keepdims=False)
+        si = jax.lax.dynamic_index_in_dim(s, layer_idx, 0, keepdims=False)
+        return int8_matmul_w8a8(h, qi, si)
     if impl == "auto":
         try:
             on_tpu = jax.devices()[0].platform == "tpu"

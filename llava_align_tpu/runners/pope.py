@@ -72,6 +72,11 @@ def _auto_group_batch(engine, Qg: int, max_new: int) -> int:
 
 def run(args) -> str:
     quant = getattr(args, "quant", "none")
+    # w8a8 = int8 weights + opt-in dynamic activation quant on compute-bound
+    # matmul row counts (prefill): ~1.4x prefill on the int8 MXU, NOT
+    # bit-exact with int8 (ops/quant W8A8 note)
+    act_quant = quant == "w8a8"
+    quant = "int8" if act_quant else quant
     # random:{7b,13b} + quant builds the quantized tree directly (group by
     # group) — quantizing beside a live bf16 tree would OOM a 16GB chip
     model = load_model(args.model_path, quant=quant)
@@ -97,7 +102,8 @@ def run(args) -> str:
     gen = make_generation_config(args)
     _, stop_str = build_prompt("x", args.conv_mode)
     stop_ids = keyword_token_ids([stop_str], tokenizer)
-    engine = DecodeEngine(params, cfg, gen, stop_keyword_ids=stop_ids)
+    engine = DecodeEngine(params, cfg, gen, stop_keyword_ids=stop_ids,
+                          act_quant=act_quant)
     score_engine: Optional[DecodeEngine] = None
     if args.calibrate:
         # content-free scoring runs use the plain sampling path
@@ -105,7 +111,9 @@ def run(args) -> str:
         score_gen = make_generation_config(
             args, use_cd=False, use_dd=False, use_dd_unk=False, max_new_tokens=1
         )
-        score_engine = DecodeEngine(params, cfg, score_gen, stop_keyword_ids=stop_ids)
+        score_engine = DecodeEngine(params, cfg, score_gen,
+                                    stop_keyword_ids=stop_ids,
+                                    act_quant=act_quant)
 
     one_word = args.one_word or "POPE" in args.question_file
 
@@ -418,12 +426,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lockstep-decode consecutive same-image questions "
                    "with one shared prefix KV prefill (POPE has 6 per image)")
     p.add_argument("--verbose", action="store_true", default=True)
-    p.add_argument("--quant", default="none", choices=["none", "int8", "int4"],
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int4", "w8a8"],
                    help="weight-only decoder serving (reference load_8bit/"
                    "load_4bit): int8 ~2x bf16 decode; int4 g128 = int8 "
-                   "decode speed at half the weight HBM. qwen family "
-                   "supports int8 only (13696-wide FFN is not 256-aligned "
-                   "for split-half int4 packing)")
+                   "decode speed at half the weight HBM; w8a8 = int8 weights "
+                   "+ dynamic activation quant on prefill (~1.4x prefill, "
+                   "NOT bit-exact — throughput mode). qwen family "
+                   "supports int8/w8a8 only (13696-wide FFN is not "
+                   "256-aligned for split-half int4 packing)")
     return p
 
 

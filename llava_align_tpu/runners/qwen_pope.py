@@ -64,12 +64,16 @@ def _text_ids(tokenizer, text: str):
 
 def run(args) -> str:
     tokenizer, params, cfg, model_name = load_qwen_model(args.model_path)
-    if getattr(args, "quant", "none") == "int4":
+    quant = getattr(args, "quant", "none")
+    act_quant = quant == "w8a8"  # int8 weights + W8A8 prefill (ops/quant)
+    if act_quant:
+        quant = "int8"
+    if quant == "int4":
         raise ValueError(
             "qwen int4 is unsupported: the 13696-wide FFN is not 256-aligned "
             "for split-half int4 packing; use --quant int8"
         )
-    if getattr(args, "quant", "none") == "int8":
+    if quant == "int8":
         # int8 weight-only serving for the Qwen decoder (ops/quant; the
         # visual tower stays bf16 — it runs once per group, not per token)
         from llava_align_tpu.ops.quant import quantize_qwen_params
@@ -84,14 +88,16 @@ def run(args) -> str:
 
     gen = make_generation_config(args, eos_token_id=eod, max_new_tokens=args.max_new_tokens)
     adapter = QwenVLAdapter(cfg)
-    engine = DecodeEngine(params, cfg, gen, adapter=adapter, bucket=64)
+    engine = DecodeEngine(params, cfg, gen, adapter=adapter, bucket=64,
+                          act_quant=act_quant)
     score_engine = None
     if args.calibrate:
         score_gen = make_generation_config(
             args, eos_token_id=eod, use_cd=False, use_dd=False, use_dd_unk=False,
             max_new_tokens=1,
         )
-        score_engine = DecodeEngine(params, cfg, score_gen, adapter=adapter, bucket=64)
+        score_engine = DecodeEngine(params, cfg, score_gen, adapter=adapter,
+                                    bucket=64, act_quant=act_quant)
 
     span = qwen_vl_model.make_image_span_ids(cfg)
 

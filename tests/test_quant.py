@@ -362,3 +362,107 @@ def test_int4_fused_matches_unfused():
     fg = np.asarray(qf["layers"]["gateup"]["gs"])
     pg = [np.asarray(qu["layers"][k]["gs"]) for k in ("gate", "up")]
     np.testing.assert_array_equal(fg, np.concatenate(pg, axis=2))
+
+
+# ---------------------------------------------------------------------------
+# W8A8: opt-in dynamic activation quant -> int8 MXU (prefill throughput mode)
+# ---------------------------------------------------------------------------
+
+
+def test_w8a8_matmul_matches_integer_emulation():
+    """The int32 accumulation is exact; the whole op must match a numpy
+    re-enactment of quantize -> integer matmul -> fp32 scale epilogue."""
+    from llava_align_tpu.ops.quant import int8_matmul_w8a8
+
+    rng = np.random.default_rng(7)
+    B, D, O = 9, 64, 48
+    h = rng.normal(size=(B, D)).astype(np.float32)
+    q = rng.integers(-127, 127, size=(O, D), dtype=np.int8)
+    s = (rng.random(O).astype(np.float32) * 0.02 + 1e-3)
+
+    out = np.asarray(int8_matmul_w8a8(jnp.asarray(h), jnp.asarray(q), jnp.asarray(s)))
+
+    amax = np.abs(h).max(axis=1, keepdims=True)
+    a_scale = np.maximum(amax, 1e-30) / 127.0
+    hq = np.clip(np.round(h / a_scale), -127, 127).astype(np.int8)
+    acc = hq.astype(np.int32) @ q.astype(np.int32).T
+    ref = acc.astype(np.float32) * a_scale * s[None, :]
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_w8a8_relative_error_vs_exact_dequant_small():
+    """Activation quant adds bounded error on Gaussian data (weights keep
+    their per-channel scales; only the activation rounds to 8 bits)."""
+    from llava_align_tpu.ops.quant import int8_matmul_w8a8, int8_matmul_xla
+
+    rng = np.random.default_rng(8)
+    B, D, O = 32, 256, 128
+    h = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    q = jnp.asarray(rng.integers(-127, 127, size=(O, D), dtype=np.int8))
+    s = jnp.asarray(rng.random(O).astype(np.float32) * 0.02 + 1e-3)
+    exact = np.asarray(int8_matmul_xla(h, q, s), np.float32)
+    w8 = np.asarray(int8_matmul_w8a8(h, q, s), np.float32)
+    rel = np.abs(w8 - exact).max() / np.abs(exact).max()
+    assert rel < 0.02
+
+
+def test_w8a8_dispatch_row_threshold():
+    """act_quant routes only compute-bound row counts (>= _W8A8_MIN_B) to the
+    W8A8 path; below that the dispatch is bit-identical to the exact path."""
+    from llava_align_tpu.ops.quant import (
+        _W8A8_MIN_B,
+        int8_matmul_stacked_dispatch,
+        int8_matmul_w8a8,
+    )
+
+    rng = np.random.default_rng(9)
+    L, D, O = 2, 64, 32
+    q = jnp.asarray(rng.integers(-127, 127, size=(L, O, D), dtype=np.int8))
+    s = jnp.asarray(rng.random((L, O)).astype(np.float32) * 0.02 + 1e-3)
+    wq = {"q": q, "s": s}
+    li = jnp.asarray(1, jnp.int32)
+
+    h_small = jnp.asarray(rng.normal(size=(_W8A8_MIN_B - 1, D)).astype(np.float32))
+    base = np.asarray(int8_matmul_stacked_dispatch(h_small, wq, li))
+    act = np.asarray(int8_matmul_stacked_dispatch(h_small, wq, li, act_quant=True))
+    np.testing.assert_array_equal(base, act)
+
+    h_big = jnp.asarray(rng.normal(size=(_W8A8_MIN_B, D)).astype(np.float32))
+    act_big = np.asarray(
+        int8_matmul_stacked_dispatch(h_big, wq, li, act_quant=True)
+    )
+    ref_big = np.asarray(int8_matmul_w8a8(h_big, q[1], s[1]))
+    np.testing.assert_allclose(act_big, ref_big, rtol=1e-6, atol=1e-6)
+
+    # leading dims flatten into the row count ([B, S, D] inputs)
+    h3 = h_big.reshape(16, -1, D)
+    act3 = np.asarray(int8_matmul_stacked_dispatch(h3, wq, li, act_quant=True))
+    np.testing.assert_allclose(act3.reshape(-1, O), ref_big, rtol=1e-6, atol=1e-6)
+
+
+def test_engine_act_quant_runs_and_first_step_close():
+    """DecodeEngine(act_quant=True) exercises the W8A8 prefill path (3
+    branches x 128-token bucket >= 256 rows) and stays distribution-close to
+    the exact int8 engine."""
+    cfg = LlavaConfig.tiny(vocab_size=97)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    qparams = dict(params)
+    qparams["llama"] = quantize_llama_params(params["llama"])
+
+    H = cfg.vision.image_size
+    image = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (3, H, H), jnp.float32))
+    ids = [1] + list(range(40, 80)) + [IMAGE_TOKEN_INDEX] + list(range(80, 120))
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False, eos_token_id=2,
+                           use_dd=True, use_dd_unk=True)
+    exact = DecodeEngine(qparams, cfg, gen, attn_impl="xla", bucket=128).generate(ids, image)
+    w8 = DecodeEngine(qparams, cfg, gen, attn_impl="xla", bucket=128,
+                      act_quant=True).generate(ids, image)
+    assert len(w8.token_ids) >= 1
+    e_top = dict(zip(exact.first_scores_top_ids[:5].tolist(),
+                     exact.first_scores_top_probs[:5]))
+    w_top = dict(zip(w8.first_scores_top_ids[:5].tolist(),
+                     w8.first_scores_top_probs[:5]))
+    common = set(e_top) & set(w_top)
+    assert len(common) >= 3
+    for t in common:
+        assert abs(e_top[t] - w_top[t]) < 0.05
