@@ -187,10 +187,12 @@ def run(args) -> str:
     # multi-group batching + one in-flight call (same layout as runners/
     # pope.py): GB uniform-size image-groups per jitted call, submit g+1
     # before collecting g so host prep + input transfer overlap device
-    # execution. Qwen's auto pick is GB=1: measured 28.6 samples/s at GB=1
-    # vs 21.3 at GB=2 on Qwen-7B int8 (scripts/bench_qwen_grouped.py) — the
-    # MHA cache's 4x-per-token KV traffic makes bigger working sets lose.
-    GB = max(1, getattr(args, "group_batch", 0) or 1)
+    # execution. Qwen's auto pick is GB=1 at int8: measured 28.6 samples/s
+    # at GB=1 vs 21.3 at GB=2 on Qwen-7B (scripts/bench_qwen_grouped.py) —
+    # the MHA cache's 4x-per-token KV traffic makes bigger working sets
+    # lose. W8A8 flips that (prefill compute shrinks 1.4x): 41.1/s at GB=2
+    # vs 29.6 at GB=1, so the auto pick is 2 there.
+    GB = max(1, getattr(args, "group_batch", 0) or (2 if act_quant else 1))
     batches, cur = [], []
     for g in groups:
         if cur and (len(g) != len(cur[0]) or len(cur) >= GB):

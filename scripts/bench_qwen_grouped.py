@@ -67,6 +67,7 @@ def build_params(cfg):
 
 
 def main():
+    act_quant = "--act-quant" in sys.argv  # W8A8 prefill (ops/quant note)
     cfg = QwenVLConfig()  # Qwen-VL 7B defaults
     params = build_params(cfg)
     adapter = QwenVLAdapter(cfg)
@@ -77,7 +78,8 @@ def main():
         use_dd=True, use_dd_unk=True, cd_alpha=1.0, cd_beta=0.1,
         eos_token_id=10**9,
     )
-    eng = DecodeEngine(params, cfg, gen, adapter=adapter, bucket=64)
+    eng = DecodeEngine(params, cfg, gen, adapter=adapter, bucket=64,
+                       act_quant=act_quant)
 
     span = qwen_vl.make_image_span_ids(cfg)
     rngq = np.random.default_rng(3)
@@ -111,8 +113,9 @@ def main():
             pending = h
         eng.collect_batch_groups(pending)
         dt = (time.perf_counter() - t0) / N
+        label = "w8a8" if act_quant else "int8"
         print(
-            f"qwen-7B int8 grouped POPE GB={GB}: {dt*1e3:.1f}ms/call "
+            f"qwen-7B {label} grouped POPE GB={GB}: {dt*1e3:.1f}ms/call "
             f"-> {GB*Qg/dt:.2f} samples/s (pipelined)",
             flush=True,
         )
