@@ -188,24 +188,24 @@ def main():
     G = min(6, max(2, args.batch_questions))
     results["pope_samples_per_sec_grouped"] = None
     results["group_batch_used"] = 0
+    prefix = ids  # [bos ... <image> ... question stem]
+    rngq = np.random.default_rng(3)
+    suffixes = [
+        [int(t) for t in rngq.integers(10, 20000, size=6)] for _ in range(G)
+    ]
+    # multi-group: GB image-groups of G questions per jitted call
+    # (runner --group-batch). Pick GB from the HBM budget: per group the
+    # [L, pad_prefix] image segment + 2 short text-prefix segments +
+    # G*3 local rows at the SUFFIX bucket (with shared text-branch
+    # prefixes the local caches hold only suffix + generated tokens).
+    per_pos = tcfg.num_layers * tcfg.num_kv_heads * tcfg.head_dim * 2 * 2
+    prefix_bytes = (pad_to + 2 * 128) * per_pos  # + text segments (128 bucket)
+    local_bytes = 3 * G * (32 + args.answer_new) * per_pos
+    gb_fit = int(
+        (HBM_BUDGET - params_bytes - overhead) // (prefix_bytes + local_bytes)
+    )
     try:
         geng = make_engine(args.answer_new, True)
-        prefix = ids  # [bos ... <image> ... question stem]
-        rngq = np.random.default_rng(3)
-        suffixes = [
-            [int(t) for t in rngq.integers(10, 20000, size=6)] for _ in range(G)
-        ]
-        # multi-group: GB image-groups of G questions per jitted call
-        # (runner --group-batch). Pick GB from the HBM budget: per group the
-        # [L, pad_prefix] image segment + 2 short text-prefix segments +
-        # G*3 local rows at the SUFFIX bucket (with shared text-branch
-        # prefixes the local caches hold only suffix + generated tokens).
-        per_pos = tcfg.num_layers * tcfg.num_kv_heads * tcfg.head_dim * 2 * 2
-        prefix_bytes = (pad_to + 2 * 128) * per_pos  # + text segments (128 bucket)
-        local_bytes = 3 * G * (32 + args.answer_new) * per_pos
-        gb_fit = int(
-            (HBM_BUDGET - params_bytes - overhead) // (prefix_bytes + local_bytes)
-        )
         for GB in sorted({1, min(4, max(1, gb_fit))}):
             gps = [(prefix, suffixes, image)] * GB
             geng.generate_batch_groups(gps)  # compile
@@ -227,6 +227,47 @@ def main():
                 results["group_batch_used"] = GB
     except Exception as e:
         sys.stderr.write(f"grouped G={G} failed ({type(e).__name__}: {e}); skipping\n")
+
+    # W8A8 side measurement (only when the headline config is int8, whose
+    # weights w8a8 reuses): the opt-in throughput mode (--quant w8a8, NOT
+    # bit-exact with int8 — docs/DESIGN.md §W8A8) measured in the same
+    # artifact so every number the docs cite is driver-captured. One GB
+    # point: w8a8 shrinks prefill compute, so the largest fitting GB wins
+    # (measured GB=4 50.7/s vs GB=1 44.8/s at 7B).
+    results["pope_samples_per_sec_grouped_w8a8"] = None
+    results["p50_answer_latency_s_w8a8"] = None
+    gb_w8a8 = 0
+    if args.quant == "int8":
+        try:
+            weng = DecodeEngine(
+                params, cfg,
+                GenerationConfig(
+                    max_new_tokens=args.answer_new, do_sample=True,
+                    temperature=1.0, use_dd=True, use_dd_unk=True,
+                    cd_alpha=1.0, cd_beta=0.1, eos_token_id=NO_EOS,
+                ),
+                attn_impl="auto", mesh=mesh, act_quant=True,
+            )
+            GB = min(4, max(1, gb_fit))
+            gps = [(ids, suffixes, image)] * GB
+            weng.generate_batch_groups(gps)  # compile
+            N = max(args.iters, 3) + 1
+            pending = None
+            t0 = time.perf_counter()
+            for i in range(N):
+                h = weng.submit_batch_groups(gps, rng=jax.random.PRNGKey(300 + i))
+                if pending is not None:
+                    weng.collect_batch_groups(pending)
+                pending = h
+            weng.collect_batch_groups(pending)
+            results["pope_samples_per_sec_grouped_w8a8"] = (
+                N * GB * G / (time.perf_counter() - t0)
+            )
+            gb_w8a8 = GB
+            _, t_w = _time_generate(weng, ids, image, max(args.iters, 5))
+            results["p50_answer_latency_s_w8a8"] = float(np.percentile(t_w, 50))
+        except Exception as e:
+            sys.stderr.write(f"w8a8 side bench failed ({type(e).__name__}: {e}); skipping\n")
 
     dual_tps = results["dual_decode_tps"]
     single_tps = results["single_decode_tps"]
@@ -259,6 +300,21 @@ def main():
         "batch_questions": results["batch_questions_used"],
         "group_batch": results["group_batch_used"],
         "p50_answer_latency_s": round(p50, 4),
+        # _w8a8 = the opt-in throughput mode (--quant w8a8: int8 weights +
+        # dynamic per-row activation quant on compute-bound prefill matmuls;
+        # NOT bit-exact with int8) measured in the same run on the same
+        # weights, so the artifact of record carries both configs
+        "pope_samples_per_sec_grouped_w8a8": (
+            round(results["pope_samples_per_sec_grouped_w8a8"], 4)
+            if results["pope_samples_per_sec_grouped_w8a8"]
+            else None
+        ),
+        "group_batch_w8a8": gb_w8a8,
+        "p50_answer_latency_s_w8a8": (
+            round(results["p50_answer_latency_s_w8a8"], 4)
+            if results["p50_answer_latency_s_w8a8"]
+            else None
+        ),
         "model": args.model,
         "quant": args.quant,
         "device": str(dev),
