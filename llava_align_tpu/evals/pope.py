@@ -44,12 +44,54 @@ def load_jsonl(path: str) -> List[dict]:
         ]
 
 
-def score_pope(gt_lines: Sequence[dict], gen_lines: Sequence[dict]) -> Dict[str, float]:
+def check_alignment(
+    gt_lines: Sequence[dict],
+    gen_lines: Sequence[dict],
+    gt_name: str = "gt file",
+    gen_name: str = "answers file",
+) -> None:
+    """Raise a clear error on gt/answers misalignment instead of the
+    reference's bare assert (eval_pope.py:30). Names both inputs and counts,
+    and points at the first diverging question_id."""
+    if len(gt_lines) != len(gen_lines):
+        raise ValueError(
+            f"count mismatch: {gen_name} has {len(gen_lines)} records but "
+            f"{gt_name} has {len(gt_lines)} questions — partial run, wrong "
+            f"split, or duplicated records (resume without --resume dedupe)?"
+        )
+    for i, (g, a) in enumerate(zip(gt_lines, gen_lines)):
+        if g["question_id"] != a["question_id"]:
+            raise ValueError(
+                f"question_id mismatch at record {i}: {gt_name} has "
+                f"{g['question_id']!r} but {gen_name} has {a['question_id']!r}"
+                " — answers out of order or from a different split?"
+            )
+
+
+def _safe_normalize(v: np.ndarray) -> np.ndarray:
+    """Normalize to a distribution; degenerate input (all-zero — e.g. neither
+    'yes' nor 'no' appeared in the dumped top-k — or non-finite) falls back to
+    uniform instead of the reference's silent nan (eval_pope_calibrate.py
+    divides unconditionally; argmax(nan)=0 matches uniform's argmax, so
+    predictions are preserved while confidence stays finite)."""
+    v = np.asarray(v, np.float64)
+    s = float(np.sum(v))
+    if not np.isfinite(s) or s <= 0.0 or not np.all(np.isfinite(v)):
+        return np.full(v.shape, 1.0 / v.size)
+    return v / s
+
+
+def score_pope(
+    gt_lines: Sequence[dict],
+    gen_lines: Sequence[dict],
+    gt_name: str = "gt file",
+    gen_name: str = "answers file",
+) -> Dict[str, float]:
     """Plain POPE metrics from answer text (reference eval_pope.py:17-67)."""
+    check_alignment(gt_lines, gen_lines, gt_name, gen_name)
     tp = tn = fp = fn = unknown = yes = 0
     total = len(gt_lines)
     for i, line in enumerate(gt_lines):
-        assert line["question_id"] == gen_lines[i]["question_id"]
         gt = line["label"].lower().strip()
         gen = gen_lines[i]["text"].lower().strip()
         if gt == "yes":
@@ -99,14 +141,16 @@ def score_pope_calibrated(
     confidence_low: float = 0.0,
     confidence_high: float = 1.0,
     ece_bins: int = 10,
+    gt_name: str = "gt file",
+    gen_name: str = "answers file",
 ) -> Dict[str, Dict[str, float]]:
     """Calibrated POPE metrics per debias setting
     (reference eval_pope_calibrate.py:49-175)."""
+    check_alignment(gt_lines, gen_lines, gt_name, gen_name)
     num_classes = 2
     prob: Dict[str, List[List[float]]] = {n: [] for n in BASE_SETTINGS}
     labels: List[int] = []
     for i, line in enumerate(gt_lines):
-        assert line["question_id"] == gen_lines[i]["question_id"]
         labels.append(LABEL_TO_INT[line["label"]])
         for name in BASE_SETTINGS:
             if name in gen_lines[i]:
@@ -135,25 +179,25 @@ def score_pope_calibrated(
         b = np.zeros([num_classes, 1])
         if calibrate_mode == "all" and name != "naive":
             all_p_y = _setting_p_vector(prob, name, None)
-            p_cf = np.mean(np.asarray(all_p_y, np.float64), axis=0)
-            p_cf = p_cf / np.sum(p_cf)
+            p_cf = _safe_normalize(np.mean(np.asarray(all_p_y, np.float64), axis=0))
             W, b = calibrate_weight(p_cf, mode)
 
         for i in range(len(labels)):
-            gen_answer = np.asarray(scores_naive[i], np.float64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                gen_answer = gen_answer / np.sum(gen_answer)
+            gen_answer = _safe_normalize(scores_naive[i])
             if np.max(gen_answer) > confidence_high or np.max(gen_answer) < confidence_low:
                 continue
             if calibrate_mode == "individual" and name != "naive":
-                p_cf = _setting_p_vector(prob, name, i)
-                p_cf = p_cf / np.sum(p_cf)
+                p_cf = _safe_normalize(_setting_p_vector(prob, name, i))
                 p_cf = p_cf + 1e-4  # reference eval_pope_calibrate.py:136
                 W, b = calibrate_weight(p_cf, mode)
 
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cal = np.matmul(W, np.expand_dims(gen_answer, axis=-1)) + b
-                cal = cal / np.sum(cal)
+            cal = np.matmul(W, np.expand_dims(gen_answer, axis=-1)) + b
+            s = float(np.sum(cal))
+            # identity_W calibration sums to exactly 0 (p and p_cf both
+            # normalized) — argmax/confidence are taken unnormalized then,
+            # same ordering, no nan (reference divides by 0 here).
+            if np.isfinite(s) and abs(s) > 1e-12:
+                cal = cal / s
             calibrated_probs.append(cal)
 
             gt = labels[i]

@@ -80,8 +80,11 @@ def run(args) -> dict:
             args.image_aspect_ratio = "pad"  # llava-v1.5 config default
         answers_file = pope.run(args)
 
-    if not args.mme_data_root:
-        print("no --mme-data-root given; skipping conversion/scoring")
+    if not args.mme_data_root or not os.path.isdir(args.mme_data_root):
+        print(
+            f"--mme-data-root {args.mme_data_root!r} missing or not a "
+            "directory; skipping conversion/scoring"
+        )
         return {}
     with open(answers_file) as f:
         answers = [json.loads(line) for line in f]

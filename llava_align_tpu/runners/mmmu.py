@@ -127,16 +127,20 @@ def run_qwen(args) -> str:
         sent_ids, _ = qwen_vl_model.sentinelize_span(
             span + _ids(f"{q} Answer:"), cfg
         )
+        # qwen 'unk' branch is a retokenized prompt ('None {q} Answer:',
+        # reference qwen_calibrate.py:36-41) — explicit ids, same as the
+        # qwen POPE runner
+        branch_ids = {"unk": _ids(f"None {q} Answer:")} if gen.use_dd_unk else None
         image = _load_image(args, s.get("image", ""), cfg)
         rng = jax.random.PRNGKey(args.seed + (zlib.crc32(str(sid).encode()) % 65536))
         if score_engine is None:
-            handle = engine.submit_generate(sent_ids, image, rng=rng)
+            handle = engine.submit_generate(sent_ids, image, rng=rng, branch_ids=branch_ids)
             if in_flight is not None:
                 ps, psid, ph, prng = in_flight
                 _finish(ps, psid, engine.collect_generate(ph), prng)
             in_flight = (s, sid, handle, rng)
             continue
-        out = engine.generate(sent_ids, image, rng=rng)
+        out = engine.generate(sent_ids, image, rng=rng, branch_ids=branch_ids)
         _finish(s, sid, out, rng)
     if in_flight is not None:
         ps, psid, ph, prng = in_flight

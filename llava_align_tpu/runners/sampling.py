@@ -46,6 +46,12 @@ def run_sweep(args) -> list:
     produced = []
     run = _run_fn(args)
 
+    temperature_grid, top_p_grid, top_k_grid = (
+        TEMPERATURE_GRID, TOP_P_GRID, TOP_K_GRID)
+    if getattr(args, "grid", "full") == "smoke":
+        # one point per axis — for shell-driver live checks at tiny scale
+        temperature_grid, top_p_grid, top_k_grid = [0.5], [0.5], [5]
+
     def run_one(a, name):
         a.answers_file = answers_template.replace("setting", name)
         run(a)
@@ -58,17 +64,17 @@ def run_sweep(args) -> list:
     if args.use_cd:
         return produced
 
-    for t in TEMPERATURE_GRID:
+    for t in temperature_grid:
         a = copy.deepcopy(base)
         a.temperature = t
         run_one(a, f"temp_{t}")
 
-    for top_p in TOP_P_GRID:
+    for top_p in top_p_grid:
         a = copy.deepcopy(base)
         a.top_p = top_p
         run_one(a, f"top_p_{a.top_p}")
 
-    for top_k in TOP_K_GRID:
+    for top_k in top_k_grid:
         a = copy.deepcopy(base)
         a.top_k = top_k
         run_one(a, f"top_k_{top_k}")
@@ -80,6 +86,8 @@ def build_parser():
     p.add_argument("--model-family", default="llava", choices=["llava", "qwen", "blip"])
     p.add_argument("--benchmark", default="pope", choices=["pope", "mmmu"],
                    help="mmmu = sweep over MMMU samples (run_llava_sampling.py)")
+    p.add_argument("--grid", default="full", choices=["full", "smoke"],
+                   help="smoke = one grid point per axis (driver live checks)")
     return p
 
 

@@ -209,6 +209,34 @@ def test_mmmu_qwen_runner(tmp_path):
     assert "art" in rep["subjects"]
 
 
+def test_mmmu_qwen_dd_both(tmp_path):
+    """Regression: qwen MMMU with --use_dd --use_dd_unk must wire the
+    retokenized 'None {q} Answer:' unk branch ids into the engine call
+    (the scripts/mmmu/mmmu.sh dd_both leg crashed without them)."""
+    from llava_align_tpu.runners import mmmu
+
+    qf = tmp_path / "mmmu.jsonl"
+    with open(qf, "w") as f:
+        f.write(json.dumps(
+            {"id": "val_art_0", "subject": "art",
+             "question_type": "multiple-choice", "answer": "B",
+             "all_choices": ["A", "B"], "index2ans": {"A": "w", "B": "x"},
+             "final_input_prompt": "<image 1> Pick one (A) w (B) x",
+             "image": "m0.jpg"}) + "\n")
+    out = str(tmp_path / "ans.jsonl")
+    args = mmmu.build_parser().parse_args(
+        ["--model-path", "random:tiny", "--question-file", str(qf),
+         "--answers-file", out, "--model-family", "qwen",
+         "--use_dd", "--use_dd_unk"]
+    )
+    args.synthetic_images = True
+    args.temperature = 0.0
+    args.max_new_tokens = 2
+    mmmu.run(args)
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 1 and recs[0]["text"] is not None
+
+
 def test_sampling_sweep_mmmu(tmp_path, monkeypatch):
     """--benchmark mmmu routes the decoding-config grid through the MMMU
     runner with 'setting'-templated answer files (run_llava_sampling.py)."""

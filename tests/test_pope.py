@@ -87,6 +87,62 @@ def test_calibrated_all_mode_uses_global_p_cf():
     assert res["none"]["accuracy"] == 1.0
 
 
+def test_short_answers_file_raises_named_error():
+    """A truncated answers file must fail with counts + file names, not a
+    bare IndexError (reference eval_pope.py:30 is a bare assert)."""
+    import pytest
+
+    gt = _gt(["yes", "no", "no"])
+    gen = [{"question_id": 0, "text": "yes"}]
+    with pytest.raises(ValueError, match=r"1 records.*3 questions"):
+        score_pope(gt, gen)
+    with pytest.raises(ValueError, match="short.jsonl"):
+        score_pope_calibrated(gt, gen, gen_name="short.jsonl")
+
+
+def test_misordered_question_ids_raise_named_error():
+    import pytest
+
+    gt = _gt(["yes", "no"])
+    gen = [{"question_id": 1, "text": "yes"}, {"question_id": 0, "text": "no"}]
+    with pytest.raises(ValueError, match="question_id mismatch at record 0"):
+        score_pope(gt, gen)
+
+
+def test_empty_logits_score_yields_finite_metrics():
+    """Top-k dicts lacking both 'yes' and 'no' (degenerate [0,0] class
+    vector) must not produce nan confidence or a RuntimeWarning."""
+    import warnings
+
+    gt = _gt(["yes", "no"])
+    gen = [
+        {"question_id": 0, "text": "yes", "naive": {"maybe": 0.9},
+         "none": {"also": 1.0}, "unk": {}},
+        {"question_id": 1, "text": "no", "naive": {"yes": 0.2, "no": 0.7},
+         "none": {"yes": 0.5, "no": 0.5}, "unk": {"yes": 0.5, "no": 0.5}},
+    ]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        for mode in ("individual", "all"):
+            res = score_pope_calibrated(
+                gt, gen, settings=("naive", "none", "unk", "none_unk"),
+                calibrate_mode=mode,
+            )
+            for name, m in res.items():
+                assert np.isfinite(m["confidence"]), (mode, name)
+                assert np.isfinite(m["f1"]), (mode, name)
+                assert m["total"] == 2
+
+
+def test_degenerate_sample_prediction_matches_reference_argmax():
+    """[0,0] naive vector: reference argmax(nan)=0 → 'yes'; the uniform
+    fallback argmax is also 0, so the prediction (and thus F1) is unchanged."""
+    gt = _gt(["yes"])
+    gen = [{"question_id": 0, "text": "", "naive": {"hmm": 1.0}}]
+    res = score_pope_calibrated(gt, gen, settings=("naive",))["naive"]
+    assert res["accuracy"] == 1.0  # predicted 'yes' (class 0)
+
+
 def test_report_formatting():
     gt = _gt(["yes"])
     gen = [{"question_id": 0, "text": "yes", "naive": {"yes": 0.9, "no": 0.05}}]
