@@ -151,7 +151,11 @@ def forward_multimodal(
     n_img = cfg.num_image_tokens if images is not None else 0
     plan = plan_splice(input_ids, n_img, pad_to)
     if images is not None:
-        feats = encode_images(params, cfg, images)  # [1, N, D]
+        # [n, N, D] → [1, n*N, D]: plan_splice consumes each sentinel's
+        # feature block in image order (reference llava_arch.py:128-152's
+        # cur_image_idx walk), so multi-image sequences flatten here
+        feats = encode_images(params, cfg, images)
+        feats = feats.reshape(1, -1, feats.shape[-1])
     else:
         feats = jnp.zeros((1, 1, cfg.text.hidden_size), cfg.text.dtype)
     embeds = splice_embeds(
