@@ -132,8 +132,10 @@ def forward(
 
     act_quant: opt-in W8A8 — int8-quantized stacks run compute-bound row
     counts through dynamic activation quant + int8 MXU matmuls
-    (ops/quant.int8_matmul_w8a8; ~1.4x prefill, NOT bit-exact). Decode rows
-    and the TP shard_map path keep the exact weight-streaming kernels.
+    (ops/quant.int8_matmul_w8a8; ~1.4x prefill, NOT bit-exact vs the exact
+    int8 kernels, but the sharded W8A8 path IS bit-exact vs single-device
+    W8A8 — ops/quant.int8_matmul_stacked_tp act_quant). Decode rows keep the
+    exact weight-streaming kernels in both the single-device and TP paths.
 
     shared_kv: optional read-only prefix KV segment {'k','v': [L, P, K, Dh]}
     shared by all rows (ops/attention shared-prefix design). shared_len [B]
@@ -205,6 +207,7 @@ def forward(
                 return int8_matmul_stacked_tp(
                     h, all_layers[name], li if li is not None else 0,
                     tp_mesh, int8_tp_mode(name),
+                    act_quant=act_quant,
                 )
             return int8_matmul_stacked_dispatch(
                 h, all_layers[name], li if li is not None else 0,

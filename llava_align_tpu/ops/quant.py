@@ -116,6 +116,15 @@ def _stream_rows_ok(n_rows: int, O: int, D: int) -> bool:
 _W8A8_MIN_B = 256  # measured crossover: parity at 128 rows, 1.4x from 256 up
 
 
+def _w8a8_row_scale(hf: jax.Array, amax: jax.Array) -> jax.Array:
+    del hf  # signature symmetry with the quant step
+    return jnp.maximum(amax, 1e-30) / 127.0
+
+
+def _w8a8_quantize(hf: jax.Array, a_scale: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.round(hf / a_scale), -127.0, 127.0).astype(jnp.int8)
+
+
 def int8_matmul_w8a8(h: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     """h [..., D] x int8 [O, D] (scales [O]) → [..., O] in h.dtype.
 
@@ -123,8 +132,8 @@ def int8_matmul_w8a8(h: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     a_scale[row] * s[col]."""
     hf = h.astype(jnp.float32)
     amax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
-    a_scale = jnp.maximum(amax, 1e-30) / 127.0
-    hq = jnp.clip(jnp.round(hf / a_scale), -127.0, 127.0).astype(jnp.int8)
+    a_scale = _w8a8_row_scale(hf, amax)
+    hq = _w8a8_quantize(hf, a_scale)
     acc = jax.lax.dot_general(
         hq, q,
         (((h.ndim - 1,), (1,)), ((), ())),
@@ -868,7 +877,18 @@ def int8_matmul_stacked_tp(
     *,
     axis: str = "model",
     interpret: Optional[bool] = None,
+    act_quant: bool = False,
 ) -> jax.Array:
+    """Sharded int8 stacked matmul (Megatron column/row dataflow, see the
+    block comment above).
+
+    act_quant=True routes compute-bound row counts (>= _W8A8_MIN_B) through
+    the W8A8 int8-MXU path — bit-identical to the single-device
+    int8_matmul_w8a8: column shards see the full contraction dim so the
+    per-row activation scales match trivially; row shards pmax the row absmax
+    across the axis (max is associative), psum the EXACT int32 partial
+    products (integer addition is associative — no FP reduction-order drift),
+    and apply the identical fp32 a_scale*s epilogue after the reduction."""
     from jax.sharding import PartitionSpec as P
 
     if interpret is None:
@@ -880,6 +900,7 @@ def int8_matmul_stacked_tp(
     lead = h.shape[:-1]
     h2 = h.reshape(-1, h.shape[-1])
     li = jnp.asarray(layer_idx, jnp.int32)
+    w8a8 = act_quant and h2.shape[0] >= _W8A8_MIN_B
 
     # per-shard geometry decides streaming: column shards shrink O, row
     # shards shrink D — apply the measured rule to the shapes the kernel
@@ -894,10 +915,13 @@ def int8_matmul_stacked_tp(
     if mode == "column":
 
         def col_body(h_, q_, s_, li_):
-            if decode_rows:
-                return int8_matmul_stacked(h_, q_, s_, li_, interpret=interpret)
             qi = jax.lax.dynamic_index_in_dim(q_, li_, 0, keepdims=False)
             si = jax.lax.dynamic_index_in_dim(s_, li_, 0, keepdims=False)
+            if w8a8:
+                # full-D rows per shard → a_scale identical to single-device
+                return int8_matmul_w8a8(h_, qi, si)
+            if decode_rows:
+                return int8_matmul_stacked(h_, q_, s_, li_, interpret=interpret)
             return int8_matmul_xla(h_, qi, si)
 
         f = jax.shard_map(
@@ -905,6 +929,31 @@ def int8_matmul_stacked_tp(
             mesh=mesh,
             in_specs=(P(), P(None, axis, None), P(None, axis), P()),
             out_specs=P(None, axis),
+            check_vma=False,
+        )
+        out = f(h2, q, s, li)
+    elif w8a8:
+
+        def row_body_w8a8(h_, q_, s_, li_):
+            hf = h_.astype(jnp.float32)
+            local_amax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+            amax = jax.lax.pmax(local_amax, axis)  # global row absmax
+            a_scale = _w8a8_row_scale(hf, amax)
+            hq = _w8a8_quantize(hf, a_scale)
+            qi = jax.lax.dynamic_index_in_dim(q_, li_, 0, keepdims=False)
+            si = jax.lax.dynamic_index_in_dim(s_, li_, 0, keepdims=False)
+            acc = jax.lax.dot_general(
+                hq, qi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = jax.lax.psum(acc, axis)  # exact: int32 partials
+            return (acc.astype(jnp.float32) * a_scale * si).astype(h_.dtype)
+
+        f = jax.shard_map(
+            row_body_w8a8,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, None, axis), P(), P()),
+            out_specs=P(),
             check_vma=False,
         )
         out = f(h2, q, s, li)

@@ -21,20 +21,28 @@ def init_distributed_mode(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> bool:
-    """Initialize jax.distributed from args or env (JAX_COORDINATOR_ADDRESS /
-    standard TPU env). Returns True if a multi-process runtime is active."""
+    """Initialize jax.distributed from args or env (JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES/JAX_PROCESS_ID, or standard TPU pod env). Returns True
+    if a multi-process runtime is active.
+
+    Unlike the reference's env-sniffing (dist_utils.py:57-92, which prints
+    'Not using distributed mode' and continues), a real init failure here
+    RAISES — only the already-initialized case is absorbed."""
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    try:
-        if coordinator_address:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        elif os.environ.get("TPU_WORKER_HOSTNAMES"):
-            jax.distributed.initialize()
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    if coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif os.environ.get("TPU_WORKER_HOSTNAMES"):
+        jax.distributed.initialize()
     return jax.process_count() > 1
 
 

@@ -50,6 +50,42 @@ def load_questions(path: str, num_chunks: int = 1, chunk_idx: int = 0) -> List[d
     return questions
 
 
+def apply_dist_auto(args) -> bool:
+    """--dist auto: initialize jax.distributed (from JAX_COORDINATOR_ADDRESS
+    etc.), shard the eval set by process rank, and write per-rank answer
+    parts. Replaces the reference's manual --num-chunks/--chunk-idx +
+    CUDA_VISIBLE_DEVICES fan-out (eval/sampling/run.sh:17-25) with
+    jax.process_index sharding. Returns True when multi-process."""
+    if getattr(args, "dist", "none") != "auto":
+        return False
+    from llava_align_tpu.parallel.dist import (
+        get_rank,
+        get_world_size,
+        init_distributed_mode,
+    )
+
+    if not init_distributed_mode():
+        return False
+    n, r = get_world_size(), get_rank()
+    args.num_chunks, args.chunk_idx = n, r
+    root, ext = os.path.splitext(args.answers_file)
+    args.answers_file = f"{root}.rank{r}-of-{n}{ext}"
+    return True
+
+
+def merge_chunk_files(answers_file: str, world_size: int) -> str:
+    """Concatenate per-rank `.rank{r}-of-{n}` parts (written under
+    --dist auto) back into `answers_file`. Chunks are contiguous slices
+    (split_list), so rank-order concatenation restores question order."""
+    root, ext = os.path.splitext(os.path.expanduser(answers_file))
+    with open(os.path.expanduser(answers_file), "w") as out:
+        for r in range(world_size):
+            part = f"{root}.rank{r}-of-{world_size}{ext}"
+            with open(part) as f:
+                out.write(f.read())
+    return answers_file
+
+
 class AnswerFile:
     """Append-only jsonl answers with skip-done resume (the reference relies
     on per-line flush for crude resumability, llava_calibrate.py:219;

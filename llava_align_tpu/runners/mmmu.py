@@ -66,6 +66,9 @@ def run_qwen(args) -> str:
 
         params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
+    from llava_align_tpu.runners.common import apply_dist_auto
+
+    apply_dist_auto(args)
     samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         samples = samples[: args.max_questions]
@@ -154,6 +157,9 @@ def run(args) -> str:
         return run_qwen(args)
     model = load_model(args.model_path)
     tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
+    from llava_align_tpu.runners.common import apply_dist_auto
+
+    apply_dist_auto(args)
     samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         samples = samples[: args.max_questions]

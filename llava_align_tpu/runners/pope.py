@@ -27,6 +27,7 @@ from llava_align_tpu.decoding.engine import DecodeEngine
 from llava_align_tpu.runners.common import (
     AnswerFile,
     LoadedModel,
+    apply_dist_auto,
     build_prompt,
     load_image_tensor,
     load_model,
@@ -94,6 +95,7 @@ def run(args) -> str:
         params = dict(params, llama=quantize_llama_params(
             params["llama"], bits=4 if quant == "int4" else 8))
 
+    apply_dist_auto(args)
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         questions = questions[: args.max_questions]
@@ -396,6 +398,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--answers-file", type=str, required=True)
     p.add_argument("--conv-mode", type=str, default="llava_v1")
     p.add_argument("--num-chunks", type=int, default=1)
+    p.add_argument("--dist", default="none", choices=["none", "auto"],
+                   help="auto = init jax.distributed and shard the eval set "
+                   "by process rank (per-rank .rank{r}-of-{n} answer parts)")
     p.add_argument("--chunk-idx", type=int, default=0)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_p", type=float, default=None)

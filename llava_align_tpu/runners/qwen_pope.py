@@ -81,6 +81,9 @@ def run(args) -> str:
         params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
 
+    from llava_align_tpu.runners.common import apply_dist_auto
+
+    apply_dist_auto(args)
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         questions = questions[: args.max_questions]

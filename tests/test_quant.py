@@ -440,6 +440,78 @@ def test_w8a8_dispatch_row_threshold():
     np.testing.assert_allclose(act3.reshape(-1, O), ref_big, rtol=1e-6, atol=1e-6)
 
 
+def test_w8a8_tp_column_and_row_bitexact_vs_single_device():
+    """Sharded W8A8 (VERDICT r3 #4): int8_matmul_stacked_tp(act_quant=True)
+    must match the single-device W8A8 path BIT-FOR-BIT on the 8-way CPU mesh.
+    column: full contraction per shard → same row scales. row: pmax'd global
+    absmax + psum'd exact int32 partials + identical fp32 epilogue."""
+    from llava_align_tpu.ops.quant import (
+        _W8A8_MIN_B,
+        int8_matmul_stacked_tp,
+        int8_matmul_w8a8,
+    )
+    from llava_align_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(model=8, data=1)
+    rng = np.random.default_rng(11)
+    L, D, O, B = 2, 128 * 8, 64 * 8, _W8A8_MIN_B
+    q = jnp.asarray(rng.integers(-127, 127, size=(L, O, D), dtype=np.int8))
+    s = jnp.asarray(rng.random((L, O)).astype(np.float32) * 0.02 + 1e-3)
+    wq = {"q": q, "s": s}
+    li = jnp.asarray(1, jnp.int32)
+    h = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+
+    ref = np.asarray(int8_matmul_w8a8(h, q[1], s[1]))
+    for mode in ("column", "row"):
+        out = np.asarray(
+            int8_matmul_stacked_tp(h, wq, li, mesh, mode, act_quant=True)
+        )
+        np.testing.assert_array_equal(out, ref, err_msg=mode)
+
+    # below the row threshold act_quant is inert: identical to the exact TP path
+    h_small = jnp.asarray(rng.normal(size=(_W8A8_MIN_B - 1, D)).astype(np.float32))
+    for mode in ("column", "row"):
+        base = np.asarray(int8_matmul_stacked_tp(h_small, wq, li, mesh, mode))
+        act = np.asarray(
+            int8_matmul_stacked_tp(h_small, wq, li, mesh, mode, act_quant=True)
+        )
+        np.testing.assert_array_equal(base, act, err_msg=mode)
+
+
+def test_w8a8_tp_forward_matches_single_device_w8a8():
+    """Full llama.forward under the model mesh with act_quant: the sharded
+    W8A8 prefill matches the single-device W8A8 forward (B*S >= _W8A8_MIN_B
+    so every stack takes the W8A8 route). The W8A8 matmuls themselves are
+    bit-exact (previous test); the residual ~1e-6 here is GSPMD fp-ordering
+    drift in the NON-quant ops (norms/attention), measured identical in
+    magnitude on the exact-int8 TP path."""
+    from llava_align_tpu.config import LlamaConfig
+    from llava_align_tpu.models import llama
+    from llava_align_tpu.ops.quant import _W8A8_MIN_B, quantize_llama_params
+    from llava_align_tpu.parallel.mesh import make_mesh
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=16, dtype=jnp.float32,
+    )
+    params = llama.init(jax.random.PRNGKey(5), cfg)
+    qp = dict(params, layers=quantize_llama_params(params, fuse=True)["layers"])
+    mesh = make_mesh(model=8, data=1)
+
+    B, S = 2, _W8A8_MIN_B // 2
+    ids = jax.random.randint(jax.random.PRNGKey(6), (B, S), 0, cfg.vocab_size)
+    emb = llama.embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+
+    h_single, _ = llama.forward(qp, cfg, emb, pos, attn_impl="xla", act_quant=True)
+    h_tp, _ = llama.forward(
+        qp, cfg, emb, pos, attn_impl="xla", tp_mesh=mesh, act_quant=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_single), np.asarray(h_tp), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_engine_act_quant_runs_and_first_step_close():
     """DecodeEngine(act_quant=True) exercises the W8A8 prefill path (3
     branches x 128-token bucket >= 256 rows) and stays distribution-close to
