@@ -41,6 +41,35 @@ def _prompt_ids(text_len: int):
     return ids
 
 
+_POPE_SPLIT = (
+    "/root/reference/experiments/data/POPE/coco/coco_pope_popular.json"
+)
+
+
+def _pope_question_texts(n: int):
+    """Real POPE question texts when the reference data dir exists (driver
+    environment), deterministic synthetic questions otherwise."""
+    import os
+
+    if os.path.exists(_POPE_SPLIT):
+        with open(_POPE_SPLIT) as f:
+            texts = [json.loads(line)["text"] for line in f][:n]
+        if len(texts) >= 6:
+            return texts
+    rng = np.random.default_rng(11)
+    objs = ["car", "dog", "chair", "tree", "person", "bottle", "sign", "cat"]
+    return [
+        f"Is there a {objs[int(rng.integers(len(objs)))]} in the image?"
+        for _ in range(n)
+    ]
+
+
+def _mock_suffix_ids(text: str):
+    """Per-question suffix tokens via the runner's offline tokenizer
+    (runners/common.MockTokenizer: one id per char, no BOS here)."""
+    return [min(ord(c), 255) + 3 for c in " " + text]
+
+
 def _time_generate(engine, ids, image, iters: int):
     # warmup / compile
     out = engine.generate(ids, image)
@@ -68,9 +97,16 @@ def main():
                     help="int8 = serving default (~2x bf16 decode); int4 = "
                     "g128 weight-only at int8 decode speed with HALF the "
                     "weight HBM (13B batch serving on one 16GB chip); w8a8 = "
-                    "int8 weights + dynamic activation quant on prefill "
-                    "(~1.4x prefill matmuls on the int8 MXU, NOT bit-exact "
-                    "with int8 — throughput mode)")
+                    "EXPERIMENTAL throughput mode: int8 weights + dynamic "
+                    "activation quant on prefill (~1.4x prefill matmuls on "
+                    "the int8 MXU, NOT bit-exact with int8 — see "
+                    "w8a8_answer_flip_rate in the bench JSON)")
+    ap.add_argument(
+        "--flip-questions", type=int, default=996,
+        help="questions for the W8A8-vs-int8 greedy answer flip-rate "
+        "measurement (0 = skip; real POPE texts when the reference data "
+        "dir exists, synthetic otherwise)",
+    )
     ap.add_argument(
         "--mesh", default=None,
         help="shard the engine over a mesh: 'auto' (all devices on the model "
@@ -204,6 +240,7 @@ def main():
     gb_fit = int(
         (HBM_BUDGET - params_bytes - overhead) // (prefix_bytes + local_bytes)
     )
+    grouped_call_s = {}  # GB -> pipelined seconds per call (overhead fit)
     try:
         geng = make_engine(args.answer_new, True)
         for GB in sorted({1, min(4, max(1, gb_fit))}):
@@ -221,7 +258,9 @@ def main():
                     geng.collect_batch_groups(pending)
                 pending = h
             geng.collect_batch_groups(pending)
-            rate = N * GB * G / (time.perf_counter() - t0)
+            total_s = time.perf_counter() - t0
+            rate = N * GB * G / total_s
+            grouped_call_s[GB] = total_s / N
             if (results["pope_samples_per_sec_grouped"] or 0) < rate:
                 results["pope_samples_per_sec_grouped"] = rate
                 results["group_batch_used"] = GB
@@ -269,9 +308,152 @@ def main():
         except Exception as e:
             sys.stderr.write(f"w8a8 side bench failed ({type(e).__name__}: {e}); skipping\n")
 
+    # VCD side measurement (reference vcd_sample.py:147-161 + vcd_add_noise):
+    # main + diffusion-noised image branch, grouped shared-prefix layout.
+    # Each group carries TWO image prefix segments (clean + noised), so the
+    # HBM fit halves the image-segment budget.
+    results["pope_samples_per_sec_grouped_vcd"] = None
+    gb_vcd = 0
+    if args.quant == "int8":
+        try:
+            veng = DecodeEngine(
+                params, cfg,
+                GenerationConfig(
+                    max_new_tokens=args.answer_new, do_sample=True,
+                    temperature=1.0, use_cd=True, cd_alpha=1.0, cd_beta=0.1,
+                    noise_step=500, eos_token_id=NO_EOS,
+                ),
+                attn_impl="auto", mesh=mesh,
+            )
+            local_vcd = 2 * G * (32 + args.answer_new) * per_pos
+            fit_vcd = int(
+                (HBM_BUDGET - params_bytes - overhead)
+                // (2 * prefix_bytes + local_vcd)
+            )
+            GB = min(4, max(1, fit_vcd))
+            gps = [(ids, suffixes, image)] * GB
+            veng.generate_batch_groups(gps)  # compile
+            N = max(args.iters, 3) + 1
+            pending = None
+            t0 = time.perf_counter()
+            for i in range(N):
+                h = veng.submit_batch_groups(gps, rng=jax.random.PRNGKey(400 + i))
+                if pending is not None:
+                    veng.collect_batch_groups(pending)
+                pending = h
+            veng.collect_batch_groups(pending)
+            results["pope_samples_per_sec_grouped_vcd"] = (
+                N * GB * G / (time.perf_counter() - t0)
+            )
+            gb_vcd = GB
+        except Exception as e:
+            sys.stderr.write(f"vcd side bench failed ({type(e).__name__}: {e}); skipping\n")
+
+    # W8A8 accuracy bound (VERDICT r3 ask #1): greedy answer flip-rate of the
+    # W8A8 path vs exact int8 over real POPE questions through the grouped
+    # engine path. Random weights are the PESSIMISTIC regime — noise logits
+    # put the fused top1-top2 gap near zero, so flips trigger far more often
+    # than on trained weights (see scripts/w8a8_deviation.py + DESIGN.md
+    # "W8A8 accuracy"); the full-split runner measurement lives there too.
+    results["w8a8_answer_flip_rate"] = None
+    results["w8a8_flip_questions"] = 0
+    if args.quant == "int8" and args.flip_questions > 0:
+        try:
+            texts = _pope_question_texts(args.flip_questions)
+            suf = [_mock_suffix_ids(t) for t in texts]
+            flip_groups = [
+                (ids, suf[i : i + 6], image)
+                for i in range(0, len(suf) - 5, 6)
+            ]
+            GBF = 4
+            outs = {}
+            for name, act in (("int8", False), ("w8a8", True)):
+                eng = DecodeEngine(
+                    params, cfg,
+                    GenerationConfig(
+                        max_new_tokens=args.answer_new, do_sample=False,
+                        use_dd=True, use_dd_unk=True,
+                        cd_alpha=1.0, cd_beta=0.1, eos_token_id=NO_EOS,
+                    ),
+                    attn_impl="auto", mesh=mesh, act_quant=act,
+                )
+                seqs = []
+                pending = None
+                for i in range(0, len(flip_groups), GBF):
+                    chunk = flip_groups[i : i + GBF]
+                    if len(chunk) < GBF:
+                        chunk = chunk + [chunk[-1]] * (GBF - len(chunk))
+                    h = eng.submit_batch_groups(
+                        chunk, rng=jax.random.PRNGKey(500)
+                    )
+                    if pending is not None:
+                        n_real, ph = pending
+                        seqs.extend(
+                            tuple(o.token_ids)
+                            for o in eng.collect_batch_groups(ph)[: n_real * 6]
+                        )
+                    pending = (min(GBF, len(flip_groups) - i), h)
+                if pending is not None:
+                    n_real, ph = pending
+                    seqs.extend(
+                        tuple(o.token_ids)
+                        for o in eng.collect_batch_groups(ph)[: n_real * 6]
+                    )
+                outs[name] = seqs
+            n = min(len(outs["int8"]), len(outs["w8a8"]))
+            flips = sum(
+                1 for a, b in zip(outs["int8"][:n], outs["w8a8"][:n]) if a != b
+            )
+            results["w8a8_answer_flip_rate"] = flips / max(n, 1)
+            results["w8a8_flip_questions"] = n
+        except Exception as e:
+            sys.stderr.write(f"flip-rate bench failed ({type(e).__name__}: {e}); skipping\n")
+
     dual_tps = results["dual_decode_tps"]
     single_tps = results["single_decode_tps"]
     baseline_tps = single_tps / 3.0  # reference: 3 sequential forwards/token
+
+    # ---- per-phase roofline accounting (VERDICT r3 ask #7): auditable from
+    # the artifact alone. Decode: the packed dual-branch step reads every
+    # decoder weight once -> effective weight GB/s vs the chip's DEMONSTRATED
+    # 567 GB/s streaming ceiling (BASELINE.md "bf16 decode", measured by
+    # scripts/bench_hbm_ceiling.py — the 819 GB/s paper number is not
+    # sustainable on this part). Prefill: analytic matmul FLOPs / measured
+    # wall time; wall time includes tunnel transfer + dispatch, so the TF/s
+    # is a LOWER BOUND on device compute rate (xplane-traced device-only
+    # prefill measured 93-94% MXU peak, docs/DESIGN.md).
+    llama_bytes = sum(
+        int(x.nbytes) for x in jax.tree_util.tree_leaves(params["llama"])
+    )
+    decode_gbps = llama_bytes * dual_tps / 1e9
+    tcfg_t = cfg.text
+    d, f, v = tcfg_t.hidden_size, tcfg_t.intermediate_size, tcfg_t.vocab_size
+    kvd = tcfg_t.num_kv_heads * tcfg_t.head_dim
+    layer_params = d * (d + 2 * kvd) + d * d + 3 * d * f
+    decoder_matmul_params = tcfg_t.num_layers * layer_params + d * v
+    vcfg = cfg.vision
+    vis_tokens = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
+    vis_params = vcfg.num_layers * (
+        4 * vcfg.hidden_size**2
+        + 2 * vcfg.hidden_size * vcfg.intermediate_size
+    ) + (vcfg.hidden_size * d + d * d)  # + projector (2-layer MLP)
+    prefill_tokens = pad_to + 2 * 128  # main image row + 2 text branch rows
+    prefill_flops = 2.0 * (
+        decoder_matmul_params * prefill_tokens + vis_params * vis_tokens
+    )
+    dt_dual = 1.0 / dual_tps
+    prefill_s = max(
+        results["dual_prefill_plus_short_s"] - args.short_new * dt_dual, 1e-6
+    )
+    prefill_tflops_lb = prefill_flops / prefill_s / 1e12
+    # fixed per-call cost of a grouped call from the GB scaling points:
+    # t(GB) = a + b*GB  ->  a = (GBmax*t1 - t(GBmax)) / (GBmax - 1)
+    overhead_ms = None
+    gbs = sorted(grouped_call_s)
+    if len(gbs) == 2 and gbs[0] == 1:
+        g2 = gbs[1]
+        a = (g2 * grouped_call_s[1] - grouped_call_s[g2]) / (g2 - 1)
+        overhead_ms = max(a, 0.0) * 1e3
 
     out = {
         "metric": "llava7b_vdd_dual_branch_decode_tokens_per_sec_per_chip",
@@ -314,6 +496,38 @@ def main():
             round(results["p50_answer_latency_s_w8a8"], 4)
             if results["p50_answer_latency_s_w8a8"]
             else None
+        ),
+        # _vcd = the second headline capability (VCD: contrast against a
+        # diffusion-noised image, reference vcd_sample.py:147-161), grouped
+        # layout with clean+noised prefix segments per group
+        "pope_samples_per_sec_grouped_vcd": (
+            round(results["pope_samples_per_sec_grouped_vcd"], 4)
+            if results["pope_samples_per_sec_grouped_vcd"]
+            else None
+        ),
+        "group_batch_vcd": gb_vcd,
+        # W8A8 accuracy bound: greedy dual-VDD answer flip-rate vs exact int8
+        # over real POPE questions (RANDOM weights = pessimistic regime: the
+        # fused top1-top2 gaps sit near zero; docs/DESIGN.md "W8A8 accuracy").
+        # W8A8 stays an EXPERIMENTAL opt-in until real-weight flip-rate < 1%.
+        "w8a8_answer_flip_rate": (
+            round(results["w8a8_answer_flip_rate"], 4)
+            if results["w8a8_answer_flip_rate"] is not None
+            else None
+        ),
+        "w8a8_flip_questions": results["w8a8_flip_questions"],
+        # roofline accounting (decode: decoder weight bytes read once per
+        # packed dual step vs the demonstrated 567 GB/s streaming ceiling;
+        # prefill: analytic matmul FLOPs / wall time incl. tunnel overhead =
+        # LOWER bound; per-call fixed cost from the GB=1 vs GB=max fit)
+        "decode_weight_gbps": round(decode_gbps, 1),
+        "decode_weight_gbps_frac_of_ceiling": round(decode_gbps / 567.0, 3),
+        "prefill_tflops_lower_bound": round(prefill_tflops_lb, 1),
+        "prefill_frac_bf16_peak_lower_bound": round(
+            prefill_tflops_lb / 197.0, 3
+        ),
+        "grouped_call_fixed_overhead_ms": (
+            round(overhead_ms, 1) if overhead_ms is not None else None
         ),
         "model": args.model,
         "quant": args.quant,

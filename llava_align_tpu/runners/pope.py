@@ -435,9 +435,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "int8", "int4", "w8a8"],
                    help="weight-only decoder serving (reference load_8bit/"
                    "load_4bit): int8 ~2x bf16 decode; int4 g128 = int8 "
-                   "decode speed at half the weight HBM; w8a8 = int8 weights "
-                   "+ dynamic activation quant on prefill (~1.4x prefill, "
-                   "NOT bit-exact — throughput mode). qwen family "
+                   "decode speed at half the weight HBM; w8a8 = EXPERIMENTAL "
+                   "throughput mode (int8 weights + dynamic activation quant "
+                   "on prefill, ~1.4x prefill, NOT bit-exact: measured 7.9% "
+                   "greedy answer flips vs int8 at random-7B weights — "
+                   "docs/ROUND4_NOTES.md). qwen family "
                    "supports int8/w8a8 only (13696-wide FFN is not "
                    "256-aligned for split-half int4 packing)")
     return p

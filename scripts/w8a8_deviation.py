@@ -1,0 +1,240 @@
+"""W8A8 accuracy bound: measure the deviation of the opt-in W8A8 prefill
+mode against the exact int8 weight-only path, at 7B shapes, on the chip.
+
+Three measurements (VERDICT r3 ask #1):
+
+(a) per-matmul deviation — exact ``int8_matmul`` (weight-only, bf16
+    activations) vs ``int8_matmul_w8a8`` (dynamic per-row activation quant,
+    int8x int8 MXU) on 7B-shaped weights across prefill row counts;
+(b) end-logit deviation — full LLaVA prefill forward (CLIP -> projector ->
+    splice -> LLaMA, ``act_quant`` on vs off) at the last true position,
+    per VDD branch (main / unk / none), max + p99 over the vocab;
+(c) how that deviation compares to the margins that decide answers in the
+    fused VDD logits (decoding/sampler.fuse_contrastive_logits; reference
+    semantics vcd_utils/vcd_sample.py:188-194):
+      - the greedy top1-top2 gap of the fused distribution (a first-token
+        flip needs the fused-logit perturbation to exceed this gap), and
+      - the distance of each branch's logits to the beta-cutoff
+        (log beta + max), where a perturbation can add/remove candidates.
+
+Only the FIRST generated token is exposed to W8A8 numerics: prefill rows
+(B*S >= 256) route to the int8-MXU kernel, while decode steps stay on the
+exact weight-streaming kernels (ops/quant.int8_matmul_stacked_dispatch).
+Later tokens differ only if an earlier token choice flipped, so the
+first-token margin analysis bounds the whole-answer flip rate.
+
+Usage (real chip, ~2 min):
+    python scripts/w8a8_deviation.py --prompts 24
+Emits one JSON line; prose writeup in docs/DESIGN.md ("W8A8 accuracy").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# runnable as `python scripts/w8a8_deviation.py` — NOTE: do not replace
+# PYTHONPATH wholesale on this host; /root/.axon_site (the TPU plugin's
+# sitecustomize) rides on it
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _percentiles(x: np.ndarray, ps=(50, 99)):
+    return {f"p{p}": float(np.percentile(x, p)) for p in ps}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b", choices=["7b", "tiny"])
+    ap.add_argument("--prompts", type=int, default=24)
+    ap.add_argument("--text-len", type=int, default=52)
+    ap.add_argument("--rows", type=int, nargs="*", default=[256, 640, 1024])
+    ap.add_argument("--cd-alpha", type=float, default=1.0)
+    ap.add_argument("--cd-beta", type=float, default=0.1)
+    args = ap.parse_args()
+
+    from llava_align_tpu.config import LlavaConfig
+    from llava_align_tpu.constants import IMAGE_TOKEN_INDEX
+    from llava_align_tpu.models import llama
+    from llava_align_tpu.models.llava import (
+        encode_images, plan_splice, splice_embeds,
+    )
+    from llava_align_tpu.ops import quant
+    from llava_align_tpu.utils.synthetic import build_random_llava_params
+
+    cfg = (
+        LlavaConfig.llava_v15_7b()
+        if args.model == "7b"
+        else LlavaConfig.tiny(vocab_size=1024)
+    )
+    params = build_random_llava_params(cfg, quant="int8")
+    tcfg = cfg.text
+    out = {"model": args.model}
+
+    # ---- (a) kernel-level deviation on 7B-shaped single matmuls ----------
+    key = jax.random.PRNGKey(0)
+    shapes = [("qkv_4096x4096", tcfg.hidden_size, tcfg.hidden_size),
+              ("down_4096x11008", tcfg.hidden_size, tcfg.intermediate_size)]
+    kern = {}
+    for name, O, D in shapes:
+        kw, kh = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+        w = jax.random.normal(kw, (O, D), jnp.float32) * (D ** -0.5)
+        wq = quant.quantize_weight(w)
+        for B in args.rows:
+            h = (jax.random.normal(kh, (B, D), jnp.float32) * 1.0).astype(
+                jnp.bfloat16
+            )
+            exact = np.asarray(
+                quant.int8_matmul(h, wq).astype(jnp.float32)
+            )
+            w8a8 = np.asarray(
+                quant.int8_matmul_w8a8(
+                    h, wq["q"], wq["s"].astype(jnp.float32)
+                ).astype(jnp.float32)
+            )
+            d = np.abs(exact - w8a8)
+            rms = float(np.sqrt(np.mean(exact**2)))
+            kern[f"{name}_B{B}"] = {
+                "max_abs": float(d.max()),
+                **_percentiles(d.ravel()),
+                "rel_to_rms_p99": float(np.percentile(d, 99) / rms),
+            }
+    out["per_matmul"] = kern
+
+    # ---- (b)+(c): end-logit deviation per branch + fused-margin stats ----
+    # Branch construction mirrors runners/pope.py: main keeps the image
+    # sentinel; 'unk' swaps it for unk id 0 (still consumes image features
+    # via a zero embed? no — unk is a TEXT branch: sentinel replaced by a
+    # vocab id, no splice); 'none' drops the sentinel entirely.
+    H = cfg.vision.image_size
+    pad_to = -(-(args.text_len + 1 + cfg.num_image_tokens) // 128) * 128
+    pad_txt = 128  # text-only branches bucket
+
+    def fwd(params, tokens, tok_g, img_g, is_img, last_pos, with_image,
+            image, act_quant):
+        # [B, S] batch; the engine prefills the two text branches TOGETHER
+        # ([2, 128] -> 256 matmul rows >= _W8A8_MIN_B), so batching here
+        # reproduces the engine's W8A8 routing exactly
+        B, pt = tok_g.shape
+        if with_image:
+            feats = encode_images(params, cfg, image[None])
+            feats = feats.reshape(1, -1, feats.shape[-1])  # B == 1 here
+        else:
+            feats = jnp.zeros((B, 1, tcfg.hidden_size), tcfg.dtype)
+        embeds = splice_embeds(params, cfg, tokens, tok_g, img_g, is_img, feats)
+        positions = jnp.broadcast_to(
+            jnp.arange(pt, dtype=jnp.int32)[None], (B, pt)
+        )
+        hidden, _ = llama.forward(
+            params["llama"], tcfg, embeds, positions, act_quant=act_quant
+        )
+        last = hidden[jnp.arange(B), last_pos]
+        return llama.logits_from_hidden(params["llama"], last).astype(
+            jnp.float32
+        )  # [B, V]
+
+    fwd_j = jax.jit(fwd, static_argnames=("with_image", "act_quant"))
+
+    def run_fwd(batch_ids, with_image, image, act_quant):
+        n_img = cfg.num_image_tokens if with_image else 0
+        pt = pad_to if with_image else pad_txt
+        plans = [plan_splice(ids, n_img, pt) for ids in batch_ids]
+        tmax = max(p.tokens.shape[0] for p in plans)
+        toks = np.zeros((len(plans), tmax), np.int32)
+        for i, p in enumerate(plans):
+            toks[i, : p.tokens.shape[0]] = p.tokens
+        return fwd_j(
+            params,
+            jnp.asarray(toks),
+            jnp.asarray(np.stack([p.tok_gather for p in plans])),
+            jnp.asarray(np.stack([p.img_gather for p in plans])),
+            jnp.asarray(np.stack([p.is_image for p in plans])),
+            jnp.asarray([p.length - 1 for p in plans], np.int32),
+            with_image, image, act_quant,
+        )
+
+    rng = np.random.default_rng(7)
+    dev_by_branch = {b: [] for b in ("main", "unk", "none")}
+    gaps, cutoff_margins, near_cutoff_frac = [], [], []
+    fused_dev = []
+    for p in range(args.prompts):
+        ids = [1] + rng.integers(10, min(20000, tcfg.vocab_size - 1),
+                                 size=args.text_len - 1).tolist()
+        ids_main = list(ids)
+        ids_main.insert(2, IMAGE_TOKEN_INDEX)
+        ids_unk = [0 if t == IMAGE_TOKEN_INDEX else t for t in ids_main]
+        ids_none = list(ids)
+        image = np.asarray(
+            rng.integers(0, 256, size=(3, H, H)), dtype=np.uint8
+        )
+        img = (jnp.asarray(image, jnp.float32) / 255.0 - 0.5) / 0.5
+        img = img.astype(cfg.vision.dtype)
+
+        br_exact, br_w8a8 = {}, {}
+        br_exact["main"] = np.asarray(run_fwd([ids_main], True, img, False))[0]
+        br_w8a8["main"] = np.asarray(run_fwd([ids_main], True, img, True))[0]
+        # the engine prefills unk+none together ([2, pad_txt] rows)
+        te = np.asarray(run_fwd([ids_unk, ids_none], False, img, False))
+        tw = np.asarray(run_fwd([ids_unk, ids_none], False, img, True))
+        br_exact["unk"], br_exact["none"] = te[0], te[1]
+        br_w8a8["unk"], br_w8a8["none"] = tw[0], tw[1]
+        for name in ("main", "unk", "none"):
+            dev_by_branch[name].append(
+                np.abs(br_exact[name] - br_w8a8[name])
+            )
+
+        # fused VDD logits (dual-dd mean), exact numerics
+        from llava_align_tpu.decoding.sampler import fuse_contrastive_logits
+
+        contrast = (br_exact["unk"] + br_exact["none"]) / 2.0
+        fused = np.asarray(fuse_contrastive_logits(
+            jnp.asarray(br_exact["main"]), jnp.asarray(contrast),
+            args.cd_alpha, args.cd_beta,
+        ))
+        contrast_w = (br_w8a8["unk"] + br_w8a8["none"]) / 2.0
+        fused_w = np.asarray(fuse_contrastive_logits(
+            jnp.asarray(br_w8a8["main"]), jnp.asarray(contrast_w),
+            args.cd_alpha, args.cd_beta,
+        ))
+        finite = np.isfinite(fused) & np.isfinite(fused_w)
+        if finite.any():
+            fused_dev.append(np.abs(fused[finite] - fused_w[finite]))
+        top2 = np.sort(fused[np.isfinite(fused)])[-2:]
+        gaps.append(float(top2[1] - top2[0]))
+        # beta-cutoff margin: distance of each main-branch logit to the
+        # cutoff line; candidates within +-dev of it can enter/leave the
+        # plausibility set
+        cutoff = np.log(args.cd_beta) + br_exact["main"].max()
+        dist = np.abs(br_exact["main"] - cutoff)
+        cutoff_margins.append(float(np.min(dist)))
+        p99d = np.percentile(np.abs(br_exact["main"] - br_w8a8["main"]), 99)
+        near_cutoff_frac.append(float(np.mean(dist < 2 * p99d)))
+
+    for b, ds in dev_by_branch.items():
+        d = np.concatenate([x.ravel() for x in ds])
+        out[f"logit_dev_{b}"] = {"max_abs": float(d.max()), **_percentiles(d)}
+    fd = np.concatenate([x.ravel() for x in fused_dev])
+    out["fused_logit_dev"] = {"max_abs": float(fd.max()), **_percentiles(fd)}
+    gaps = np.asarray(gaps)
+    out["fused_top1_top2_gap"] = {
+        "min": float(gaps.min()), **_percentiles(gaps, (1, 5, 50)),
+    }
+    # a greedy first-token flip needs fused-dev > gap/... : perturbing both
+    # top candidates independently, flip requires gap < dev_top1 + dev_top2;
+    # report the fraction of prompts whose gap is below 2x p99 fused dev
+    p99f = float(np.percentile(fd, 99))
+    out["flip_risk_frac_prompts"] = float(np.mean(gaps < 2 * p99f))
+    out["cutoff_nearest_margin"] = _percentiles(np.asarray(cutoff_margins), (1, 50))
+    out["near_cutoff_vocab_frac_mean"] = float(np.mean(near_cutoff_frac))
+    out["prompts"] = args.prompts
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
