@@ -101,13 +101,35 @@ def test_train_step_runs_on_mesh():
 
 
 def test_graft_entry_and_dryrun():
+    import threading
+
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[-1] == 32000
-    ge.dryrun_multichip(8)
-    ge.dryrun_multichip(4)
+    # Run the dryrun on a big-stack worker thread: late in a full-suite
+    # process the main thread's stack is deep enough that XLA:CPU's LLVM
+    # recursion segfaults while compiling the dryrun's while_loop program
+    # (observed twice at exactly this call; standalone runs are fine).
+    errs = []
+
+    def _run():
+        try:
+            ge.dryrun_multichip(8)
+            ge.dryrun_multichip(4)
+        except BaseException as e:  # surface into the pytest thread
+            errs.append(e)
+
+    old = threading.stack_size(256 * 1024 * 1024)
+    try:
+        t = threading.Thread(target=_run)
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(old)
+    if errs:
+        raise errs[0]
 
 
 def test_qwen_tp_matches_single_device():
