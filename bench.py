@@ -102,6 +102,11 @@ def main():
                     "the int8 MXU, NOT bit-exact with int8 — see "
                     "w8a8_answer_flip_rate in the bench JSON)")
     ap.add_argument(
+        "--skip-qwen", action="store_true",
+        help="skip the Qwen-VL grouped side measurement (runs last, after "
+        "freeing the llava engines)",
+    )
+    ap.add_argument(
         "--flip-questions", type=int, default=996,
         help="questions for the W8A8-vs-int8 greedy answer flip-rate "
         "measurement (0 = skip; real POPE texts when the reference data "
@@ -415,16 +420,23 @@ def main():
 
     # ---- per-phase roofline accounting (VERDICT r3 ask #7): auditable from
     # the artifact alone. Decode: the packed dual-branch step reads every
-    # decoder weight once -> effective weight GB/s vs the chip's DEMONSTRATED
-    # 567 GB/s streaming ceiling (BASELINE.md "bf16 decode", measured by
-    # scripts/bench_hbm_ceiling.py — the 819 GB/s paper number is not
-    # sustainable on this part). Prefill: analytic matmul FLOPs / measured
-    # wall time; wall time includes tunnel transfer + dispatch, so the TF/s
-    # is a LOWER BOUND on device compute rate (xplane-traced device-only
-    # prefill measured 93-94% MXU peak, docs/DESIGN.md).
+    # decoder weight once -> effective weight GB/s vs the DEMONSTRATED
+    # streaming ceiling for the config's weight dtype: bf16 streams at
+    # 567 GB/s (scripts/bench_hbm_ceiling.py / bench_bf16_stream.py — the
+    # 819 GB/s paper number is not sustainable on this part), while the int8
+    # weight-streaming kernel demonstrated 712 GB/s in the same harness and
+    # 700-1000 GB/s per-kernel (docs/DESIGN.md "int8 weight-only"); int4's
+    # transposed kernel streams 350 GB/s of raw (packed) bytes. Prefill:
+    # analytic matmul FLOPs / measured wall time; wall time includes tunnel
+    # transfer + dispatch, so the TF/s is a LOWER BOUND on device compute
+    # rate (xplane-traced device-only prefill measured 93-94% MXU peak,
+    # docs/DESIGN.md).
     llama_bytes = sum(
         int(x.nbytes) for x in jax.tree_util.tree_leaves(params["llama"])
     )
+    decode_ceiling_gbps = {
+        "none": 567.0, "int8": 712.0, "w8a8": 712.0, "int4": 350.0,
+    }[args.quant]
     decode_gbps = llama_bytes * dual_tps / 1e9
     tcfg_t = cfg.text
     d, f, v = tcfg_t.hidden_size, tcfg_t.intermediate_size, tcfg_t.vocab_size
@@ -454,6 +466,83 @@ def main():
         g2 = gbs[1]
         a = (g2 * grouped_call_s[1] - grouped_call_s[g2]) / (g2 - 1)
         overhead_ms = max(a, 0.0) * 1e3
+
+    # Qwen-VL side measurement — the second model family (reference
+    # qwen_calibrate.py): grouped shared-prefix POPE at Qwen-7B shapes,
+    # int8 decoder, explicit per-question 'unk' branch ids
+    # (qwen_calibrate.py:37) + derived 'none' branch. Runs LAST so the
+    # llava engines + params free first (the ~9GB qwen int8 tree needs the
+    # chip to itself). GB pins to 1: qwen's MHA cache reads 4x the KV bytes
+    # per token and GB=2 measured WORSE (docs/DESIGN.md "Qwen-7B grouped").
+    qwen_rate = None
+    if args.quant == "int8" and mesh is None and not args.skip_qwen:
+        try:
+            import gc
+
+            beng = geng = weng = veng = eng = None  # noqa: F841
+            make_engine = None  # noqa: F841 — the closure pins llava params
+            params = None  # noqa: F841
+            gc.collect()
+
+            from llava_align_tpu.decoding.adapters import QwenVLAdapter
+            from llava_align_tpu.models import qwen_vl
+            from llava_align_tpu.models.qwen_vl import QwenVLConfig
+            from llava_align_tpu.utils.synthetic import (
+                build_random_qwen_vl_params,
+            )
+
+            qcfg = (
+                QwenVLConfig.tiny() if args.model == "tiny" else QwenVLConfig()
+            )
+            qparams = build_random_qwen_vl_params(qcfg, quant="int8")
+            qeng = DecodeEngine(
+                qparams, qcfg,
+                GenerationConfig(
+                    max_new_tokens=args.answer_new, do_sample=True,
+                    temperature=1.0, use_dd=True, use_dd_unk=True,
+                    cd_alpha=1.0, cd_beta=0.1, eos_token_id=NO_EOS,
+                ),
+                adapter=QwenVLAdapter(qcfg), bucket=64,
+            )
+            span = qwen_vl.make_image_span_ids(qcfg)
+            rq = np.random.default_rng(3)
+            vq = qcfg.text.vocab_size
+            prompts, bids = [], []
+            for _ in range(6):
+                q_ids = [
+                    int(t)
+                    for t in rq.integers(100, min(100000, vq - 1), size=10)
+                ]
+                sent_ids, _ = qwen_vl.sentinelize_span(span + q_ids, qcfg)
+                prompts.append(sent_ids)
+                # explicit short text branch ('None {q} Answer:' shape)
+                bids.append({"unk": [min(151644, vq - 2)] + q_ids})
+            pfx = DecodeEngine.common_token_prefix(prompts)
+            Hq = qcfg.vision.image_size
+            qimage = np.asarray(
+                jax.random.randint(
+                    jax.random.PRNGKey(7), (3, Hq, Hq), 0, 256
+                ),
+                dtype=np.uint8,
+            )
+            gps = [
+                (prompts[0][:pfx], [x[pfx:] for x in prompts], qimage, bids)
+            ]
+            qeng.generate_batch_groups(gps)  # compile
+            N = max(args.iters, 3) + 5
+            pending = None
+            t0 = time.perf_counter()
+            for i in range(N):
+                h = qeng.submit_batch_groups(gps, rng=jax.random.PRNGKey(600 + i))
+                if pending is not None:
+                    qeng.collect_batch_groups(pending)
+                pending = h
+            qeng.collect_batch_groups(pending)
+            qwen_rate = N * 6 / (time.perf_counter() - t0)
+        except Exception as e:
+            sys.stderr.write(
+                f"qwen side bench failed ({type(e).__name__}: {e}); skipping\n"
+            )
 
     out = {
         "metric": "llava7b_vdd_dual_branch_decode_tokens_per_sec_per_chip",
@@ -517,17 +606,28 @@ def main():
         ),
         "w8a8_flip_questions": results["w8a8_flip_questions"],
         # roofline accounting (decode: decoder weight bytes read once per
-        # packed dual step vs the demonstrated 567 GB/s streaming ceiling;
-        # prefill: analytic matmul FLOPs / wall time incl. tunnel overhead =
-        # LOWER bound; per-call fixed cost from the GB=1 vs GB=max fit)
+        # packed dual step vs the demonstrated streaming ceiling for this
+        # config's weight dtype — bf16 567 GB/s, int8 kernel 712 GB/s, int4
+        # raw 350 GB/s; prefill: analytic matmul FLOPs / wall time incl.
+        # tunnel overhead = LOWER bound; per-call fixed cost from the GB=1
+        # vs GB=max fit)
         "decode_weight_gbps": round(decode_gbps, 1),
-        "decode_weight_gbps_frac_of_ceiling": round(decode_gbps / 567.0, 3),
+        "decode_weight_ceiling_gbps": decode_ceiling_gbps,
+        "decode_weight_gbps_frac_of_ceiling": round(
+            decode_gbps / decode_ceiling_gbps, 3
+        ),
         "prefill_tflops_lower_bound": round(prefill_tflops_lb, 1),
         "prefill_frac_bf16_peak_lower_bound": round(
             prefill_tflops_lb / 197.0, 3
         ),
         "grouped_call_fixed_overhead_ms": (
             round(overhead_ms, 1) if overhead_ms is not None else None
+        ),
+        # _qwen = the second model family (Qwen-VL-7B shapes, int8 decoder,
+        # GB=1 — qwen's MHA cache pins the auto group-batch to 1), grouped
+        # shared-prefix layout with explicit 'unk' branch ids per question
+        "pope_samples_per_sec_grouped_qwen": (
+            round(qwen_rate, 4) if qwen_rate else None
         ),
         "model": args.model,
         "quant": args.quant,

@@ -42,7 +42,11 @@ def compute_metric(gts: Sequence[str], preds: Sequence[str]) -> Dict[str, float]
     """reference calculation.py:40-83 (sklearn replaced with direct counts;
     accuracy includes 'other' predictions as wrong, precision/recall are on
     the cleaned subset with positive class 'yes')."""
-    assert len(gts) == len(preds)
+    if len(gts) != len(preds):
+        raise ValueError(
+            f"count mismatch: {len(preds)} predictions vs {len(gts)} ground"
+            " truths — partial answers file or wrong split?"
+        )
     g = [LABEL_MAP[x] for x in gts]
     p = [LABEL_MAP[x] for x in preds]
     n = len(g)
@@ -77,13 +81,29 @@ def score_task_lines(lines: Sequence[str]) -> Dict[str, float]:
     gts: List[str] = []
     preds: List[str] = []
     acc_plus_correct = 0
-    for pair in chunks:
-        assert len(pair) == 2, "one image corresponds to two questions"
+    for ci, pair in enumerate(chunks):
+        if len(pair) != 2:
+            raise ValueError(
+                f"odd line count ({len(lines)}): MME ships exactly two"
+                " questions per image (reference calculation.py:118) — pair"
+                f" {ci} has {len(pair)} line(s); truncated answers file?"
+            )
         correct = 0
         for item in pair:
-            _, _, gt_ans, pred_ans = item.rstrip("\n").split("\t")
+            fields = item.rstrip("\n").split("\t")
+            if len(fields) != 4:
+                raise ValueError(
+                    f"malformed line (pair {ci}): expected 4 tab-separated"
+                    f" fields img\\tquestion\\tgt\\tpred, got {len(fields)}:"
+                    f" {item.rstrip()[:120]!r}"
+                )
+            _, _, gt_ans, pred_ans = fields
             gt_ans = gt_ans.lower()
-            assert gt_ans in ("yes", "no")
+            if gt_ans not in ("yes", "no"):
+                raise ValueError(
+                    f"ground-truth answer must be yes/no, got {gt_ans!r}"
+                    f" (pair {ci}) — gt and pred columns swapped?"
+                )
             pred = parse_pred_ans(pred_ans)
             gts.append(gt_ans)
             preds.append(pred)
@@ -184,12 +204,19 @@ def calibrated_predictions(
     import numpy as np
 
     from llava_align_tpu.calibrate.posthoc import calibrate_weight, get_prob_from_logits
-    from llava_align_tpu.evals.pope import COMBO_SETTINGS
+    from llava_align_tpu.evals.pope import COMBO_SETTINGS, _safe_normalize
 
     if setting == "naive":
         return [a["text"] for a in answers]
 
     parts = COMBO_SETTINGS.get(setting, [setting])
+    for p in parts:
+        missing = next((i for i, a in enumerate(answers) if p not in a), None)
+        if missing is not None:
+            raise ValueError(
+                f"answers record {missing} has no {p!r} top-k dump — was the"
+                " run made with --calibrate (and the matching probe flags)?"
+            )
     naive = [get_prob_from_logits(a["naive"]) for a in answers]
     cf = {p: [get_prob_from_logits(a[p]) for a in answers] for p in parts}
 
@@ -197,8 +224,7 @@ def calibrated_predictions(
     b = np.zeros([2, 1])
     if calibrate_mode == "all":
         all_p_y = np.sum([np.asarray(cf[p], np.float64) for p in parts], axis=0)
-        p_cf = np.mean(all_p_y, axis=0)
-        p_cf = p_cf / np.sum(p_cf)
+        p_cf = _safe_normalize(np.mean(all_p_y, axis=0))
         W, b = calibrate_weight(p_cf)
 
     preds = []
@@ -206,12 +232,17 @@ def calibrated_predictions(
     for i in range(len(answers)):
         if calibrate_mode == "individual":
             p_cf = np.sum([np.asarray(cf[p][i], np.float64) for p in parts], axis=0)
-            p_cf = p_cf / np.sum(p_cf) + 1e-4
+            p_cf = _safe_normalize(p_cf) + 1e-4
             W, b = calibrate_weight(p_cf)
+        # raw class-prob sums, NOT normalized (reference
+        # convert_answer_to_mme_calibrate.py:116 uses prob['naive'][i] as-is)
         gen = np.asarray(naive[i], np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cal = np.matmul(W, gen[:, None]) + b
-            cal = cal / np.sum(cal)
+        cal = np.matmul(W, gen[:, None]) + b
+        s = float(np.sum(cal))
+        # identity-W calibration can sum to ~0 (see evals/pope.py) — argmax
+        # is taken unnormalized then, same ordering, no nan
+        if np.isfinite(s) and abs(s) > 1e-12:
+            cal = cal / s
         preds.append(label[int(np.argmax(cal))].capitalize())
     return preds
 

@@ -53,7 +53,7 @@ def load_blip_model(model_path: str):
 
 def run(args) -> str:
     llm_tok, bert_tok, params, cfg, model_name = load_blip_model(args.model_path)
-    from llava_align_tpu.runners.common import apply_dist_auto
+    from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
 
     apply_dist_auto(args)
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
@@ -176,7 +176,7 @@ def run(args) -> str:
     if in_flight is not None:
         _finish(*in_flight)
     ans.close()
-    return args.answers_file
+    return finish_dist_auto(args)
 
 
 def _load_image(args, image_file: str, cfg) -> np.ndarray:

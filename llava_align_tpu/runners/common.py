@@ -68,9 +68,30 @@ def apply_dist_auto(args) -> bool:
         return False
     n, r = get_world_size(), get_rank()
     args.num_chunks, args.chunk_idx = n, r
+    args.dist_merge_target = args.answers_file  # finish_dist_auto merges here
     root, ext = os.path.splitext(args.answers_file)
     args.answers_file = f"{root}.rank{r}-of-{n}{ext}"
     return True
+
+
+def finish_dist_auto(args) -> str:
+    """Counterpart of apply_dist_auto, called after the answer loop: barrier
+    all processes (every rank's part file is complete once its run() loop
+    returns), then rank 0 concatenates the parts into the originally
+    requested answers file. Returns the merged path on rank 0, the per-rank
+    part path elsewhere. No-op (returns args.answers_file) when --dist auto
+    was not active."""
+    target = getattr(args, "dist_merge_target", None)
+    if target is None:
+        return args.answers_file
+    from jax.experimental import multihost_utils
+
+    from llava_align_tpu.parallel.dist import get_rank, get_world_size
+
+    multihost_utils.sync_global_devices("llava_align_tpu.answers_merge")
+    if get_rank() != 0:
+        return args.answers_file
+    return merge_chunk_files(target, get_world_size())
 
 
 def merge_chunk_files(answers_file: str, world_size: int) -> str:

@@ -66,7 +66,7 @@ def run_qwen(args) -> str:
 
         params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
-    from llava_align_tpu.runners.common import apply_dist_auto
+    from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
 
     apply_dist_auto(args)
     samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
@@ -149,7 +149,7 @@ def run_qwen(args) -> str:
         ps, psid, ph, prng = in_flight
         _finish(ps, psid, engine.collect_generate(ph), prng)
     ans.close()
-    return args.answers_file
+    return finish_dist_auto(args)
 
 
 def run(args) -> str:
@@ -157,7 +157,7 @@ def run(args) -> str:
         return run_qwen(args)
     model = load_model(args.model_path)
     tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
-    from llava_align_tpu.runners.common import apply_dist_auto
+    from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
 
     apply_dist_auto(args)
     samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
@@ -272,7 +272,7 @@ def run(args) -> str:
         ans.write(record)
     _flush_pending()
     ans.close()
-    return args.answers_file
+    return finish_dist_auto(args)
 
 
 def score(answers_file: str, setting: str = "naive") -> dict:

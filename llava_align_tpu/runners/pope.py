@@ -28,6 +28,7 @@ from llava_align_tpu.runners.common import (
     AnswerFile,
     LoadedModel,
     apply_dist_auto,
+    finish_dist_auto,
     build_prompt,
     load_image_tensor,
     load_model,
@@ -385,7 +386,7 @@ def run(args) -> str:
 
     _flush_pending()
     ans.close()
-    return args.answers_file
+    return finish_dist_auto(args)
 
 
 def build_parser() -> argparse.ArgumentParser:

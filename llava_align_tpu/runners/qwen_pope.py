@@ -81,7 +81,7 @@ def run(args) -> str:
         params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
 
-    from llava_align_tpu.runners.common import apply_dist_auto
+    from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
 
     apply_dist_auto(args)
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
@@ -247,7 +247,7 @@ def run(args) -> str:
 
     _flush_pending()
     ans.close()
-    return args.answers_file
+    return finish_dist_auto(args)
 
 
 def _load_image(args, image_file: str, cfg) -> np.ndarray:

@@ -147,3 +147,56 @@ def build_random_llava_params(cfg, seed=0, quant: str = "none"):
             )
         )(keys[n + 3]),
     }
+
+
+def build_random_qwen_vl_params(cfg, seed: int = 0, quant: str = "none"):
+    """Random Qwen-VL tree at real shapes (bench.py qwen side measurement +
+    scripts/bench_qwen_grouped.py). quant='int8' generates the quantized
+    decoder leaves DIRECTLY — a bf16 Qwen-7B tree beside its int8 copy
+    exceeds the 16GB chip (same discipline as the 13B llava branch above);
+    the visual tower stays bf16 like the serving path."""
+    from llava_align_tpu.models import qwen_vit
+    from llava_align_tpu.models import qwen_vl as qwen_vl_model
+
+    if quant == "none":
+        return jax.block_until_ready(
+            jax.jit(lambda k: qwen_vl_model.init(k, cfg))(jax.random.PRNGKey(seed))
+        )
+    if quant != "int8":
+        raise ValueError(f"qwen random builder supports none/int8, got {quant!r}")
+
+    t = cfg.text
+    key = jax.random.PRNGKey(seed)
+
+    def rand_q(k, shape):
+        def gen(kk):
+            q = jax.random.randint(kk, shape, -127, 128, jnp.int8)
+            s = jnp.full(shape[:-1], 0.01, jnp.float32) / (shape[-1] ** 0.5)
+            return {"q": q, "s": s}
+
+        return jax.block_until_ready(jax.jit(gen)(k))
+
+    L, D, V, QD, F2 = t.num_layers, t.hidden_size, t.vocab_size, t.q_dim, t.ff_dim
+    shapes = {
+        "c_attn_w": (L, 3 * QD, D), "attn_proj": (L, D, QD),
+        "w12": (L, 2 * F2, D), "mlp_proj": (L, D, F2),
+    }
+    ks = jax.random.split(key, len(shapes) + 3)
+    layers = {n: rand_q(ks[i], sh) for i, (n, sh) in enumerate(shapes.items())}
+    layers["ln_1"] = jnp.ones((L, D), t.dtype)
+    layers["ln_2"] = jnp.ones((L, D), t.dtype)
+    layers["c_attn_b"] = jnp.zeros((L, 3 * QD), t.dtype)
+    n = len(shapes)
+    qwen_params = {
+        "wte": jax.block_until_ready(
+            jax.jit(
+                lambda k: (jax.random.normal(k, (V, D), jnp.float32) * 0.02).astype(t.dtype)
+            )(ks[n])
+        ),
+        "layers": layers,
+        "ln_f": jnp.ones((D,), t.dtype),
+        "lm_head": rand_q(ks[n + 1], (V, D)),
+    }
+    # eager: qwen_vit.init builds numpy sincos tables (not jit-traceable)
+    visual = jax.block_until_ready(qwen_vit.init(ks[n + 2], cfg.vision))
+    return {"qwen": qwen_params, "visual": visual}

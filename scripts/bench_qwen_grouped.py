@@ -23,47 +23,11 @@ from llava_align_tpu.decoding.adapters import QwenVLAdapter
 from llava_align_tpu.decoding.engine import DecodeEngine
 from llava_align_tpu.models import qwen_vl
 from llava_align_tpu.models.qwen_vl import QwenVLConfig
+from llava_align_tpu.utils.synthetic import build_random_qwen_vl_params
 
 
 def build_params(cfg):
-    t = cfg.text
-    L, D, V, QD, F2 = (
-        t.num_layers, t.hidden_size, t.vocab_size, t.q_dim, t.ff_dim,
-    )
-    key = jax.random.PRNGKey(0)
-
-    def rand_q(k, shape):
-        def gen(kk):
-            q = jax.random.randint(kk, shape, -127, 128, jnp.int8)
-            s = jnp.full(shape[:-1], 0.01, jnp.float32) / (shape[-1] ** 0.5)
-            return {"q": q, "s": s}
-
-        return jax.block_until_ready(jax.jit(gen)(k))
-
-    shapes = {
-        "c_attn_w": (L, 3 * QD, D), "attn_proj": (L, D, QD),
-        "w12": (L, 2 * F2, D), "mlp_proj": (L, D, F2),
-    }
-    ks = jax.random.split(key, len(shapes) + 4)
-    layers = {n: rand_q(ks[i], sh) for i, (n, sh) in enumerate(shapes.items())}
-    layers["ln_1"] = jnp.ones((L, D), jnp.bfloat16)
-    layers["ln_2"] = jnp.ones((L, D), jnp.bfloat16)
-    layers["c_attn_b"] = jnp.zeros((L, 3 * QD), jnp.bfloat16)
-    n = len(shapes)
-    qwen_params = {
-        "wte": jax.block_until_ready(
-            jax.jit(
-                lambda k: (jax.random.normal(k, (V, D), jnp.float32) * 0.02).astype(jnp.bfloat16)
-            )(ks[n])
-        ),
-        "layers": layers,
-        "ln_f": jnp.ones((D,), jnp.bfloat16),
-        "lm_head": rand_q(ks[n + 1], (V, D)),
-    }
-    from llava_align_tpu.models import qwen_vit
-
-    visual = qwen_vit.init(ks[n + 2], cfg.vision)
-    return {"qwen": qwen_params, "visual": visual}
+    return build_random_qwen_vl_params(cfg, quant="int8")
 
 
 def main():

@@ -105,11 +105,16 @@ def test_two_process_sharded_pope_run(tmp_path):
         assert [x["question_id"] for x in recs] == ([0, 1, 2] if r == 0 else [3, 4, 5])
         parts.append(recs)
 
-    from llava_align_tpu.evals.pope import load_jsonl, score_pope
-    from llava_align_tpu.runners.common import merge_chunk_files
+    # rank 0 merges the parts itself after a cross-process barrier
+    # (runners/common.finish_dist_auto) and returns the merged path; other
+    # ranks return their part path
+    assert "ANSWERS_FILE=" + answers in outs[0][1]
+    assert "ANSWERS_FILE=" + str(tmp_path / "ans.rank1-of-2.jsonl") in outs[1][1]
+    assert os.path.exists(answers)
 
-    merged = merge_chunk_files(answers, 2)
-    gen = load_jsonl(merged)
+    from llava_align_tpu.evals.pope import load_jsonl, score_pope
+
+    gen = load_jsonl(answers)
     gt = load_jsonl(qf)
     assert [x["question_id"] for x in gen] == [x["question_id"] for x in gt]
     m = score_pope(gt, gen)  # alignment holds; metrics well-formed

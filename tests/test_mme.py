@@ -138,3 +138,50 @@ def test_convert_calibrated(tmp_path):
     lines = open(written[0]).readlines()
     assert lines[0].rstrip("\n").endswith("No")
     assert lines[1].rstrip("\n").endswith("No")
+
+
+def test_scorer_misuse_clear_errors():
+    """Malformed inputs raise named errors, not bare asserts/IndexErrors
+    (round-4 hardening, same class as the POPE scorer's)."""
+    import pytest
+
+    from llava_align_tpu.evals.mme import compute_metric, score_task_lines
+
+    with pytest.raises(ValueError, match="count mismatch"):
+        compute_metric(["yes", "no"], ["yes"])
+    with pytest.raises(ValueError, match="two questions per image"):
+        score_task_lines(["img\tq\tyes\tYes\n"])
+    with pytest.raises(ValueError, match="4 tab-separated"):
+        score_task_lines(["img\tq\tyes\tYes\n", "img q no No\n"])
+    with pytest.raises(ValueError, match="yes/no"):
+        score_task_lines(["img\tq\tyes\tYes\n", "img\tq\tmaybe\tNo\n"])
+
+
+def test_calibrated_predictions_degenerate_dumps():
+    """Missing probe dumps raise a named error; all-zero content-free dumps
+    produce finite predictions (uniform fallback) instead of nan."""
+    import pytest
+
+    from llava_align_tpu.evals.mme import calibrated_predictions
+
+    answers = [
+        {
+            "question_id": "existence/img1.png",
+            "prompt": "Is there a dog? Please answer yes or no.",
+            "text": "Yes",
+            "naive": {"yes": 0.6, "no": 0.3},
+            "none": {"yes": 0.7, "no": 0.3},
+        }
+    ]
+    with pytest.raises(ValueError, match="no 'unk' top-k dump"):
+        calibrated_predictions(answers, setting="none_unk")
+
+    degenerate = [
+        dict(
+            answers[0],
+            none={"foo": 1.0},  # neither yes nor no in the top-k
+            unk={"bar": 1.0},
+        )
+    ]
+    preds = calibrated_predictions(degenerate, setting="none_unk")
+    assert preds[0] in ("Yes", "No")
