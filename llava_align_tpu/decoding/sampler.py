@@ -36,6 +36,37 @@ def fuse_contrastive_logits(
     return jnp.where(logits < cutoff, NEG_INF, diffs)
 
 
+def fuse_calibrate_logits(
+    logits: jax.Array,
+    logits_custom: jax.Array,
+    cb_cut_weight: float | jax.Array,
+    cb_m_weight: float | jax.Array,
+    eos_token_id: int,
+) -> jax.Array:
+    """Decode-time Post-Hoc 'calibrate' fusion. The reference ships this
+    path COMMENTED OUT (vcd_sample.py:209-235), with the knobs plumbed
+    through llava_llama.py:74-76 / modeling_qwen.py:1120 and set (unused)
+    in experiments/run.sh — no live caller exists. Implemented here as a
+    first-class jit-able fusion of the evident semantics:
+
+        cutoff = cb_cut_weight * max(logits)            # NOT log-beta form
+        logits = -inf where logits < cutoff
+        logits[:, eos+1:] -= cb_m_weight * logits_custom[:, eos+1:]
+
+    where `logits_custom` comes from a content-free ('images_custom')
+    forward. The sub-eos special-token columns (bos/eos/pad/unk for llama)
+    are left uncorrected, exactly as the commented code slices. Engine
+    wiring is intentionally omitted: no reference entry point activates the
+    path, so the math (oracle-pinned vs a re-enactment of the commented
+    block, tests/test_sampler.py) is the whole behavior surface."""
+    cutoff = cb_cut_weight * jnp.max(logits, axis=-1, keepdims=True)
+    masked = jnp.where(logits < cutoff, NEG_INF, logits)
+    ids = jnp.arange(logits.shape[-1])
+    return jnp.where(
+        ids > eos_token_id, masked - cb_m_weight * logits_custom, masked
+    )
+
+
 def combine_contrast_branches(
     branch_logits: jax.Array, num_contrast: int
 ) -> jax.Array:

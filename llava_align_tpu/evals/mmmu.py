@@ -173,15 +173,19 @@ def calibrate_choice_probs(
     """N-way Post-Hoc calibration for one question: naive class probs plus
     one or more content-free prob vectors (summed into p_cf), returns
     calibrated class probabilities (run_llava_calibrate.py:82-135 semantics)."""
-    gen = np.asarray(naive_probs, np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        gen = gen / np.sum(gen)
-    p_cf = np.sum(np.asarray(content_free_probs, np.float64), axis=0)
-    p_cf = p_cf / np.sum(p_cf) + 1e-4
+    from llava_align_tpu.evals.pope import _safe_normalize
+
+    gen = _safe_normalize(naive_probs)
+    # degenerate content-free probes (none of the choice letters in the
+    # dumped top-k) fall back to uniform instead of a nan p_cf
+    p_cf = _safe_normalize(
+        np.sum(np.asarray(content_free_probs, np.float64), axis=0)
+    ) + 1e-4
     W, b = calibrate_weight(p_cf, mode)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        cal = np.matmul(W, gen[:, None]) + b
-        cal = cal / np.sum(cal)
+    cal = np.matmul(W, gen[:, None]) + b
+    s = float(np.sum(cal))
+    if np.isfinite(s) and abs(s) > 1e-12:
+        cal = cal / s
     return cal.ravel()
 
 

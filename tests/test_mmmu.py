@@ -81,3 +81,21 @@ def test_four_way_calibration_flips_bias():
 
 def test_choice_label_dict():
     assert choice_label_dict(["A", "B"]) == {0: ["A"], 1: ["B"]}
+
+
+def test_calibrate_choice_probs_degenerate_is_finite():
+    """All-zero naive/probe vectors (no choice letter in the dumped top-k)
+    produce finite calibrated probs via the uniform fallback — prediction
+    unchanged (argmax 0 = the reference's argmax-of-nan behavior), no
+    RuntimeWarning (round-4 hardening)."""
+    import warnings
+
+    import numpy as np
+
+    from llava_align_tpu.evals.mmmu import calibrate_choice_probs
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        cal = calibrate_choice_probs([0.0, 0.0, 0.0], [[0.0, 0.0, 0.0]])
+    assert np.all(np.isfinite(cal))
+    assert int(np.argmax(cal)) == 0

@@ -87,3 +87,39 @@ def test_warpers_match_hf_after_fusion_mask():
         np.testing.assert_array_equal(np.isinf(ours), np.isinf(theirs))
         m = ~np.isinf(ours)
         np.testing.assert_allclose(ours[m], theirs[m], atol=1e-5)
+
+
+def test_calibrate_fusion_matches_commented_reference_block():
+    """fuse_calibrate_logits vs a torch re-enactment of the reference's
+    shipped-but-commented use_calibrate block (vcd_sample.py:209-235): the
+    cb_cut_weight*max cutoff, the -inf mask, and the cb_m_weight subtraction
+    applied only to columns eos+1 and above."""
+    import torch
+
+    from llava_align_tpu.decoding.sampler import fuse_calibrate_logits
+
+    rng = np.random.default_rng(0)
+    B, V, eos = 3, 64, 2
+    cb_cut_weight, cb_m_weight = 0.5, 0.75  # run.sh:8-9 values
+    logits = rng.normal(size=(B, V)).astype(np.float32) + 2.0  # max > 0
+    custom = rng.normal(size=(B, V)).astype(np.float32)
+
+    t = torch.tensor(logits)
+    t_custom = torch.tensor(custom)
+    cutoff = cb_cut_weight * t.max(dim=-1, keepdim=True).values
+    t = t.masked_fill(t < cutoff, -float("inf"))
+    t[:, eos + 1:] = t[:, eos + 1:] - cb_m_weight * t_custom[:, eos + 1:]
+
+    ours = np.asarray(
+        fuse_calibrate_logits(
+            jnp.asarray(logits), jnp.asarray(custom),
+            cb_cut_weight, cb_m_weight, eos,
+        )
+    )
+    theirs = t.numpy()
+    np.testing.assert_array_equal(np.isinf(ours), np.isinf(theirs))
+    m = ~np.isinf(ours)
+    np.testing.assert_allclose(ours[m], theirs[m], rtol=1e-6)
+    # special-token columns (<= eos) pass through uncorrected
+    assert np.allclose(ours[:, : eos + 1][m[:, : eos + 1]],
+                       logits[:, : eos + 1][m[:, : eos + 1]])
