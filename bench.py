@@ -66,8 +66,10 @@ def _pope_question_texts(n: int):
 
 def _mock_suffix_ids(text: str):
     """Per-question suffix tokens via the runner's offline tokenizer
-    (runners/common.MockTokenizer: one id per char, no BOS here)."""
-    return [min(ord(c), 255) + 3 for c in " " + text]
+    (runners/common.MockTokenizer; BOS stripped — these are suffixes)."""
+    from llava_align_tpu.runners.common import MockTokenizer
+
+    return MockTokenizer()(" " + text).input_ids[1:]
 
 
 def _time_generate(engine, ids, image, iters: int):

@@ -151,6 +151,16 @@ def forward_multimodal(
     n_img = cfg.num_image_tokens if images is not None else 0
     plan = plan_splice(input_ids, n_img, pad_to)
     if images is not None:
+        n_sent = sum(1 for t in input_ids if t == IMAGE_TOKEN_INDEX)
+        n_images = 1 if getattr(images, "ndim", 4) == 3 else images.shape[0]
+        if n_sent != n_images:
+            # under jit an out-of-range img_gather would CLAMP (silently
+            # repeating the last feature row); fail loudly like the
+            # reference's llava_arch.py:142 ValueError instead
+            raise ValueError(
+                f"Number of images ({n_images}) does not match number of"
+                f" special image tokens ({n_sent}) in the prompt"
+            )
         # [n, N, D] → [1, n*N, D]: plan_splice consumes each sentinel's
         # feature block in image order (reference llava_arch.py:128-152's
         # cur_image_idx walk), so multi-image sequences flatten here

@@ -52,10 +52,11 @@ def load_blip_model(model_path: str):
 
 
 def run(args) -> str:
-    llm_tok, bert_tok, params, cfg, model_name = load_blip_model(args.model_path)
     from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
 
+    # --dist auto FIRST: jax.distributed.initialize must precede backend init
     apply_dist_auto(args)
+    llm_tok, bert_tok, params, cfg, model_name = load_blip_model(args.model_path)
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         questions = questions[: args.max_questions]

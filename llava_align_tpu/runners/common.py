@@ -33,7 +33,12 @@ def split_list(lst: Sequence, n: int) -> List[Sequence]:
 
 
 def get_chunk(lst: Sequence, n: int, k: int) -> Sequence:
-    return split_list(lst, n)[k]
+    chunks = split_list(lst, n)
+    # ceil chunking can yield FEWER than n chunks (6 items / 4 chunks of 2
+    # -> 3 chunks); ranks past the end hold an empty shard instead of the
+    # reference's IndexError (MME/run_llava.py:41) so a --dist auto rank
+    # never crashes and hangs the others at the merge barrier
+    return chunks[k] if k < len(chunks) else lst[:0]
 
 
 def load_questions(path: str, num_chunks: int = 1, chunk_idx: int = 0) -> List[dict]:
@@ -102,6 +107,8 @@ def merge_chunk_files(answers_file: str, world_size: int) -> str:
     with open(os.path.expanduser(answers_file), "w") as out:
         for r in range(world_size):
             part = f"{root}.rank{r}-of-{world_size}{ext}"
+            if not os.path.exists(part):
+                continue  # empty shard (more ranks than ceil-chunks)
             with open(part) as f:
                 out.write(f.read())
     return answers_file

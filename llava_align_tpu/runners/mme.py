@@ -80,6 +80,16 @@ def run(args) -> dict:
             args.image_aspect_ratio = "pad"  # llava-v1.5 config default
         answers_file = pope.run(args)
 
+    if getattr(args, "dist_merge_target", None) is not None:
+        from llava_align_tpu.parallel.dist import get_rank
+
+        if get_rank() != 0:
+            # under --dist auto only rank 0 converts/scores (it holds the
+            # merged file; other ranks hold partial parts and would race
+            # rank 0 into the same mme_eval dir)
+            print("rank != 0: skipping MME conversion/scoring")
+            return {}
+
     if not args.mme_data_root or not os.path.isdir(args.mme_data_root):
         print(
             f"--mme-data-root {args.mme_data_root!r} missing or not a "

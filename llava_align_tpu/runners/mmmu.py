@@ -58,17 +58,17 @@ def run_qwen(args) -> str:
     scorer (score/score_sweep/print_results) applies unchanged."""
     from llava_align_tpu.decoding.adapters import QwenVLAdapter
     from llava_align_tpu.models import qwen_vl as qwen_vl_model
+    from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
     from llava_align_tpu.runners.qwen_pope import _load_image, load_qwen_model
 
+    # --dist auto FIRST: jax.distributed.initialize must precede backend init
+    apply_dist_auto(args)
     tokenizer, params, cfg, model_name = load_qwen_model(args.model_path)
     if getattr(args, "quant", "none") == "int8":
         from llava_align_tpu.ops.quant import quantize_qwen_params
 
         params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
-    from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
-
-    apply_dist_auto(args)
     samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         samples = samples[: args.max_questions]
@@ -155,11 +155,12 @@ def run_qwen(args) -> str:
 def run(args) -> str:
     if getattr(args, "model_family", "llava") == "qwen":
         return run_qwen(args)
-    model = load_model(args.model_path)
-    tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
     from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
 
+    # --dist auto FIRST: jax.distributed.initialize must precede backend init
     apply_dist_auto(args)
+    model = load_model(args.model_path)
+    tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
     samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         samples = samples[: args.max_questions]
@@ -448,6 +449,14 @@ if __name__ == "__main__":
 
     a = build_parser().parse_args()
     path = run(a)
+    if getattr(a, "dist_merge_target", None) is not None:
+        from llava_align_tpu.parallel.dist import get_rank
+
+        if get_rank() != 0:
+            # under --dist auto only rank 0 scores (it holds the merged
+            # file; other ranks hold partial parts)
+            print("rank != 0: skipping MMMU scoring")
+            raise SystemExit(0)
     if a.calibrate_best:
         res = score_sweep(path)
         print(json.dumps(

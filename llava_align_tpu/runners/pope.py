@@ -73,6 +73,9 @@ def _auto_group_batch(engine, Qg: int, max_new: int) -> int:
 
 
 def run(args) -> str:
+    # --dist auto FIRST: jax.distributed.initialize must run before any JAX
+    # call initializes the XLA backend (model loading below does)
+    apply_dist_auto(args)
     quant = getattr(args, "quant", "none")
     # w8a8 = int8 weights + opt-in dynamic activation quant on compute-bound
     # matmul row counts (prefill): ~1.4x prefill on the int8 MXU, NOT
@@ -96,7 +99,6 @@ def run(args) -> str:
         params = dict(params, llama=quantize_llama_params(
             params["llama"], bits=4 if quant == "int4" else 8))
 
-    apply_dist_auto(args)
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         questions = questions[: args.max_questions]

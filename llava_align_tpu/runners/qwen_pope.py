@@ -63,6 +63,10 @@ def _text_ids(tokenizer, text: str):
 
 
 def run(args) -> str:
+    from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
+
+    # --dist auto FIRST: jax.distributed.initialize must precede backend init
+    apply_dist_auto(args)
     tokenizer, params, cfg, model_name = load_qwen_model(args.model_path)
     quant = getattr(args, "quant", "none")
     act_quant = quant == "w8a8"  # int8 weights + W8A8 prefill (ops/quant)
@@ -80,10 +84,6 @@ def run(args) -> str:
 
         params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
-
-    from llava_align_tpu.runners.common import apply_dist_auto, finish_dist_auto
-
-    apply_dist_auto(args)
     questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
     if args.max_questions:
         questions = questions[: args.max_questions]

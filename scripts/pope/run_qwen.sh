@@ -36,6 +36,8 @@ for type in adversarial popular random; do
       --temperature "${temp}" --seed "${seed}" \
       --cd_alpha "${cd_alpha}" --cd_beta "${cd_beta}" \
       --use_dd --use_dd_unk --calibrate "$@"
-  # single-split mode for tiny live checks (QUESTION_FILE pins one file)
-  [[ -n "${QUESTION_FILE}" ]] && break
+  # single-split mode for tiny live checks (QUESTION_FILE pins one file).
+  # NOT `[[ ... ]] && break`: a failed test as the loop's last command
+  # would leak exit status 1 from a fully successful run.
+  if [[ -n "${QUESTION_FILE}" ]]; then break; fi
 done

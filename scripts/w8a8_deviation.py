@@ -34,6 +34,7 @@ import argparse
 import json
 import os
 import sys
+import zlib
 
 # runnable as `python scripts/w8a8_deviation.py` — NOTE: do not replace
 # PYTHONPATH wholesale on this host; /root/.axon_site (the TPU plugin's
@@ -83,7 +84,11 @@ def main():
               ("down_4096x11008", tcfg.hidden_size, tcfg.intermediate_size)]
     kern = {}
     for name, O, D in shapes:
-        kw, kh = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+        # crc32, NOT hash(): python's string hash is per-process randomized
+        # (PYTHONHASHSEED), which would make the measurement irreproducible
+        kw, kh = jax.random.split(
+            jax.random.fold_in(key, zlib.crc32(name.encode()) % 97)
+        )
         w = jax.random.normal(kw, (O, D), jnp.float32) * (D ** -0.5)
         wq = quant.quantize_weight(w)
         for B in args.rows:

@@ -37,11 +37,27 @@ def _write_questions(path, n):
 
 RANK_SCRIPT = r"""
 import sys
+
+# The runner goes FIRST, with the backend still uninitialized — the
+# CLI-realistic path: pope.run's apply_dist_auto must perform
+# jax.distributed.initialize BEFORE model loading touches the XLA backend
+# (a round-4 review caught init ordered after load_model, which raised
+# 'must be called before any JAX calls' on every rank).
+from llava_align_tpu.runners import pope
+args = pope.build_parser().parse_args([
+    "--model-path", "random:tiny",
+    "--question-file", sys.argv[1],
+    "--answers-file", sys.argv[2],
+    "--dist", "auto", "--synthetic-images",
+    "--max_new_tokens", "2", "--temperature", "0.0",
+])
+out = pope.run(args)
+print("ANSWERS_FILE=" + out)
+
 from llava_align_tpu.parallel.dist import (
     get_rank, get_world_size, init_distributed_mode, is_main_process,
     main_process, shard_questions)
 
-assert init_distributed_mode() is True
 assert init_distributed_mode() is True  # idempotent, must not raise
 assert get_world_size() == 2
 rank = get_rank()
@@ -53,17 +69,6 @@ assert len(calls) == (1 if rank == 0 else 0)
 
 qs = shard_questions(list(range(6)))
 assert qs == ([0, 1, 2] if rank == 0 else [3, 4, 5])
-
-from llava_align_tpu.runners import pope
-args = pope.build_parser().parse_args([
-    "--model-path", "random:tiny",
-    "--question-file", sys.argv[1],
-    "--answers-file", sys.argv[2],
-    "--dist", "auto", "--synthetic-images",
-    "--max_new_tokens", "2", "--temperature", "0.0",
-])
-out = pope.run(args)
-print("ANSWERS_FILE=" + out)
 """
 
 
@@ -130,3 +135,26 @@ def test_init_distributed_single_process_is_noop():
     from llava_align_tpu.parallel.dist import init_distributed_mode
 
     assert init_distributed_mode() is False
+
+
+def test_get_chunk_more_ranks_than_chunks(tmp_path):
+    """ceil chunking of 6 items into 4 chunks yields 3 — rank 3 must get an
+    empty shard (not the reference's IndexError, MME/run_llava.py:41) so a
+    --dist auto rank never crashes and hangs the merge barrier; the merge
+    skips its missing part file."""
+    from llava_align_tpu.runners.common import get_chunk, merge_chunk_files
+
+    items = list(range(6))
+    shards = [list(get_chunk(items, 4, k)) for k in range(4)]
+    assert shards == [[0, 1], [2, 3], [4, 5], []]
+
+    answers = str(tmp_path / "a.jsonl")
+    for r, shard in enumerate(shards):
+        if not shard:
+            continue  # empty shard wrote no part
+        with open(str(tmp_path / f"a.rank{r}-of-4.jsonl"), "w") as f:
+            for q in shard:
+                f.write(json.dumps({"question_id": q}) + "\n")
+    merged = merge_chunk_files(answers, 4)
+    recs = [json.loads(l) for l in open(merged)]
+    assert [x["question_id"] for x in recs] == items

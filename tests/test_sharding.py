@@ -101,35 +101,37 @@ def test_train_step_runs_on_mesh():
 
 
 def test_graft_entry_and_dryrun():
-    import threading
+    """entry() inline; the dryrun in a SUBPROCESS. In-process, late in a
+    full suite, XLA:CPU's LLVM JIT segfaults while compiling the dryrun's
+    while_loop program (observed three times at exactly this call — once
+    even on a 256MB-stack worker thread, so it is not Python stack depth);
+    standalone processes have never failed. The subprocess also matches how
+    the driver itself executes the dryrun."""
+    import os
+    import subprocess
+    import sys
 
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[-1] == 32000
-    # Run the dryrun on a big-stack worker thread: late in a full-suite
-    # process the main thread's stack is deep enough that XLA:CPU's LLVM
-    # recursion segfaults while compiling the dryrun's while_loop program
-    # (observed twice at exactly this call; standalone runs are fine).
-    errs = []
 
-    def _run():
-        try:
-            ge.dryrun_multichip(8)
-            ge.dryrun_multichip(4)
-        except BaseException as e:  # surface into the pytest thread
-            errs.append(e)
-
-    old = threading.stack_size(256 * 1024 * 1024)
-    try:
-        t = threading.Thread(target=_run)
-        t.start()
-        t.join()
-    finally:
-        threading.stack_size(old)
-    if errs:
-        raise errs[0]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for n in (8, 4):
+        env = dict(
+            os.environ,
+            PYTHONPATH=repo,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
+        )
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "__graft_entry__.py")],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, f"dryrun({n}) failed:\n{r.stdout}\n{r.stderr}"
+        assert f"dryrun_multichip ok: mesh=" in r.stdout and f"devices={n}" in r.stdout, r.stdout
 
 
 def test_qwen_tp_matches_single_device():
