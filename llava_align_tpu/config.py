@@ -181,8 +181,13 @@ class GenerationConfig:
 
     @property
     def num_branches(self) -> int:
-        """Rows in the packed branch axis: [main, unk?, none?, cd?]."""
-        return 1 + int(self.use_dd_unk) + int(self.use_dd) + int(self.use_cd)
+        """Rows in the packed branch axis — MUST mirror
+        decoding.engine.branch_kinds (reference vcd_sample.py:147-177):
+        ONE primary contrast branch by priority cd > unk > none (the flags
+        are not additive), plus the secondary 'none' row iff
+        use_dd AND use_dd_unk."""
+        primary = int(self.use_cd or self.use_dd_unk or self.use_dd)
+        return 1 + primary + int(self.use_dd and self.use_dd_unk)
 
     @property
     def contrastive(self) -> bool:

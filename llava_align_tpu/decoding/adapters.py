@@ -164,9 +164,12 @@ class LlavaAdapter:
     supports_shared_prefix = True
 
     # Opt-in W8A8 prefill (set by DecodeEngine(act_quant=True)): int8 stacks
+    # (supports_act_quant=False subclasses override forward() without the
+    # act_quant kwarg — the engine warns and ignores the flag there)
     # run compute-bound row counts through int8-MXU matmuls with dynamic
     # activation quant — ~1.4x prefill, not bit-exact (ops/quant W8A8 note).
     act_quant = False
+    supports_act_quant = True
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
         from llava_align_tpu.models import llama
@@ -181,6 +184,7 @@ class LlavaMptAdapter(LlavaAdapter):
 
     name = "llava_mpt"
     supports_shared_prefix = False  # mpt.forward has no shared-segment path
+    supports_act_quant = False  # mpt.forward has no act_quant path
 
     @property
     def num_kv_heads(self) -> int:
@@ -243,6 +247,7 @@ class InstructBlipAdapter:
 
     name = "instructblip"
     act_quant = False  # see LlavaAdapter.act_quant
+    supports_act_quant = True
 
     def __init__(self, cfg):
         self.cfg = cfg  # models.instructblip.InstructBlipConfig
@@ -336,6 +341,7 @@ class Blip2OptAdapter(InstructBlipAdapter):
 
     name = "blip2_opt"
     supports_shared_prefix = False
+    supports_act_quant = False  # opt.forward has no act_quant path
 
     @property
     def num_kv_heads(self) -> int:
@@ -393,6 +399,7 @@ class QwenVLAdapter:
     name = "qwen_vl"
     supports_shared_prefix = True
     act_quant = False  # see LlavaAdapter.act_quant
+    supports_act_quant = True
 
     def __init__(self, cfg):
         self.cfg = cfg  # models.qwen_vl.QwenVLConfig

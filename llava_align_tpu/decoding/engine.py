@@ -28,6 +28,7 @@ sampler).
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 from typing import Any, Dict, List, Mapping, Optional, Sequence
 
@@ -186,12 +187,18 @@ class DecodeEngine:
             # ops/quant W8A8 note). A compile-time constant on the adapter so
             # no call signature changes; decode rows stay on the exact
             # weight-streaming kernels either way.
-            if not hasattr(type(self.adapter), "act_quant"):
+            if not getattr(type(self.adapter), "supports_act_quant", False):
+                # hasattr is NOT the right test: subclasses (llava_mpt,
+                # blip2_opt) inherit the attribute but override forward()
+                # without the act_quant kwarg
                 logger.warning(
                     "act_quant requested but adapter %s has no W8A8 path; "
                     "ignoring.", getattr(self.adapter, "name", "?"),
                 )
             else:
+                # copy before flagging: the caller's adapter instance may be
+                # shared with engines that did NOT opt into W8A8
+                self.adapter = copy.copy(self.adapter)
                 self.adapter.act_quant = True
         self.gen = gen
         self.kinds = branch_kinds(gen)
@@ -413,28 +420,20 @@ class DecodeEngine:
         n_contrast = nb - 1
         T = gen.max_new_tokens
         cache_len = max(pad_img, pad_txt) + T
-        kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if len(k) > 0]
+        kws = [np.asarray(k, np.int32) for k in self.stop_keyword_ids if 0 < len(k) <= T]
         attn_impl = self.attn_impl
         topk = self.top_scores_k
 
+        # the shared factories at Q=1 — ONE fusion chain / stop matcher for
+        # the single, batch and grouped paths (they must never drift apart)
+        _fuse_q1 = _make_fuse_and_warp(gen, n_contrast)
+        _stop_q1 = _make_stop_hit(kws, 1)
+
         def fuse_and_warp(branch_logits: jax.Array) -> jax.Array:
-            if n_contrast:
-                main, contrast = S.combine_contrast_branches(branch_logits, n_contrast)
-                fused = S.fuse_contrastive_logits(main, contrast, gen.cd_alpha, gen.cd_beta)
-            else:
-                fused = branch_logits[0]
-            return S.warp_logits(fused, gen.temperature, gen.top_k, gen.top_p)
+            return _fuse_q1(branch_logits[None])[0]  # [nb, V] -> [V]
 
         def stop_hit(out_buf: jax.Array, n: jax.Array) -> jax.Array:
-            done = jnp.asarray(False)
-            for kw in kws:
-                m = len(kw)
-                if m > T:  # cannot ever match inside the output buffer
-                    continue
-                start = jnp.maximum(n - m, 0)
-                window = jax.lax.dynamic_slice(out_buf, (start,), (m,))
-                done |= jnp.all(window == jnp.asarray(kw)) & (n >= m)
-            return done
+            return _stop_q1(out_buf[None], n)[0]
 
         def generate_fn(params, blob, images, rng):
             xs = _unflatten_blob(blob, spec)
@@ -1524,8 +1523,11 @@ class DecodeEngine:
             # np.shape reads metadata only — np.asarray on a device
             # array would block and fetch the whole feature tensor
             n_tok = int(np.shape(precomputed_feats)[1])
-        elif image is not None and np.asarray(image).ndim == 4:
-            n_tok = self.adapter.num_image_tokens * int(np.asarray(image).shape[0])
+        elif image is not None and len(np.shape(image)) == 4:
+            # np.shape, NOT np.asarray(...).shape: the latter FETCHES a
+            # device array over the tunnel just to read metadata (CLAUDE.md
+            # transfer-discipline trap)
+            n_tok = self.adapter.num_image_tokens * int(np.shape(image)[0])
         pad, *pi = self._pack(
             input_ids, has_image, num_image_tokens=n_tok, kinds=["main"]
         )
@@ -1606,8 +1608,11 @@ class DecodeEngine:
             # np.shape reads metadata only — np.asarray on a device
             # array would block and fetch the whole feature tensor
             n_tok = int(np.shape(precomputed_feats)[1])
-        elif image is not None and np.asarray(image).ndim == 4:
-            n_tok = self.adapter.num_image_tokens * int(np.asarray(image).shape[0])
+        elif image is not None and len(np.shape(image)) == 4:
+            # np.shape, NOT np.asarray(...).shape: the latter FETCHES a
+            # device array over the tunnel just to read metadata (CLAUDE.md
+            # transfer-discipline trap)
+            n_tok = self.adapter.num_image_tokens * int(np.shape(image)[0])
 
         pad_img, *pi = self._pack(
             input_ids, has_image, branch_ids, num_image_tokens=n_tok,

@@ -69,7 +69,7 @@ def fuse_calibrate_logits(
 
 def combine_contrast_branches(
     branch_logits: jax.Array, num_contrast: int
-) -> jax.Array:
+) -> tuple[jax.Array, Optional[jax.Array]]:
     """branch_logits [nb, V] with row 0 = main, rows 1..num_contrast = contrast
     branches. Two contrast branches are averaged (the use_dd & use_dd_unk path,
     reference vcd_sample.py:171-185). Returns (main [V], contrast [V] or None).

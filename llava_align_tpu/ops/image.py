@@ -64,7 +64,10 @@ def clip_preprocess_pil(
     w, h = img.size
     short, long = (w, h) if w <= h else (h, w)
     new_short = image_size
-    new_long = int(round(image_size * long / short))
+    # int() TRUNCATION, not round: HF get_resize_output_image_size computes
+    # int(size * long / short) (transformers/image_transforms.py) — round()
+    # resizes 500x333 to 505 where HF produces 504, shifting the crop window
+    new_long = int(image_size * long / short)
     new_w, new_h = (new_short, new_long) if w <= h else (new_long, new_short)
     img = img.resize((new_w, new_h), resample=Image.BICUBIC)
 
@@ -115,7 +118,10 @@ def clip_resize_pil_uint8(
     w, h = img.size
     short, long = (w, h) if w <= h else (h, w)
     new_short = image_size
-    new_long = int(round(image_size * long / short))
+    # int() TRUNCATION, not round: HF get_resize_output_image_size computes
+    # int(size * long / short) (transformers/image_transforms.py) — round()
+    # resizes 500x333 to 505 where HF produces 504, shifting the crop window
+    new_long = int(image_size * long / short)
     new_w, new_h = (new_short, new_long) if w <= h else (new_long, new_short)
     img = img.resize((new_w, new_h), resample=Image.BICUBIC)
     left = (new_w - image_size) // 2
@@ -191,9 +197,11 @@ def clip_preprocess_jax(
     else:
         # resize shortest edge then center crop
         if h <= w:
-            nh, nw = image_size, int(round(image_size * w / h))
+            # int() truncation = HF get_resize_output_image_size (see
+            # clip_preprocess_pil)
+            nh, nw = image_size, int(image_size * w / h)
         else:
-            nh, nw = int(round(image_size * h / w)), image_size
+            nh, nw = int(image_size * h / w), image_size
         x = jax.image.resize(x, (nh, nw, 3), method="bicubic", antialias=True)
         top, left = (nh - image_size) // 2, (nw - image_size) // 2
         x = jax.lax.dynamic_slice(x, (top, left, 0), (image_size, image_size, 3))

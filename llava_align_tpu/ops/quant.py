@@ -7,7 +7,12 @@ int8 with per-output-channel absmax scales; the hot matmuls read int8 from HBM
 in VMEM right before the MXU via a Pallas kernel. Accumulation fp32, scales
 applied once per output channel after the D-reduction.
 
-The XLA fallback (CPU/tests) dequantizes then matmuls — numerically identical.
+The XLA fallback (CPU/tests, large-contraction prefill) dequantizes q*s to
+the activation dtype then matmuls — equal within bf16 rounding of the kernel
+path (the kernel accumulates fp32 and applies scales post-reduction; the
+fallback rounds each dequantized weight to bf16 first, ~2^-8 relative). The
+on-chip deviation is measured at <=1.8 bf16 ulps of the max output element
+at 7B shapes (scripts/verify_on_chip.py).
 """
 
 from __future__ import annotations
@@ -200,7 +205,7 @@ def int8_matmul_tpu(
     blocks = _choose_blocks(O, D, Bp)
     if blocks is None:
         # no viable VMEM block config (odd dims or huge B working set);
-        # numerically identical XLA fallback
+        # XLA fallback (within bf16 rounding of the kernel, module header)
         return int8_matmul_xla(h, q, s)
     bO, bD = blocks
     if Bp != B:

@@ -189,3 +189,41 @@ def test_anyres_grid_stack(setup):
     hidden, _ = llama.forward(params["llama"], CFG.text, embeds, positions, attn_impl="xla")
     logits = np.asarray(llama.logits_from_hidden(params["llama"], hidden[0, plan.length - 1]))
     assert out.token_ids[0] == int(np.argmax(logits))
+
+
+def test_num_branches_matches_branch_kinds_everywhere():
+    """config.GenerationConfig.num_branches must agree with the engine's
+    branch_kinds row layout for every flag combination (a round-4 review
+    found the property counting flags additively while the engine's
+    cd > unk > none priority chain does not)."""
+    import itertools
+
+    for cd, dd, unk in itertools.product([False, True], repeat=3):
+        gen = GenerationConfig(use_cd=cd, use_dd=dd, use_dd_unk=unk)
+        assert gen.num_branches == len(branch_kinds(gen)), (cd, dd, unk)
+
+
+def test_act_quant_flag_does_not_leak_into_shared_adapter(setup):
+    """DecodeEngine(act_quant=True) must not mutate a caller-supplied adapter
+    shared with engines that did NOT opt into W8A8 (round-4 review: the flag
+    leaked, so the 'accuracy' engine silently ran not-bit-exact numerics)."""
+    from llava_align_tpu.decoding.adapters import (
+        Blip2OptAdapter,
+        LlavaAdapter,
+        LlavaMptAdapter,
+    )
+
+    params, _, _ = setup
+    shared = LlavaAdapter(CFG)
+    gen = GenerationConfig(max_new_tokens=2, do_sample=False)
+    a = DecodeEngine(params, CFG, gen, adapter=shared, attn_impl="xla",
+                     bucket=8, act_quant=True)
+    b = DecodeEngine(params, CFG, gen, adapter=shared, attn_impl="xla",
+                     bucket=8)
+    assert a.adapter.act_quant is True
+    assert shared.act_quant is False
+    assert b.adapter.act_quant is False
+    # adapters whose forward() has no act_quant kwarg must declare it, so
+    # the engine warns-and-ignores instead of silently not engaging W8A8
+    assert LlavaMptAdapter.supports_act_quant is False
+    assert Blip2OptAdapter.supports_act_quant is False

@@ -32,7 +32,7 @@ def _hf_processor(size=336):
     )
 
 
-@pytest.mark.parametrize("w,h", [(640, 480), (480, 640), (336, 336), (100, 350)])
+@pytest.mark.parametrize("w,h", [(640, 480), (480, 640), (336, 336), (100, 350), (500, 333), (333, 500)])
 def test_pil_path_matches_hf(w, h):
     img = _rand_img(w, h)
     ours = clip_preprocess_pil(img, image_size=336)
