@@ -101,18 +101,24 @@ class PrefetchLoader:
         cond = threading.Condition(lock)
         next_to_fetch = [0]
         error: List[BaseException] = []
+        # set when the consumer abandons the iterator (GeneratorExit via
+        # itertools.islice, an exception in the training loop, ...) — without
+        # it the workers would block in cond.wait forever once the prefetch
+        # window fills, leaking num_workers threads + the decoded window per
+        # abandoned epoch (Runner.train_epoch islices every inner epoch)
+        stopped = [False]
 
         def worker():
             while True:
                 with lock:
                     i = next_to_fetch[0]
-                    if i >= n or error:
+                    if i >= n or error or stopped[0]:
                         return
                     # bounded prefetch window
-                    while len(results) >= self.prefetch * self.batch_size and not error:
+                    while len(results) >= self.prefetch * self.batch_size and not (error or stopped[0]):
                         cond.wait(timeout=0.1)
-                        if error:
-                            return
+                    if error or stopped[0]:
+                        return
                     i = next_to_fetch[0]
                     if i >= n:
                         return
@@ -132,18 +138,24 @@ class PrefetchLoader:
         for t in threads:
             t.start()
 
-        batch: List[Any] = []
-        for i in range(n):
-            with lock:
-                while i not in results and not error:
-                    cond.wait(timeout=0.1)
-                if error:
-                    raise error[0]
-                item = results.pop(i)
-                cond.notify_all()
-            batch.append(item)
-            if len(batch) == self.batch_size:
+        try:
+            batch: List[Any] = []
+            for i in range(n):
+                with lock:
+                    while i not in results and not error:
+                        cond.wait(timeout=0.1)
+                    if error:
+                        raise error[0]
+                    item = results.pop(i)
+                    cond.notify_all()
+                batch.append(item)
+                if len(batch) == self.batch_size:
+                    yield self.collate(batch)
+                    batch = []
+            if batch:
                 yield self.collate(batch)
-                batch = []
-        if batch:
-            yield self.collate(batch)
+        finally:
+            with lock:
+                stopped[0] = True
+                results.clear()
+                cond.notify_all()

@@ -10,6 +10,7 @@ tests/test_randaugment.py.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import numpy as np
@@ -113,15 +114,41 @@ class BlipImageTrainProcessor:
 
 @registry.register_processor("blip_caption")
 class BlipCaptionProcessor:
+    """Caption text processor (reference blip_processors.py:30-68
+    BlipCaptionProcessor): prompt + pre_caption — lowercase, the punctuation
+    class [.!"()*#:;~] replaced with SPACE, whitespace runs collapsed,
+    strip, then truncate to max_words."""
+
     def __init__(self, prompt: str = "", max_words: int = 50):
         self.prompt = prompt
         self.max_words = max_words
 
     def __call__(self, caption: str) -> str:
+        caption = re.sub(r'([.!"()*#:;~])', " ", caption.lower())
+        caption = re.sub(r"\s{2,}", " ", caption)
+        caption = caption.rstrip("\n").strip(" ")
         words = caption.split(" ")
         if len(words) > self.max_words:
             caption = " ".join(words[: self.max_words])
         return self.prompt + caption
+
+
+@registry.register_processor("blip_question")
+class BlipQuestionProcessor:
+    """Question text processor (reference blip_processors.py:71-102
+    pre_question): lowercase, the punctuation class [.!"()*#:;~] DELETED
+    (not spaced — unlike pre_caption), rstrip, truncate to max_words."""
+
+    def __init__(self, max_words: int = 50):
+        self.max_words = max_words
+
+    def __call__(self, question: str) -> str:
+        question = re.sub(r'([.!"()*#:;~])', "", question.lower())
+        question = question.rstrip(" ")
+        words = question.split(" ")
+        if len(words) > self.max_words:
+            question = " ".join(words[: self.max_words])
+        return question
 
 
 @registry.register_processor("alpro_video_eval")

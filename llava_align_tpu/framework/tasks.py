@@ -261,8 +261,11 @@ def vqa_normalize(ans: str) -> str:
 class VQATask(BaseTask):
     """Open-ended VQA (reference lavis/tasks/vqa.py): generate short answers,
     save {question_id, answer}, and when per-question human answer lists are
-    attached, score with the VQAv2 soft accuracy min(#matching humans / 3, 1)
-    (reference vqa_eval.py accuracy rule)."""
+    attached, score with the official VQAv2 leave-one-out soft accuracy
+    (reference vqa_eval.py:209-231): for each of the N human answers, count
+    matches among the OTHER N-1, acc_i = min(1, matches/3), question accuracy
+    = mean(acc_i). NOT the simplified min(total_matches/3, 1) — a prediction
+    matching 3 of 10 humans scores 0.9 officially, not 1.0."""
 
     def __init__(
         self,
@@ -305,9 +308,20 @@ class VQATask(BaseTask):
             return {"agg_metrics": 0.0, "n": len(results)}
         total = 0.0
         for r in scored:
+            # pred gets the full pipeline; gts get processPunctuation only
+            # (and only when the humans disagree) — the reference's exact
+            # asymmetry, vqa_eval.py:211-222
             pred = vqa_normalize(str(r["answer"]))
-            gts = [vqa_normalize(str(g)) for g in r["gt_answers"]]
-            total += min(sum(1 for g in gts if g == pred) / 3.0, 1.0)
+            gts = [str(g) for g in r["gt_answers"]]
+            if len(set(gts)) > 1:
+                gts = [_vqa_process_punct(g) for g in gts]
+            # leave-one-out by INDEX (the reference excludes one answer
+            # datum; string-identity exclusion would drop duplicates too)
+            accs = [
+                min(1.0, sum(1 for j, g in enumerate(gts) if j != i and g == pred) / 3.0)
+                for i in range(len(gts))
+            ]
+            total += sum(accs) / len(accs)
         acc = 100.0 * total / len(scored)
         logging.info("VQA accuracy: %.2f (%d scored)", acc, len(scored))
         return {"agg_metrics": acc, "accuracy": acc, "n": len(results)}

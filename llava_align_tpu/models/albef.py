@@ -505,18 +505,17 @@ def retrieval_train_step(
     loss_t2i = -(jax.nn.log_softmax(sim_t2i, axis=1) * t2i_tgt).sum(1).mean()
     loss_itc = (loss_i2t + loss_t2i) / 2
 
-    # queue update (albef_retrieval.py:220; base_model _dequeue_and_enqueue)
+    # queue update (albef_retrieval.py:220; base_model _dequeue_and_enqueue).
+    # Column scatter with explicit modulo positions: dynamic_update_slice
+    # CLAMPS a start near the queue end (overwriting live columns while ptr
+    # wraps modulo — silent FIFO desync whenever queue_size % bs != 0); the
+    # reference guards that with an assert, this handles it exactly.
     ptr = state["ptr"]
+    pos = (ptr + jnp.arange(bs)) % cfg.queue_size
     new_state = {
-        "image_queue": jax.lax.dynamic_update_slice(
-            state["image_queue"], image_feat_m.T, (0, ptr)
-        ),
-        "text_queue": jax.lax.dynamic_update_slice(
-            state["text_queue"], text_feat_m.T, (0, ptr)
-        ),
-        "idx_queue": jax.lax.dynamic_update_slice(
-            state["idx_queue"], idx.T, (0, ptr)
-        ),
+        "image_queue": state["image_queue"].at[:, pos].set(image_feat_m.T),
+        "text_queue": state["text_queue"].at[:, pos].set(text_feat_m.T),
+        "idx_queue": state["idx_queue"].at[:, pos].set(idx.T),
         "ptr": (ptr + bs) % cfg.queue_size,
     }
 

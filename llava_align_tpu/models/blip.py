@@ -581,6 +581,22 @@ def generate_caption(
     return out
 
 
+def itm_score_from_embeds(
+    params: Params, cfg: BlipConfig,
+    image_embeds: jax.Array, text_ids: jax.Array, text_mask: jax.Array,
+) -> jax.Array:
+    """ITM head on precomputed ViT states (the re-rank path: the ViT runs
+    once in extract_features, the fusion MED runs per candidate pair) →
+    [B, 2] logits."""
+    enc_mask = jnp.ones(image_embeds.shape[:2], jnp.int32)
+    h = med_forward(
+        params["text"], cfg.text, text_ids, text_mask,
+        encoder_states=image_embeds, encoder_mask=enc_mask, causal=False,
+    )
+    cls = h[:, 0]
+    return jnp.einsum("bd,od->bo", cls, params["itm_head"]["w"]) + params["itm_head"]["b"]
+
+
 def itm_score(
     params: Params, cfg: BlipConfig,
     pixels: jax.Array, text_ids: jax.Array, text_mask: jax.Array,
@@ -588,13 +604,7 @@ def itm_score(
     """Image-text matching head on the multimodal cls state
     (reference blip_image_text_matching.py 'itm' mode) → [B, 2] logits."""
     enc = vit_forward(params["visual"], cfg.vision, pixels)
-    enc_mask = jnp.ones(enc.shape[:2], jnp.int32)
-    h = med_forward(
-        params["text"], cfg.text, text_ids, text_mask,
-        encoder_states=enc, encoder_mask=enc_mask, causal=False,
-    )
-    cls = h[:, 0]
-    return jnp.einsum("bd,od->bo", cls, params["itm_head"]["w"]) + params["itm_head"]["b"]
+    return itm_score_from_embeds(params, cfg, enc, text_ids, text_mask)
 
 
 def extract_features(
@@ -635,36 +645,39 @@ def compute_sim_matrix(
     feats = extract_features(
         params, cfg, pixels=pixels, text_ids=text_ids, text_mask=text_mask
     )
+    # image_embeds stay ON DEVICE and the ViT never runs again: the re-rank
+    # loops fuse precomputed states through one jitted MED program (k is
+    # fixed, so each direction compiles once) — the same pattern as
+    # albef.compute_sim_matrix
+    image_embeds = feats["image_embeds"]
     sims = np.asarray(feats["image_features"]) @ np.asarray(feats["text_features"]).T
     if k_test <= 0:
         return sims, sims.T
 
     Ni, Nt = sims.shape
+    itm = jax.jit(
+        lambda p, e, i, m: itm_score_from_embeds(p, cfg, e, i, m)[:, 1]
+    )
     k = min(k_test, Nt)
     i2t = np.full_like(sims, -100.0)
+    tids, tmask = np.asarray(text_ids), np.asarray(text_mask)
     for i in range(Ni):
         topk = np.argsort(sims[i])[::-1][:k]
-        itm = np.asarray(
-            itm_score(
-                params, cfg,
-                jnp.repeat(pixels[i : i + 1], len(topk), axis=0),
-                jnp.asarray(np.asarray(text_ids)[topk]),
-                jnp.asarray(np.asarray(text_mask)[topk]),
-            )
-        )[:, 1]
-        i2t[i, topk] = sims[i, topk] + itm
+        score = np.asarray(itm(
+            params, jnp.repeat(image_embeds[i : i + 1], k, axis=0),
+            jnp.asarray(tids[topk]), jnp.asarray(tmask[topk]),
+        ))
+        i2t[i, topk] = sims[i, topk] + score
     kt = min(k_test, Ni)
     t2i = np.full_like(sims.T, -100.0)
     for t in range(Nt):
         topk = np.argsort(sims[:, t])[::-1][:kt]
-        itm = np.asarray(
-            itm_score(
-                params, cfg, jnp.asarray(np.asarray(pixels)[topk]),
-                jnp.repeat(jnp.asarray(np.asarray(text_ids)[t : t + 1]), len(topk), axis=0),
-                jnp.repeat(jnp.asarray(np.asarray(text_mask)[t : t + 1]), len(topk), axis=0),
-            )
-        )[:, 1]
-        t2i[t, topk] = sims[topk, t] + itm
+        score = np.asarray(itm(
+            params, image_embeds[np.asarray(topk)],
+            jnp.repeat(jnp.asarray(tids[t : t + 1]), kt, axis=0),
+            jnp.repeat(jnp.asarray(tmask[t : t + 1]), kt, axis=0),
+        ))
+        t2i[t, topk] = sims[topk, t] + score
     return i2t, t2i
 
 

@@ -56,6 +56,11 @@ class SchedulerConfig:
     num_train_timesteps: int = 1000
     beta_start: float = 0.00085
     beta_end: float = 0.012
+    # SD-v1.5 scheduler config values (the reference's DDIMScheduler
+    # .from_config('runwayml/stable-diffusion-v1-5')): inference timesteps
+    # are shifted +1 and the last denoise targets ᾱ[0], not 1.0
+    steps_offset: int = 1
+    set_alpha_to_one: bool = False
 
     def alphas_cumprod(self) -> np.ndarray:
         betas = (
@@ -229,9 +234,13 @@ def train_loss(
 
 
 def ddim_timesteps(cfg: BlipDiffusionConfig, num_inference_steps: int) -> np.ndarray:
+    """The reference samples with DDIMScheduler.from_config('runwayml/
+    stable-diffusion-v1-5') (blip_diffusion.py:186-191) whose config carries
+    steps_offset=1: 50 steps visit t=981..1, NOT 980..0."""
     T = cfg.scheduler.num_train_timesteps
     step = T // num_inference_steps
-    return (np.arange(0, num_inference_steps) * step).round()[::-1].astype(np.int64)
+    ts = (np.arange(0, num_inference_steps) * step).round()[::-1].astype(np.int64)
+    return ts + cfg.scheduler.steps_offset
 
 
 def ddim_step(
@@ -240,10 +249,15 @@ def ddim_step(
     t: int, t_prev: int,
 ) -> jax.Array:
     """Deterministic DDIM (η=0): x₀ = (x_t − √(1−ᾱ_t)ε)/√ᾱ_t;
-    x_{t-1} = √ᾱ_prev·x₀ + √(1−ᾱ_prev)·ε."""
+    x_{t-1} = √ᾱ_prev·x₀ + √(1−ᾱ_prev)·ε. The final step (t_prev < 0) uses
+    ᾱ[0] ≈ 0.99915, not 1.0 — the SD-v1.5 DDIM config is
+    set_alpha_to_one=False (diffusers final_alpha_cumprod)."""
     acp = cfg.scheduler.alphas_cumprod()
+    if t_prev >= 0:
+        a_prev = float(acp[t_prev])
+    else:
+        a_prev = 1.0 if cfg.scheduler.set_alpha_to_one else float(acp[0])
     a_t = float(acp[t])
-    a_prev = float(acp[t_prev]) if t_prev >= 0 else 1.0
     x0 = (latents - (1.0 - a_t) ** 0.5 * noise_pred) / a_t**0.5
     return a_prev**0.5 * x0 + (1.0 - a_prev) ** 0.5 * noise_pred
 

@@ -95,7 +95,8 @@ def retrieval_train_step(
     negative_all_rank: bool = False,
     axis_name: Optional[str] = None,
     queue_size: Optional[int] = None,
-) -> Tuple[Dict[str, jax.Array], Params, Dict[str, jax.Array]]:
+    return_image_embeds: bool = False,
+) -> Tuple[Dict[str, jax.Array], ...]:
     """One BLIP retrieval forward (blip_retrieval.py:116-355): ITC against
     momentum+queue features with soft distilled targets, ITM over positives
     + hard-mined negatives. With `axis_name` under shard_map, negatives are
@@ -134,15 +135,15 @@ def retrieval_train_step(
         - (jax.nn.log_softmax(sim_t2i, axis=1) * t2i_tgt).sum(1).mean()
     ) / 2
 
+    # wraparound column scatter, not dynamic_update_slice — see the note in
+    # albef.retrieval_train_step (clamped start desyncs the FIFO when
+    # Q % bs != 0)
     ptr = state["ptr"]
+    pos = (ptr + jnp.arange(bs)) % Q
     new_state = {
-        "image_queue": jax.lax.dynamic_update_slice(
-            state["image_queue"], image_feat_m.T, (0, ptr)
-        ),
-        "text_queue": jax.lax.dynamic_update_slice(
-            state["text_queue"], text_feat_m.T, (0, ptr)
-        ),
-        "idx_queue": jax.lax.dynamic_update_slice(state["idx_queue"], idx.T, (0, ptr)),
+        "image_queue": state["image_queue"].at[:, pos].set(image_feat_m.T),
+        "text_queue": state["text_queue"].at[:, pos].set(text_feat_m.T),
+        "idx_queue": state["idx_queue"].at[:, pos].set(idx.T),
         "ptr": (ptr + bs) % Q,
     }
 
@@ -188,6 +189,10 @@ def retrieval_train_step(
     loss_itm = -jnp.take_along_axis(logp, itm_labels[:, None], axis=-1).mean()
 
     losses = {"loss": loss_itc + loss_itm, "loss_itc": loss_itc, "loss_itm": loss_itm}
+    if return_image_embeds:
+        # lets pretrain_step reuse the encoded image instead of paying a
+        # second full ViT forward on the same pixels
+        return losses, m_params, new_state, image_embeds
     return losses, m_params, new_state
 
 
@@ -482,11 +487,12 @@ def pretrain_step(
     captioning LM loss on [DEC]-led ids (decoder_input_ids[:,0]=bos,
     targets pad→-100, :317-330). `params` needs the retrieval tree plus a
     "decoder" med."""
-    losses, m_params, state = retrieval_train_step(
+    losses, m_params, state, enc = retrieval_train_step(
         params, m_params, state, cfg, rng, pixels, ids, enc_ids, mask, idx,
-        alpha=alpha, momentum=momentum,
+        alpha=alpha, momentum=momentum, return_image_embeds=True,
     )
-    enc = vit_forward(params["visual"], cfg.vision, pixels)
+    # reference blip_pretrain.py computes image_embeds ONCE and shares them
+    # between ITC/ITM and the LM decoder — reuse, don't re-encode
     am = jnp.ones(enc.shape[:2], jnp.int32)
     targets = jnp.where(dec_ids == pad_token_id, -100, dec_ids)
     h = med_forward(

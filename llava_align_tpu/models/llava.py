@@ -152,7 +152,12 @@ def forward_multimodal(
     plan = plan_splice(input_ids, n_img, pad_to)
     if images is not None:
         n_sent = sum(1 for t in input_ids if t == IMAGE_TOKEN_INDEX)
-        n_images = 1 if getattr(images, "ndim", 4) == 3 else images.shape[0]
+        if getattr(images, "ndim", 4) == 3:
+            # unbatched [3, H, W]: add the batch axis HERE — counting it as
+            # one image but passing it through would crash encode_images'
+            # patchify reshape with an opaque error
+            images = images[None]
+        n_images = images.shape[0]
         if n_sent != n_images:
             # under jit an out-of-range img_gather would CLAMP (silently
             # repeating the last feature row); fail loudly like the

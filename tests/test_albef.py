@@ -274,6 +274,38 @@ def test_rank_answers_matches_reference_math(vqa_decoder):
     np.testing.assert_array_equal(got, want)
 
 
+def test_queue_update_wraps_when_batch_not_divisor():
+    """queue_size % bs != 0: the enqueue must WRAP (positions (ptr+i) % Q),
+    not clamp — lax.dynamic_update_slice clamps a start near the queue end,
+    silently desyncing the FIFO from ptr. The reference guards this with an
+    assert (base_model _dequeue_and_enqueue); we handle it exactly."""
+    cfg = AlbefConfig.tiny(vocab_size=V, queue_size=6)
+    params = albef.init(jax.random.PRNGKey(0), cfg, variant="retrieval")
+    m_params = jax.tree_util.tree_map(jnp.copy, params)
+    state = albef.init_queue_state(cfg, jax.random.PRNGKey(1))
+    b, s = 4, 6
+    data = np.random.default_rng(3)
+    pixels = jnp.asarray(data.normal(size=(b, 3, 32, 32)).astype(np.float32))
+    ids = jnp.asarray(data.integers(1, V, (b, s)))
+    mask = jnp.ones((b, s), jnp.int32)
+    idx1 = jnp.asarray([10, 11, 12, 13])
+    idx2 = jnp.asarray([20, 21, 22, 23])
+    _, m2, s1 = albef.retrieval_train_step(
+        params, m_params, state, cfg, jax.random.PRNGKey(2),
+        pixels, ids, mask, idx1,
+    )
+    assert int(s1["ptr"]) == 4
+    _, _, s2 = albef.retrieval_train_step(
+        params, m2, s1, cfg, jax.random.PRNGKey(3),
+        pixels, ids, mask, idx2,
+    )
+    # second write lands at columns 4,5,0,1 (wrap); 2,3 keep batch-1 rows
+    assert int(s2["ptr"]) == 2
+    np.testing.assert_array_equal(
+        np.asarray(s2["idx_queue"])[0], [22, 23, 12, 13, 20, 21]
+    )
+
+
 def test_retrieval_train_step_runs_and_updates_queue():
     cfg = AlbefConfig.tiny(vocab_size=V, queue_size=8)
     rng = jax.random.PRNGKey(0)

@@ -142,9 +142,41 @@ def test_scheduler_and_add_noise():
     np.testing.assert_allclose(float(noisy[1, 0, 0, 0]), want1, rtol=1e-5)
 
 
+def test_ddim_timesteps_match_sd15_scheduler_config():
+    """The reference samples with DDIMScheduler.from_config('runwayml/
+    stable-diffusion-v1-5'): steps_offset=1 shifts 50 steps to t=981..1
+    (not 980..0), and set_alpha_to_one=False makes the final denoise target
+    ᾱ[0], not 1.0."""
+    import dataclasses
+
+    from llava_align_tpu.models.blip_diffusion import SchedulerConfig
+
+    # the tiny() test config shrinks the schedule to 50 train steps; this
+    # parity check needs the real SD-v1.5 1000-step schedule
+    cfg = dataclasses.replace(
+        BlipDiffusionConfig.tiny(V), scheduler=SchedulerConfig()
+    )
+    ts = bd.ddim_timesteps(cfg, 50)
+    assert ts[0] == 981 and ts[-1] == 1
+    ts10 = bd.ddim_timesteps(cfg, 10)
+    assert ts10[0] == 901 and ts10[-1] == 1
+
+    acp = cfg.scheduler.alphas_cumprod()
+    # final step: x_prev = sqrt(acp[0])·x0 + sqrt(1-acp[0])·eps
+    x = jnp.ones((1, 4, 2, 2))
+    eps = jnp.full((1, 4, 2, 2), 0.5)
+    out = bd.ddim_step(cfg, x, eps, int(ts10[-1]), -1)
+    a_t, a_prev = float(acp[1]), float(acp[0])
+    x0 = (np.asarray(x) - (1 - a_t) ** 0.5 * np.asarray(eps)) / a_t**0.5
+    want = a_prev**0.5 * x0 + (1 - a_prev) ** 0.5 * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
 def test_ddim_recovers_x0_with_oracle_unet():
-    """If the 'UNet' predicts the exact ε for the current latent, the DDIM
-    chain reproduces x₀ to numerical precision."""
+    """If the 'UNet' predicts the exact ε for the current latent, DDIM (η=0)
+    preserves that ε's direction exactly: every step lands on
+    √ᾱ_t·x₀ + √(1−ᾱ_t)·ε, ending at √ᾱ₀·x₀ + √(1−ᾱ₀)·ε (the SD-v1.5
+    set_alpha_to_one=False terminal, NOT bare x₀)."""
     cfg = BlipDiffusionConfig.tiny(V)
     acp = cfg.scheduler.alphas_cumprod()
     rng = np.random.default_rng(2)
@@ -162,17 +194,17 @@ def test_ddim_recovers_x0_with_oracle_unet():
     subj_mask = jnp.ones((b, 4), jnp.int32)
 
     t0 = int(bd.ddim_timesteps(cfg, 10)[0])
-    start = bd.add_noise(
-        cfg, x0, jnp.asarray(rng.normal(size=x0.shape).astype(np.float32)),
-        jnp.asarray([t0]),
-    )
+    eps0 = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    start = bd.add_noise(cfg, x0, eps0, jnp.asarray([t0]))
     out = bd.generate(
         params, cfg, jax.random.PRNGKey(1), prompt, prompt,
         subj_px, subj_ids, subj_mask, oracle_unet,
         guidance_scale=1.0, num_inference_steps=10, latents=start,
     )
+    a0 = float(acp[0])
+    want = a0**0.5 * np.asarray(x0) + (1 - a0) ** 0.5 * np.asarray(eps0)
     np.testing.assert_allclose(
-        np.asarray(out) * cfg.latent_scale, np.asarray(x0), atol=1e-4, rtol=1e-4
+        np.asarray(out) * cfg.latent_scale, want, atol=1e-4, rtol=1e-4
     )
 
 

@@ -68,6 +68,45 @@ def test_prefetch_loader_propagates_errors(tmp_path):
         list(loader)
 
 
+def test_prefetch_loader_workers_exit_when_iterator_abandoned(tmp_path):
+    """Runner.train_epoch islices the loader every inner epoch; abandoning
+    the generator mid-iteration must release the worker threads (they used
+    to spin in cond.wait forever once the prefetch window filled)."""
+    import itertools
+    import threading
+    import time
+
+    p = tmp_path / "d.jsonl"
+    with open(p, "w") as f:
+        for i in range(100):
+            f.write(json.dumps({"i": i}) + "\n")
+    ds = JsonlDataset(str(p), transform=lambda r: r["i"])
+    before = threading.active_count()
+    for _ in range(3):  # each abandoned iteration must not accumulate threads
+        loader = PrefetchLoader(ds, batch_size=2, num_workers=2, prefetch=2)
+        got = list(itertools.islice(iter(loader), 3))
+        assert [x for b in got for x in b] == list(range(6))
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_caption_and_question_text_processors():
+    """pre_caption/pre_question parity (reference blip_processors.py:49-102):
+    lowercase; the punct class [.!"()*#:;~] goes to SPACE in captions but is
+    DELETED in questions; whitespace collapse; max_words truncation."""
+    from llava_align_tpu.framework.processors import BlipQuestionProcessor
+
+    cap = BlipCaptionProcessor()
+    assert cap("A Dog sitting.") == "a dog sitting"
+    assert cap('Two cats: "asleep" (on a mat)!') == "two cats asleep on a mat"
+    q = BlipQuestionProcessor()
+    assert q('What is this: a "dog"?') == "what is this a dog?"
+    assert q("Is it red?  ") == "is it red?"
+    assert registry.get_processor_class("blip_question") is BlipQuestionProcessor
+
+
 def test_processors_shapes_and_registry():
     img = Image.fromarray(
         np.random.default_rng(0).integers(0, 255, (100, 150, 3), dtype=np.uint8)

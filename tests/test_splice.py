@@ -71,3 +71,19 @@ def test_forward_multimodal_runs():
     assert logits.shape == (16, cfg.text.vocab_size)
     assert length == 4 + cfg.num_image_tokens
     assert np.isfinite(np.asarray(logits[: length])).all()
+
+    # an unbatched [3, H, W] image counts as one image AND gets its batch
+    # axis added (it used to pass the sentinel-count check and then crash
+    # inside patchify's reshape)
+    logits3, length3 = llava.forward_multimodal(
+        params, cfg, ids, images[0], pad_to=16, attn_impl="xla"
+    )
+    assert length3 == length
+    np.testing.assert_allclose(np.asarray(logits3), np.asarray(logits), atol=1e-6)
+
+    # image-count mismatch still fails loudly (reference llava_arch.py:142)
+    import pytest
+
+    two = jnp.concatenate([images, images], axis=0)
+    with pytest.raises(ValueError, match="does not match"):
+        llava.forward_multimodal(params, cfg, ids, two, pad_to=16, attn_impl="xla")

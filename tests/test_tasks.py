@@ -64,14 +64,21 @@ def test_vqa_task_soft_accuracy(tmp_path):
 
     task = VQATask(generate_fn=gen, result_dir=str(tmp_path))
     samples = [
+        # official leave-one-out rule (reference vqa_eval.py:217-231): for
+        # each gt answer, min(1, matches-among-the-OTHERS / 3), averaged.
+        # q0: the three '2's each see 2 other matches (2/3), 'three' sees 3
+        #     matches (1.0) -> (3*(2/3) + 1) / 4 = 0.75
+        #     (the simplified min(total/3, 1) rule would over-credit to 1.0)
         {"question_id": 0, "_model_answer": "two",
-         "gt_answers": ["2", "2", "2", "three"]},     # 3 matches -> 1.0
+         "gt_answers": ["2", "2", "2", "three"]},
+        # q1: 'red' sees 0 matches, each 'blue' sees 1 (1/3) ->
+        #     (0 + 1/3 + 1/3) / 3 = 2/9
         {"question_id": 1, "_model_answer": "red",
-         "gt_answers": ["red", "blue", "blue"]},      # 1 match -> 1/3
+         "gt_answers": ["red", "blue", "blue"]},
     ]
     results = task.evaluation(None, samples, log_freq=100)
     m = task.after_evaluation(results)
-    assert abs(m["accuracy"] - 100.0 * (1.0 + 1.0 / 3.0) / 2) < 1e-6
+    assert abs(m["accuracy"] - 100.0 * (0.75 + 2.0 / 9.0) / 2) < 1e-6
 
 
 def test_classification_task(tmp_path):
