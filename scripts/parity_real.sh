@@ -2,24 +2,29 @@
 # One-command real-checkpoint numerics parity (VERDICT next-step 7).
 #
 # Takes a local llava-v1.5 checkpoint dir (config.json + safetensors/bin +
-# tokenizer), converts it to JAX pytrees, runs one forward on a real prompt
-# (and optional image) on this machine's accelerator, re-runs the same
-# forward through HF torch on CPU, and prints per-position logit diffs +
-# top-k agreement (utils/parity_check.py).
+# tokenizer), converts it to JAX pytrees, and compares per tower against a
+# torch oracle assembled from the checkpoint's OWN state dict
+# (utils/parity_check.py):
+#   - language tower: last-position logits vs a plain LlamaForCausalLM
+#     carrying the model.*/lm_head.* keys (the liuhaotian format IS the
+#     LLaMA key layout — AutoModelForCausalLM would silently mis-load it);
+#   - with an image: vision tower + projector features vs torch
+#     CLIPVisionModel + the mm_projector weights.
+# Composed splice parity is pinned by tests/test_llava_arch_oracle.py.
+# Exits nonzero when any deviation exceeds --tol.
 #
 #   usage: parity_real.sh <checkpoint_dir> [prompt] [image_path]
 #
-# This environment has no network egress and no cached checkpoints, so this
-# script documents the flow rather than having been run against real 7B
-# weights here; the converter schema is pinned offline by
-# tests/test_real_config_schema.py (real config.json contents + HF key-name
-# manifest at reduced width) and every submodule by the torch-oracle parity
-# suite (tests/test_*_parity.py).
+# This environment has no network egress and no cached checkpoints, so no
+# real-7B run exists here yet — but the flow itself is EXECUTED by
+# tests/test_parity_check_cli.py on a synthetic reduced-width checkpoint dir
+# with the real on-disk format (HF key names, config.json schema, wordpiece
+# tokenizer), including the corrupted-conversion failure path.
 set -e
 MODEL_PATH="${1:?usage: parity_real.sh <checkpoint_dir> [prompt] [image]}"
 PROMPT="${2:-Is there a dog in the image?}"
 IMAGE="${3:-}"
 
-ARGS=(--model-path "$MODEL_PATH" --prompt "$PROMPT" --dtype float32)
+ARGS=(--model-path "$MODEL_PATH" --prompt "$PROMPT" --dtype float32 --tol 2e-3)
 if [ -n "$IMAGE" ]; then ARGS+=(--image "$IMAGE"); fi
 python -m llava_align_tpu.utils.parity_check "${ARGS[@]}"

@@ -10,10 +10,7 @@ for an environment that has the checkpoints.
 import json
 import os
 
-import numpy as np
 import pytest
-
-import jax.numpy as jnp
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures", "hf_configs")
 
@@ -98,90 +95,17 @@ def test_llava_checkpoint_dir_load_end_to_end(tmp_path):
     the REAL HF key names (model.layers.*.self_attn.q_proj.weight,
     model.vision_tower.vision_tower.vision_model.*, model.mm_projector.*) at
     reduced width — catches key-template or shape-wiring drift without 13GB
-    of weights."""
-    st = pytest.importorskip("safetensors.numpy")
+    of weights. The builder lives in tests/ckpt_fixture.py (shared with the
+    parity_check CLI test)."""
+    pytest.importorskip("safetensors.numpy")
+    from ckpt_fixture import D, F, V, L, VD, VF
+    from ckpt_fixture import build_tiny_llava_checkpoint, small_vision_config
+
     from llava_align_tpu.utils.hf_convert import load_llava_checkpoint
 
-    hf_cfg = _load("llava-v1.5-7b.json")
-    # shrink width, keep every schema knob and name
-    hf_cfg.update(
-        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
-        num_attention_heads=4, num_key_value_heads=4, vocab_size=128,
-        mm_hidden_size=32,
-    )
-    with open(tmp_path / "config.json", "w") as f:
-        json.dump(hf_cfg, f)
-
-    D, F, V, L, Dh = 64, 128, 128, 2, 16
-    VD, VF, VL = 32, 64, 24  # vision dims (ClipVisionConfig defaults scaled)
-    rng = np.random.default_rng(0)
-
-    def t(*shape):
-        return rng.normal(size=shape).astype(np.float16)
-
-    sd = {"model.embed_tokens.weight": t(V, D), "model.norm.weight": t(D),
-          "lm_head.weight": t(V, D)}
-    for i in range(L):
-        p = f"model.layers.{i}."
-        sd[p + "input_layernorm.weight"] = t(D)
-        sd[p + "self_attn.q_proj.weight"] = t(D, D)
-        sd[p + "self_attn.k_proj.weight"] = t(D, D)
-        sd[p + "self_attn.v_proj.weight"] = t(D, D)
-        sd[p + "self_attn.o_proj.weight"] = t(D, D)
-        sd[p + "post_attention_layernorm.weight"] = t(D)
-        sd[p + "mlp.gate_proj.weight"] = t(F, D)
-        sd[p + "mlp.up_proj.weight"] = t(F, D)
-        sd[p + "mlp.down_proj.weight"] = t(D, F)
-    vp = "model.vision_tower.vision_tower.vision_model."
-    sd[vp + "embeddings.class_embedding"] = t(VD)
-    sd[vp + "embeddings.patch_embedding.weight"] = t(VD, 3, 14, 14)
-    sd[vp + "embeddings.position_embedding.weight"] = t(577, VD)
-    sd[vp + "pre_layrnorm.weight"] = t(VD)
-    sd[vp + "pre_layrnorm.bias"] = t(VD)
-    sd[vp + "post_layernorm.weight"] = t(VD)
-    sd[vp + "post_layernorm.bias"] = t(VD)
-    for i in range(VL):
-        p = vp + f"encoder.layers.{i}."
-        for nm, shape in [
-            ("layer_norm1.weight", (VD,)), ("layer_norm1.bias", (VD,)),
-            ("self_attn.q_proj.weight", (VD, VD)), ("self_attn.q_proj.bias", (VD,)),
-            ("self_attn.k_proj.weight", (VD, VD)), ("self_attn.k_proj.bias", (VD,)),
-            ("self_attn.v_proj.weight", (VD, VD)), ("self_attn.v_proj.bias", (VD,)),
-            ("self_attn.out_proj.weight", (VD, VD)), ("self_attn.out_proj.bias", (VD,)),
-            ("layer_norm2.weight", (VD,)), ("layer_norm2.bias", (VD,)),
-            ("mlp.fc1.weight", (VF, VD)), ("mlp.fc1.bias", (VF,)),
-            ("mlp.fc2.weight", (VD, VF)), ("mlp.fc2.bias", (VD,)),
-        ]:
-            sd[p + nm] = t(*shape)
-    sd["model.mm_projector.0.weight"] = t(D, VD)
-    sd["model.mm_projector.0.bias"] = t(D)
-    sd["model.mm_projector.2.weight"] = t(D, D)
-    sd["model.mm_projector.2.bias"] = t(D)
-    st.save_file({k: v for k, v in sd.items()}, str(tmp_path / "model.safetensors"))
-
-    import dataclasses
-
-    from llava_align_tpu.config import ClipVisionConfig
-    from llava_align_tpu.utils import hf_convert
-
-    # the real ClipVisionConfig is fixed at ViT-L dims; patch config_from_hf's
-    # vision side for the reduced-width fixture
-    orig = hf_convert.config_from_hf
-
-    def small_cfg(hf, dtype=jnp.bfloat16):
-        cfg = orig(hf, dtype)
-        vision = ClipVisionConfig(
-            image_size=336, patch_size=14, hidden_size=VD, intermediate_size=VF,
-            num_layers=VL, num_heads=4, select_layer=cfg.vision.select_layer,
-            select_feature=cfg.vision.select_feature, dtype=dtype,
-        )
-        return dataclasses.replace(cfg, vision=vision)
-
-    hf_convert.config_from_hf, restore = small_cfg, orig
-    try:
+    VL = build_tiny_llava_checkpoint(tmp_path, vision_layers=24, image_size=336)
+    with small_vision_config(vision_layers=VL, image_size=336):
         params, cfg = load_llava_checkpoint(str(tmp_path))
-    finally:
-        hf_convert.config_from_hf = restore
 
     assert params["llama"]["embed"].shape == (V, D)
     assert params["llama"]["layers"]["q"].shape == (L, D, D)
