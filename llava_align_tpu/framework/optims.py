@@ -64,7 +64,10 @@ def linear_warmup_step_lr(
 
 
 @registry.register_lr_scheduler("constant_lr")
-def constant_lr(init_lr: float, warmup_steps: int = 0, warmup_start_lr: float = 0.0, **_) -> Schedule:
+def constant_lr(init_lr: float, warmup_steps: int = 0, warmup_start_lr: float = -1.0, **_) -> Schedule:
+    # -1 sentinel → warm up from init_lr, like the reference ConstantLRScheduler
+    warmup_start_lr = warmup_start_lr if warmup_start_lr >= 0 else init_lr
+
     def schedule(step):
         import jax.numpy as jnp
 
@@ -75,6 +78,28 @@ def constant_lr(init_lr: float, warmup_steps: int = 0, warmup_start_lr: float = 
     return schedule
 
 
+def decay_mask(params):
+    """Weight-decay split of the reference optimizer
+    (lavis/models/base_model.py:107-120 get_optimizer_params): NO decay for
+    params with ndim < 2 (every bias / LayerNorm scale) or whose name
+    contains bias/ln/bn/norm; decay for the 2-D+ matrices. Returns a bool
+    pytree for optax.adamw(mask=...)."""
+    import jax
+    import jax.numpy as jnp
+
+    no_decay = ("bias", "ln", "bn", "norm")
+
+    def keyname(k) -> str:
+        return str(getattr(k, "key", getattr(k, "idx", k))).lower()
+
+    def f(path, x):
+        if jnp.ndim(x) < 2:
+            return False
+        return not any(t in keyname(k) for k in path for t in no_decay)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def build_optimizer(
     lr_sched: str = "linear_warmup_cosine_lr",
     weight_decay: float = 0.05,
@@ -82,6 +107,9 @@ def build_optimizer(
     max_grad_norm: float = 1.0,
     **sched_kwargs,
 ) -> optax.GradientTransformation:
+    """AdamW + named LR schedule with the reference's decay split applied
+    via mask (biases/norm params are not decayed). `max_grad_norm=0`
+    disables clipping (the reference clips only where run configs say so)."""
     sched_fn = registry.get_lr_scheduler_class(lr_sched)
     if sched_fn is None:
         raise KeyError(f"unknown lr scheduler {lr_sched}")
@@ -89,5 +117,7 @@ def build_optimizer(
     chain = []
     if max_grad_norm:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
-    chain.append(optax.adamw(schedule, b2=beta2, weight_decay=weight_decay))
+    chain.append(
+        optax.adamw(schedule, b2=beta2, weight_decay=weight_decay, mask=decay_mask)
+    )
     return optax.chain(*chain)

@@ -58,12 +58,10 @@ def _batches(dataset, batch_size: int, *, tokenize, epoch: int = 0,
         yield batch
 
 
-def _make_train_step(arch: str, model, lr: float):
+def _make_train_step(arch: str, model, tx):
     import jax
     import jax.numpy as jnp
     import optax
-
-    tx = optax.adamw(lr)
 
     if arch == "albef_retrieval":
         from llava_align_tpu.models import albef
@@ -240,7 +238,27 @@ def main(argv=None) -> Dict[str, float]:
 
     lr = float(run_cfg.get("init_lr", 1e-4))
     batch_size = int(run_cfg.get("batch_size_train", 4))
-    step, init_state, prep = _make_train_step(arch, model, lr)
+    max_epoch = int(run_cfg.get("max_epoch", 1))
+    iters_per_epoch = max(1, sum(len(ds) for ds in train_sets) // max(batch_size, 1))
+    # reference optimizer assembly (runner_base.py:96-112 + base_model
+    # get_optimizer_params): AdamW with the bias/norm no-decay split, lr
+    # schedule by registered name with the run-config knob names
+    from llava_align_tpu.framework.optims import build_optimizer
+
+    tx = build_optimizer(
+        lr_sched=run_cfg.get("lr_sched", "linear_warmup_cosine_lr"),
+        weight_decay=float(run_cfg.get("weight_decay", 0.05)),
+        beta2=float(run_cfg.get("beta2", 0.999)),
+        max_grad_norm=float(run_cfg.get("max_grad_norm", 1.0)),
+        init_lr=lr,
+        min_lr=float(run_cfg.get("min_lr", 0.0)),
+        warmup_steps=int(run_cfg.get("warmup_steps", 0)),
+        warmup_start_lr=float(run_cfg.get("warmup_lr", -1.0)),
+        max_steps=iters_per_epoch * max_epoch,
+        steps_per_epoch=iters_per_epoch,
+        decay_rate=float(run_cfg.get("lr_decay_rate", 1.0)),
+    )
+    step, init_state, prep = _make_train_step(arch, model, tx)
 
     vocab = getattr(getattr(model.cfg, "text", None), "vocab_size", 64) or 64
     tokenize = resolve_tokenizer(run_cfg, vocab)

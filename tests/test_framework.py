@@ -74,6 +74,39 @@ def test_lr_schedules():
     assert abs(float(step(15)) - 0.1) < 1e-6
 
 
+def test_weight_decay_mask_matches_reference_split():
+    """build_optimizer must reproduce the reference's decay split
+    (base_model.py:107-120): no decay for ndim<2 params or bias/ln/bn/norm
+    names; decay for plain matrices. Verified both on the mask and on an
+    actual zero-grad AdamW update (only decayed params shrink)."""
+    import jax.numpy as jnp
+
+    from llava_align_tpu.framework.optims import build_optimizer, decay_mask
+
+    params = {
+        "w": jnp.ones((4, 4)),
+        "bias": jnp.ones((4,)),
+        "ln": {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+        "norm_proj": {"kernel": jnp.ones((4, 4))},  # name rule beats ndim
+        "emb": jnp.ones((8, 4)),
+    }
+    m = decay_mask(params)
+    assert m["w"] and m["emb"]
+    assert not m["bias"] and not m["ln"]["scale"] and not m["ln"]["bias"]
+    assert not m["norm_proj"]["kernel"]
+
+    tx = build_optimizer(
+        lr_sched="constant_lr", init_lr=1.0, weight_decay=0.1, max_grad_norm=0.0
+    )
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert float(jnp.abs(new["w"]).max()) < 1.0  # decayed
+    assert float(jnp.abs(new["bias"] - 1.0).max()) == 0.0  # not decayed
+    assert float(jnp.abs(new["ln"]["scale"] - 1.0).max()) == 0.0
+
+
 def test_runner_train_eval_resume(tmp_path):
     from llava_align_tpu.framework.runner import Runner, RunnerConfig
 
