@@ -105,11 +105,18 @@ def build_optimizer(
     weight_decay: float = 0.05,
     beta2: float = 0.999,
     max_grad_norm: float = 1.0,
+    accum_grad_iters: int = 1,
     **sched_kwargs,
 ) -> optax.GradientTransformation:
     """AdamW + named LR schedule with the reference's decay split applied
     via mask (biases/norm params are not decayed). `max_grad_norm=0`
-    disables clipping (the reference clips only where run configs say so)."""
+    disables clipping (the reference clips only where run configs say so).
+
+    `accum_grad_iters` reproduces the reference's gradient accumulation
+    (base_task.py:223,232: each backward contributes loss/k and the
+    optimizer steps every k iterations): optax.MultiSteps accumulates the
+    running MEAN of the k gradients and applies the inner chain once per k
+    updates — identical math, one jittable transformation."""
     sched_fn = registry.get_lr_scheduler_class(lr_sched)
     if sched_fn is None:
         raise KeyError(f"unknown lr scheduler {lr_sched}")
@@ -120,4 +127,28 @@ def build_optimizer(
     chain.append(
         optax.adamw(schedule, b2=beta2, weight_decay=weight_decay, mask=decay_mask)
     )
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accum_grad_iters and int(accum_grad_iters) > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum_grad_iters))
+    return tx
+
+
+def amp_cast(params):
+    """TPU-native analogue of the reference's AMP autocast
+    (base_task.py:221 `torch.cuda.amp.autocast`): cast fp32 leaves to
+    bfloat16 for the forward/backward while the caller keeps fp32 master
+    weights for the optimizer update. Gradients flow through the cast and
+    arrive fp32 (the cast's transpose up-casts), so no loss scaler is
+    needed — bf16 shares fp32's exponent range. Non-float leaves,
+    already-low-precision leaves, and 0-d scalars (temperature /
+    logit-scale knobs, which autocast's elementwise policy would leave at
+    full width) pass through unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if x.dtype == jnp.float32 and jnp.ndim(x) >= 1:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)

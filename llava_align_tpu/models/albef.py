@@ -336,12 +336,15 @@ def classification_loss(
 ) -> Tuple[jax.Array, jax.Array]:
     """(1-α)·CE + α·distillation vs momentum logits
     (albef_classification.py:117-128). Returns (loss, logits)."""
-    logits = classify(params, cfg, pixels, ids, mask)
+    # fp32 loss logits (no-op at fp32; mirrors autocast under bf16 AMP)
+    logits = classify(params, cfg, pixels, ids, mask).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0].mean()
     if m_params is None or alpha == 0.0:
         return ce, logits
-    logits_m = jax.lax.stop_gradient(classify(m_params, cfg, pixels, ids, mask))
+    logits_m = jax.lax.stop_gradient(
+        classify(m_params, cfg, pixels, ids, mask).astype(jnp.float32)
+    )
     distill = -(jax.nn.softmax(logits_m, axis=-1) * logp).sum(-1).mean()
     return (1.0 - alpha) * ce + alpha * distill, logits
 

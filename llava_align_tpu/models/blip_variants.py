@@ -343,12 +343,15 @@ def classification_loss(
     alpha: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """(1-α)·CE + α·distillation (blip_classification.py:98-129)."""
-    logits = classify(params, cfg, pixels, ids, mask)
+    # fp32 loss logits (no-op at fp32; mirrors autocast under bf16 AMP)
+    logits = classify(params, cfg, pixels, ids, mask).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0].mean()
     if m_params is None or alpha == 0.0:
         return ce, logits
-    logits_m = jax.lax.stop_gradient(classify(m_params, cfg, pixels, ids, mask))
+    logits_m = jax.lax.stop_gradient(
+        classify(m_params, cfg, pixels, ids, mask).astype(jnp.float32)
+    )
     distill = -(jax.nn.softmax(logits_m, axis=-1) * logp).sum(-1).mean()
     return (1.0 - alpha) * ce + alpha * distill, logits
 

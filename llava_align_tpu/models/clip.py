@@ -212,8 +212,10 @@ def contrastive_loss(
     else:
         g_img, g_txt = img, txt
         rank = jnp.zeros((), jnp.int32)
-    logits_i = scale * img @ g_txt.T
-    logits_t = scale * txt @ g_img.T
+    # fp32 loss logits (no-op at fp32; under bf16 AMP this mirrors
+    # autocast's fp32 softmax policy)
+    logits_i = (scale * img @ g_txt.T).astype(jnp.float32)
+    logits_t = (scale * txt @ g_img.T).astype(jnp.float32)
     labels = jnp.arange(b) + rank * b
     li = -jnp.take_along_axis(
         jax.nn.log_softmax(logits_i, axis=-1), labels[:, None], axis=-1

@@ -58,15 +58,24 @@ def _batches(dataset, batch_size: int, *, tokenize, epoch: int = 0,
         yield batch
 
 
-def _make_train_step(arch: str, model, tx):
+def _make_train_step(arch: str, model, tx, amp: bool = False):
+    """amp=True runs forward/backward in bfloat16 with fp32 master weights
+    (framework.optims.amp_cast) — the TPU-native form of the reference's
+    `amp: True` run knob (runner_base.py reads it; base_task.py:221
+    autocast + GradScaler; bf16 needs no scaler)."""
     import jax
     import jax.numpy as jnp
     import optax
+
+    from llava_align_tpu.framework.optims import amp_cast
+
+    cast = amp_cast if amp else (lambda p: p)
 
     if arch == "albef_retrieval":
         from llava_align_tpu.models import albef
 
         cfg = model.cfg
+        momentum = 0.995
 
         def init_state(params):
             m_params = jax.tree_util.tree_map(jnp.copy, params)
@@ -78,15 +87,26 @@ def _make_train_step(arch: str, model, tx):
             opt_state, m_params, qstate, rng = ext
             rng, sub = jax.random.split(rng)
 
+            # Under AMP the EMA update runs on the fp32 master weights here
+            # (torch AMP semantics: autocast covers compute, not the
+            # parameter EMA); the inner momentum=1.0 makes the loss use this
+            # already-updated tree unchanged. Without AMP the update stays
+            # inside the differentiated fn (identical math either way).
+            if amp:
+                m_params = albef.momentum_update(params, m_params, momentum)
+
             def loss_fn(p):
                 losses, m2, q2 = albef.retrieval_train_step(
-                    p, m_params, qstate, cfg, sub,
+                    cast(p), cast(m_params), qstate, cfg, sub,
                     batch["image"], batch["text_ids"], batch["text_mask"],
                     batch["image_id"],
+                    momentum=1.0 if amp else momentum,
                 )
                 return losses["loss"], (m2, q2)
 
             (loss, (m2, q2)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if amp:
+                m2 = m_params  # keep the fp32 EMA, not its bf16 cast
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, (opt_state, m2, q2, rng), loss
@@ -117,7 +137,7 @@ def _make_train_step(arch: str, model, tx):
         def step(params, opt_state, batch):
             def loss_fn(p):
                 loss, _ = loss_mod(
-                    p, cfg, batch["image"], batch["text_ids"],
+                    cast(p), cfg, batch["image"], batch["text_ids"],
                     batch["text_mask"], batch["label"],
                 )
                 return loss
@@ -151,7 +171,7 @@ def _make_train_step(arch: str, model, tx):
         def step(params, opt_state, batch):
             def loss_fn(p):
                 return clip_mod.contrastive_loss(
-                    p, cfg, batch["image"], batch["text_ids"]
+                    cast(p), cfg, batch["image"], batch["text_ids"]
                 )["loss"]
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -174,7 +194,7 @@ def _make_train_step(arch: str, model, tx):
         from llava_align_tpu.train import trainer
 
         cfg = model.cfg
-        step = trainer.make_train_step(cfg, tx, donate=False)
+        step = trainer.make_train_step(cfg, tx, donate=False, amp=amp)
 
         def init_state(params):
             return tx.init(params)
@@ -257,8 +277,10 @@ def main(argv=None) -> Dict[str, float]:
         max_steps=iters_per_epoch * max_epoch,
         steps_per_epoch=iters_per_epoch,
         decay_rate=float(run_cfg.get("lr_decay_rate", 1.0)),
+        accum_grad_iters=int(run_cfg.get("accum_grad_iters", 1)),
     )
-    step, init_state, prep = _make_train_step(arch, model, tx)
+    amp = bool(run_cfg.get("amp", False))
+    step, init_state, prep = _make_train_step(arch, model, tx, amp=amp)
 
     vocab = getattr(getattr(model.cfg, "text", None), "vocab_size", 64) or 64
     tokenize = resolve_tokenizer(run_cfg, vocab)

@@ -119,15 +119,21 @@ def make_train_step(
     *,
     attn_impl: str = "auto",
     donate: bool = True,
+    amp: bool = False,
 ) -> Callable:
     """Returns jitted (params, opt_state, batch) → (params, opt_state, loss).
 
     Under a mesh with sharded params and a batch sharded over 'data', GSPMD
-    emits the gradient all-reduce — the SPMD replacement for DDP."""
+    emits the gradient all-reduce — the SPMD replacement for DDP.
+    amp=True computes forward/backward in bfloat16 against fp32 master
+    weights (framework.optims.amp_cast; the reference's `amp` run knob)."""
 
     def step(params, opt_state, batch):
+        from llava_align_tpu.framework.optims import amp_cast
+
+        cast = amp_cast if amp else (lambda p: p)
         loss, grads = jax.value_and_grad(
-            lambda p: multimodal_lm_loss(p, cfg, batch, attn_impl=attn_impl)
+            lambda p: multimodal_lm_loss(cast(p), cfg, batch, attn_impl=attn_impl)
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
