@@ -378,6 +378,296 @@ class PopeTask(BaseTask):
         return m
 
 
+@registry.register_task("gqa")
+class GQATask(VQATask):
+    """GQA exact-match VQA (reference lavis/tasks/vqa.py:169-230): valid_step
+    emits {question_id, pred_ans, gt_ans}; scoring normalizes the PREDICTION
+    only (processPunctuation + processDigitArticle) and counts exact string
+    matches against the single ground-truth answer. Rows with gt_ans=None
+    trigger a leaderboard dump instead of scoring (vqa.py:204-207)."""
+
+    def valid_step(self, params, sample) -> List[dict]:
+        answer = self.generate_fn(
+            params, sample, num_beams=self.num_beams,
+            max_length=self.max_len, min_length=self.min_len,
+            prompt=self.prompt,
+        )
+        return [{
+            "question_id": _coerce_id(sample["question_id"]),
+            "pred_ans": answer,
+            "gt_ans": sample.get("answer"),
+        }]
+
+    def _save_result_leaderboard(self, results) -> str:
+        """GQA leaderboard format: [{questionId, prediction}] strings
+        (reference vqa_reading_comprehension.py:231-248)."""
+        rows = [
+            {"questionId": str(r["question_id"]), "prediction": str(r["pred_ans"])}
+            for r in results
+        ]
+        path = os.path.join(self.result_dir, "leaderboard.json")
+        os.makedirs(self.result_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(rows, f)
+        logging.info("Saved results for leaderboard evaluation at %s", path)
+        return path
+
+    def after_evaluation(self, results, split_name="val", **kwargs):
+        save_result(
+            results, self.result_dir, f"{split_name}_vqa_result",
+            remove_duplicate="question_id",
+        )
+        acc = []
+        for r in results:
+            if r["gt_ans"] is None:
+                self._save_result_leaderboard(results)
+                return {}
+            acc.append(1.0 if vqa_normalize(str(r["pred_ans"])) == r["gt_ans"] else 0.0)
+        accuracy = 100.0 * sum(acc) / max(len(acc), 1)
+        metrics = {"agg_metrics": accuracy, "acc": accuracy, "n": len(results)}
+        logging.info("GQA eval: %s", metrics)
+        return metrics
+
+
+@registry.register_task("aok_vqa")
+class AOKVQATask(VQATask):
+    """A-OKVQA direct-answer VQA (reference lavis/tasks/vqa.py:233-314):
+    per question, accuracy = min(1, #direct-answer matches / 3) with NO
+    normalization of either side (allenai eval_predictions.py semantics the
+    reference copies at vqa.py:276-281); leaderboard dump is a dict
+    question_id → {direct_answer, multiple_choice: ""} (vqa.py:295-314)."""
+
+    def valid_step(self, params, sample) -> List[dict]:
+        answer = self.generate_fn(
+            params, sample, num_beams=self.num_beams,
+            max_length=self.max_len, min_length=self.min_len,
+        )
+        return [{
+            "question_id": sample["question_id"],
+            "pred_ans": answer,
+            "gt_ans": sample.get("direct_answers"),
+        }]
+
+    def _save_result_leaderboard(self, results) -> str:
+        board = {
+            r["question_id"]: {"direct_answer": r["pred_ans"], "multiple_choice": ""}
+            for r in results
+        }
+        path = os.path.join(self.result_dir, "leaderboard.json")
+        os.makedirs(self.result_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(board, f)
+        logging.info("Saved results for leaderboard evaluation at %s", path)
+        return path
+
+    def after_evaluation(self, results, split_name="val", **kwargs):
+        save_result(
+            results, self.result_dir, f"{split_name}_vqa_result",
+            remove_duplicate="question_id",
+        )
+        acc = []
+        for r in results:
+            if r["gt_ans"] is None:
+                self._save_result_leaderboard(results)
+                return {}
+            num_match = sum(1 for g in r["gt_ans"] if r["pred_ans"] == g)
+            acc.append(min(1.0, num_match / 3.0))
+        accuracy = 100.0 * sum(acc) / max(len(acc), 1)
+        metrics = {"agg_metrics": accuracy, "acc": accuracy, "n": len(results)}
+        logging.info("A-OKVQA eval: %s", metrics)
+        return metrics
+
+
+@registry.register_task("vqa_reading_comprehension")
+class VQARCTask(VQATask):
+    """Three-stream reading-comprehension VQA (reference
+    lavis/tasks/vqa_reading_comprehension.py:22-153) — the serving harness
+    for PnP-VQA / Img2Prompt: `predict_answers_fn(params, sample, **knobs)`
+    returns (answers, captions, gradcams); valid_step emits the three
+    parallel result streams; after_evaluation saves gradcam (.npz — the
+    TPU-native stand-in for the reference's torch .pth, :122-153), caption,
+    and vqa result files, then scores like VQATask when gt is attached.
+
+    Config knobs mirror vqa_reading_comprehension.py:61-78:
+    internal_bsz_fid / num_captions / num_captions_fid / cap_max_length /
+    cap_min_length / top_k / top_p / repetition_penalty / num_patches /
+    block_num."""
+
+    RC_KNOBS = (
+        "internal_bsz_fid", "num_captions", "num_captions_fid",
+        "cap_max_length", "cap_min_length", "top_k", "top_p",
+        "repetition_penalty", "num_patches", "block_num",
+    )
+
+    def __init__(self, predict_answers_fn: Optional[Callable] = None, **kw):
+        rc_cfg = {k: kw.pop(k) for k in list(kw) if k in self.RC_KNOBS}
+        super().__init__(**kw)
+        self.predict_answers_fn = predict_answers_fn
+        self.rc_cfg = rc_cfg
+
+    def valid_step(self, params, sample) -> List[list]:
+        answers, captions, gradcams = self.predict_answers_fn(
+            params, sample,
+            inference_method=self.inference_method,
+            num_beams=self.num_beams, max_len=self.max_len,
+            min_len=self.min_len, **self.rc_cfg,
+        )
+        qids = sample["question_id"]
+        if not isinstance(qids, (list, tuple)):
+            qids, answers = [qids], [answers]
+            captions, gradcams = [captions], [gradcams]
+        pred_qa, caps, cams = [], [], []
+        for ans, cap, cam, qid in zip(answers, captions, gradcams, qids):
+            qid = _coerce_id(qid)
+            pred_qa.append({"question_id": qid, "answer": ans})
+            caps.append({"question_id": qid, "caption": cap})
+            cams.append({"question_id": qid, "gradcam": cam})
+        return [cams, caps, pred_qa]
+
+    def evaluation(self, params, loader, *, log_freq: int = 50) -> List[list]:
+        metrics = MetricLogger()
+        results: List[list] = []
+        for sample in metrics.log_every(loader, log_freq, header="Evaluation"):
+            results.extend(self.valid_step(params, sample))
+        return results
+
+    def save_gradcam(self, result, filename) -> str:
+        """Gradcam arrays → one .npz keyed by question_id (replacing the
+        reference's per-rank torch.save + merge, :122-153 — under SPMD each
+        host already holds the full stream)."""
+        import numpy as np
+
+        os.makedirs(self.result_dir, exist_ok=True)
+        path = os.path.join(self.result_dir, f"{filename}.npz")
+        seen: Dict[str, Any] = {}
+        for r in result:
+            k = str(r["question_id"])
+            if k not in seen:
+                seen[k] = np.asarray(r["gradcam"])
+        np.savez(path, **seen)
+        logging.info("gradcam file saved to %s", path)
+        return path
+
+    def after_evaluation(self, results, split_name="val", **kwargs):
+        # results is a flat list of interleaved [cams, caps, qa] triples
+        # (reference chains val_result[0::3]/[1::3]/[2::3], :93-116)
+        from itertools import chain
+
+        cams = list(chain(*results[0::3]))
+        caps = list(chain(*results[1::3]))
+        qa = list(chain(*results[2::3]))
+        self.save_gradcam(cams, f"{split_name}_gradcam_result")
+        save_result(caps, self.result_dir, f"{split_name}_caption_result",
+                    remove_duplicate="question_id")
+        save_result(qa, self.result_dir, f"{split_name}_vqa_result",
+                    remove_duplicate="question_id")
+        return self._score_qa(qa)
+
+    def _score_qa(self, qa: List[dict]) -> Dict[str, float]:
+        return {"agg_metrics": 0.0, "n": len(qa)}
+
+
+@registry.register_task("gqa_reading_comprehension")
+class GQARCTask(VQARCTask):
+    """GQA through the reading-comprehension pipeline (reference
+    vqa_reading_comprehension.py:156-248): valid_step also carries gt_ans;
+    scoring is GQA exact match with prediction-side normalization applied
+    only under inference_method == 'generate' (:211-215)."""
+
+    def valid_step(self, params, sample) -> List[list]:
+        cams, caps, pred_qa = super().valid_step(params, sample)
+        gts = sample.get("answer")
+        if not isinstance(gts, (list, tuple)):
+            gts = [gts]
+        out_qa = []
+        for row, gt in zip(pred_qa, gts):
+            out_qa.append({
+                "question_id": row["question_id"],
+                "pred_ans": row["answer"],
+                "gt_ans": gt,
+            })
+        return [cams, caps, out_qa]
+
+    def _score_qa(self, qa: List[dict]) -> Dict[str, float]:
+        acc = []
+        for r in qa:
+            if r["gt_ans"] is None:
+                GQATask._save_result_leaderboard(self, qa)
+                return {}
+            pred = r["pred_ans"]
+            if self.inference_method == "generate":
+                pred = vqa_normalize(str(pred))
+            acc.append(1.0 if pred == r["gt_ans"] else 0.0)
+        accuracy = 100.0 * sum(acc) / max(len(acc), 1)
+        metrics = {"agg_metrics": accuracy, "acc": accuracy, "n": len(qa)}
+        logging.info("GQA-RC eval: %s", metrics)
+        return metrics
+
+
+@registry.register_task("dialogue")
+class DialogueTask(BaseTask):
+    """Video-grounded dialogue (reference lavis/tasks/dialogue.py:20-84):
+    valid_step is the model LOSS on the dialogue sample (not generation,
+    :51-55); after_evaluation reports mean validation loss as agg_metrics
+    when report_metric is set (:57-65). The reference's dormant
+    coco_dialogue_eval CIDEr+BLEU path (:93-127) is represented by the
+    caption-metric hook `metric_fn` (pycocoevalcap is not in this image)."""
+
+    def __init__(
+        self,
+        loss_fn: Optional[Callable] = None,
+        num_beams: int = 3,
+        max_len: int = 30,
+        min_len: int = 8,
+        evaluate: bool = True,
+        report_metric: bool = True,
+        metric_fn: Optional[Callable] = None,
+        **kw,
+    ):
+        super().__init__(**kw)
+        self.loss_fn = loss_fn
+        self.num_beams = num_beams
+        self.max_len = max_len
+        self.min_len = min_len
+        self.evaluate = evaluate
+        self.report_metric = report_metric
+        self.metric_fn = metric_fn
+
+    def valid_step(self, params, sample) -> List[float]:
+        return [float(self.loss_fn(params, sample))]
+
+    def after_evaluation(self, results, split_name="val", epoch=0, **kwargs):
+        if self.report_metric:
+            avg = sum(results) / max(len(results), 1)
+            return {"agg_metrics": avg, "n": len(results)}
+        return {"agg_metrics": 0.0, "n": len(results)}
+
+
+@registry.register_task("image_text_pretrain")
+class ImageTextPretrainTask(BaseTask):
+    """Pretraining task (reference lavis/tasks/image_text_pretrain.py:12-19):
+    training-only — evaluation is a no-op returning no results."""
+
+    def evaluation(self, params, loader, **kw):
+        return []
+
+    def after_evaluation(self, results, **kwargs):
+        return {"agg_metrics": 0.0, "n": 0}
+
+
+@registry.register_task("text-to-image-generation")
+class TextToImageGenerationTask(BaseTask):
+    """Text-to-image generation (reference
+    lavis/tasks/text_to_image_generation.py:11-22): a config-holding task —
+    the reference defines no valid_step/metrics; training goes through the
+    base train loop. Kept as the registered assembly point for the
+    blip-diffusion trainer."""
+
+    @classmethod
+    def setup_task(cls, run_cfg: Dict[str, Any]) -> "TextToImageGenerationTask":
+        return cls(**run_cfg.get("task_args", {}), run_cfg=run_cfg)
+
+
 @registry.register_task("retrieval")
 class RetrievalTask(BaseTask):
     """Image-text retrieval recall@{1,5,10} (reference lavis/tasks/
