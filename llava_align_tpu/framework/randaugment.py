@@ -325,3 +325,57 @@ class RandomAugment:
             fn, arg_fn = OPS[name]
             img = fn(img, *arg_fn(level, self._rand))
         return img
+
+
+class VideoRandomAugment:
+    """Video variant (reference randaugment.py:352-392 VideoRandomAugment):
+    N ops sampled WITHOUT replacement once per clip and applied to every
+    frame; the apply/skip gate `rand(N) > p` is also drawn once per clip
+    (p=0.0 default → always applied); op ARGUMENTS are re-drawn per frame
+    (the reference calls arg_dict[name](level) inside the per-frame _aug),
+    so e.g. a rotation's random sign can differ frame to frame.
+
+    Input/output: [T, H, W, 3] uint8-like array → float32 array (the
+    reference returns a float tensor of the same layout).
+    """
+
+    def __init__(self, N: int = 2, M: int = 10, p: float = 0.0,
+                 augs: Sequence[str] = (),
+                 rng: Optional[np.random.Generator] = None):
+        self.N = N
+        self.M = M
+        self.p = p
+        self.augs = list(augs) if augs else list(OPS)
+        self.rng = rng
+
+    def _choice_no_replace(self):
+        if self.rng is not None:
+            idx = self.rng.choice(len(self.augs), self.N, replace=False)
+            return [self.augs[i] for i in idx]
+        return list(np.random.choice(self.augs, self.N, replace=False))
+
+    def _rand(self):
+        return float(self.rng.random() if self.rng is not None else np.random.random())
+
+    def _randn(self, n):
+        if self.rng is not None:
+            return self.rng.random(n)
+        return np.random.random(size=n)
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        frames = np.asarray(frames)
+        assert frames.shape[-1] == 3, (
+            "Expecting last dimension for 3-channels RGB (t, h, w, c)."
+        )
+        ops = self._choice_no_replace()
+        apply_or_not = self._randn(self.N) > self.p
+        out = []
+        for frame in frames.astype(np.uint8):
+            img = np.ascontiguousarray(frame)
+            for i, name in enumerate(ops):
+                if not apply_or_not[i]:
+                    continue
+                fn, arg_fn = OPS[name]
+                img = fn(img, *arg_fn(self.M, self._rand))
+            out.append(img)
+        return np.stack(out).astype(np.float32)
