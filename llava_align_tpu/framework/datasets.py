@@ -427,6 +427,274 @@ class VideoRetrievalBuilder(BaseDatasetBuilder):
     eval_cls = VideoRetrievalDataset
 
 
+# ---------------------------------------------------------------------------
+# dialogue (AVSD), imagefolder, text-to-image-generation tail
+# ---------------------------------------------------------------------------
+
+
+def _expand_dialog_turns(ann_paths: Sequence[str], *, eval_mode: bool) -> List[dict]:
+    """AVSD annotation expansion (reference dialogue_datasets.py:32-57 train,
+    :88-113 eval): files carry {"dialogs": [...]}; train expands every turn
+    into one sample whose `dialog` is the preceding context; eval keeps one
+    sample per dialog with the LAST turn as the question/answer."""
+    import copy
+
+    annotation: List[dict] = []
+    for ann_path in ann_paths:
+        with open(ann_path) as f:
+            dialogs = json.load(f)["dialogs"]
+        for dialog in dialogs:
+            all_turns = dialog["dialog"]
+            if eval_mode:
+                last = all_turns[-1]
+                row = dict(dialog)
+                row["dialog"] = all_turns[:-1]
+                row["question"] = last["question"]
+                row["answer"] = last["answer"]
+                annotation.append(row)
+            else:
+                context: List[dict] = []
+                for turn in all_turns:
+                    row = copy.deepcopy(dialog)
+                    row["dialog"] = copy.deepcopy(context)
+                    row["question"] = turn["question"]
+                    row["answer"] = turn["answer"]
+                    annotation.append(row)
+                    context.append(turn)
+    return annotation
+
+
+class AVSDDialDataset(BaseAnnotationDataset):
+    """AVSD video-grounded dialogue (reference avsd_dialogue_datasets.py:16-89
+    AVSDDialDataset): vis_processor is the gpt_video_ft processor called as
+    (vis_root, vname); text_processor is gpt_dialogue. The collater pads the
+    token streams, prepends the video segment to token_type_ids/labels
+    (video labels = -1 = ignored), and concatenates the video and text
+    attention masks — numpy throughout instead of torch.cat."""
+
+    EVAL_MODE = False
+
+    def __init__(self, vis_processor=None, text_processor=None, vis_root="",
+                 ann_paths=(), **kw):
+        # annotation format differs from the flat list loader
+        self.vis_processor = vis_processor
+        self.text_processor = text_processor
+        self.vis_root = vis_root
+        self.synthetic_images = kw.pop("synthetic_images", False)
+        self.annotation = _expand_dialog_turns(ann_paths, eval_mode=self.EVAL_MODE)
+        for i, ann in enumerate(self.annotation):
+            ann.setdefault("instance_id", i)
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        vname = ann["image_id"]
+        video = self.vis_processor(self.vis_root, vname)
+        dialogue = self.text_processor(ann)
+        return {
+            "video_fts": video["video_fts"],
+            "video_token_type_ids": video["token_type_ids"],
+            "input_ids": dialogue["input_ids"],
+            "token_type_ids": dialogue["token_type_ids"],
+            "labels": dialogue["labels"],
+            "image_id": ann["image_id"],
+            "instance_id": ann["instance_id"],
+        }
+
+    def collater(self, samples: List[dict]) -> Dict[str, Any]:
+        input_ids = self.text_processor.padding([s["input_ids"] for s in samples])
+        labels = self.text_processor.padding([s["labels"] for s in samples], -1)
+        video_fts = self.vis_processor.padding([s["video_fts"] for s in samples])
+        token_type_ids = self.text_processor.padding(
+            [s["token_type_ids"] for s in samples]
+        )
+        video_token_type_ids = self.text_processor.padding(
+            [s["video_token_type_ids"] for s in samples]
+        )
+        token_type_ids = np.concatenate([video_token_type_ids, token_type_ids], axis=1)
+        attn_mask = np.concatenate(
+            [
+                self.vis_processor.get_attention_mask(video_fts),
+                self.text_processor.get_attention_mask(input_ids),
+            ],
+            axis=1,
+        )
+        video_labels = np.full(video_fts.shape[:2], -1, labels.dtype)
+        labels = np.concatenate([video_labels, labels], axis=1)
+        return {
+            "input_ids": input_ids,
+            "token_type_ids": token_type_ids,
+            "labels": labels,
+            "video_fts": video_fts,
+            "attn_mask": attn_mask,
+        }
+
+
+class AVSDDialEvalDataset(AVSDDialDataset):
+    """Eval split: one sample per dialog, last turn held out
+    (avsd_dialogue_datasets.py:92-166)."""
+
+    EVAL_MODE = True
+
+
+@registry.register_builder("avsd_dialogue")
+class AVSDDialBuilder(BaseDatasetBuilder):
+    """reference dialogue_builder.py:17-22."""
+
+    train_cls = AVSDDialDataset
+    eval_cls = AVSDDialEvalDataset
+
+
+class ImageFolderDataset(BaseAnnotationDataset):
+    """Class-per-subdirectory image dataset (reference
+    imagefolder_dataset.py:16-59, torchvision ImageFolder semantics: classes
+    are the sorted subdirectory names, labels their indices). `classnames`
+    optionally maps label indices to display names (the reference hardcodes
+    the ImageNet-1k list in imagefolder_builder.py; pass it from config)."""
+
+    IMG_EXTS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
+                ".tiff", ".webp")
+
+    def __init__(self, vis_processor=None, vis_root="", classnames=(), **kw):
+        self.vis_processor = vis_processor or (lambda x: np.asarray(x, np.float32))
+        self.vis_root = vis_root
+        self.synthetic_images = kw.pop("synthetic_images", False)
+        self.classes = sorted(
+            d for d in os.listdir(vis_root)
+            if os.path.isdir(os.path.join(vis_root, d))
+        )
+        self.annotation = []
+        for label, cls in enumerate(self.classes):
+            cdir = os.path.join(vis_root, cls)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(self.IMG_EXTS):
+                    path = os.path.join(cdir, fname)
+                    self.annotation.append(
+                        {"image": path, "label": label, "image_id": path}
+                    )
+        self.classnames = list(classnames)
+        for i, ann in enumerate(self.annotation):
+            ann.setdefault("instance_id", i)
+
+    def __getitem__(self, index: int) -> dict:
+        from PIL import Image
+
+        ann = self.annotation[index]
+        image = Image.open(ann["image"]).convert("RGB")
+        return {
+            "image": self.vis_processor(image),
+            "label": ann["label"],
+            "image_id": ann["image_id"],
+            "instance_id": ann["instance_id"],
+        }
+
+    def displ_item(self, index: int) -> dict:
+        sample, ann = self[index], self.annotation[index]
+        name = (self.classnames[ann["label"]] if self.classnames
+                else self.classes[ann["label"]])
+        return {"file": ann["image"], "label": name, "image": sample["image"]}
+
+
+@registry.register_builder("imagenet")
+class ImageNetBuilder(BaseDatasetBuilder):
+    """reference imagefolder_builder.py:15-60: per-split ImageFolder under
+    vis_root/<split>; only train/val are valid split names."""
+
+    train_cls = ImageFolderDataset
+    eval_cls = ImageFolderDataset
+
+    def build(self) -> Dict[str, Any]:
+        datasets = {}
+        for split, info in self.build_info.items():
+            assert split in ("train", "val"), (
+                f"Invalid split name {split}, must be one of 'train' and 'val'."
+            )
+            is_train = split == "train"
+            info = dict(info)
+            vis_root = info.pop("vis_root")
+            if os.path.isdir(os.path.join(vis_root, split)):
+                vis_root = os.path.join(vis_root, split)
+            cls = self.train_cls if is_train else self.eval_cls
+            datasets[split] = cls(
+                self.vis_processors.get("train" if is_train else "eval"),
+                vis_root=vis_root,
+                **{**self.extra, **info},
+            )
+        return datasets
+
+
+class SubjectDrivenTextToImageDataset:
+    """BLIP-diffusion fine-tune dataset (reference
+    subject_driven_t2i_dataset.py:15-72): every image in image_dir paired
+    with the caption "a <subject>", processed through separate input/target
+    image transforms; the dataset length is multiplied by `repetition` so an
+    epoch loop yields enough steps."""
+
+    def __init__(self, image_dir, subject_text, inp_image_processor,
+                 tgt_image_processor, txt_processor, repetition=100000):
+        self.subject = txt_processor(subject_text.lower())
+        self.image_dir = image_dir
+        self.inp_image_transform = inp_image_processor
+        self.tgt_image_transform = tgt_image_processor
+        self.text_processor = txt_processor
+        exts = {"jpg", "png", "webp", "jpeg"}
+        self.image_paths = [
+            os.path.abspath(os.path.join(image_dir, p))
+            for p in os.listdir(image_dir)
+            if os.path.splitext(p)[1][1:].lower() in exts
+        ]
+        self.repetition = repetition
+
+    def __len__(self) -> int:
+        return len(self.image_paths) * self.repetition
+
+    @property
+    def len_without_repeat(self) -> int:
+        return len(self.image_paths)
+
+    @staticmethod
+    def collater(samples: List[dict]) -> Dict[str, Any]:
+        return BaseAnnotationDataset.collater(samples)
+
+    def __getitem__(self, index: int) -> dict:
+        from PIL import Image
+
+        image_path = self.image_paths[index % len(self.image_paths)]
+        image = Image.open(image_path).convert("RGB")
+        caption = self.text_processor(f"a {self.subject}")
+        return {
+            "inp_image": self.inp_image_transform(image),
+            "tgt_image": self.tgt_image_transform(image),
+            "caption": caption,
+            "subject_text": self.subject,
+        }
+
+
+@registry.register_builder("blip_diffusion_finetune")
+class BlipDiffusionFinetuneBuilder(BaseDatasetBuilder):
+    """reference text_to_image_generation_builder.py:16-41: train-only
+    dataset assembled from build_info {images.storage, subject_text} with
+    separate inp/tgt image processors (kw_processors in the reference)."""
+
+    train_cls = SubjectDrivenTextToImageDataset
+
+    def build(self) -> Dict[str, Any]:
+        images = self.build_info["images"]
+        image_dir = images["storage"] if isinstance(images, dict) else images
+        dataset = self.train_cls(
+            image_dir=image_dir,
+            subject_text=self.build_info["subject_text"],
+            inp_image_processor=self.vis_processors.get(
+                "inp", self.vis_processors.get("train")
+            ),
+            tgt_image_processor=self.vis_processors.get(
+                "tgt", self.vis_processors.get("eval")
+            ),
+            txt_processor=self.text_processors.get("eval", lambda s: s),
+            **self.extra,
+        )
+        return {"train": dataset}
+
+
 def build_datasets_for_model(task, model, datasets_cfg):
     """Builds every configured dataset, resolving processor NAMES through
     the registry (LAVIS behavior) and defaulting to an image/video
