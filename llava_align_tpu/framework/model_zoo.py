@@ -390,17 +390,29 @@ class PnpVqaModel(_ZooModel):
 
     arch = "pnp_vqa"
 
-    def __init__(self, model_path: Optional[str] = None, **kw):
+    def __init__(self, model_path: Optional[str] = None, *,
+                 itm_path: Optional[str] = None, cap_path: Optional[str] = None,
+                 qa_path: Optional[str] = None, block_num: int = 7, **kw):
         from llava_align_tpu.models import pnp_vqa as pnp_mod
 
-        if model_path and not model_path.startswith("random"):
-            raise NotImplementedError(
-                "pnp_vqa composes three checkpoints (BLIP-ITM, BLIP-caption, "
-                "UnifiedQAv2-T5); load them via convert_blip/convert_t5 and "
-                "assemble params={'itm','cap','qa'}"
+        explicit = {k: v for k, v in
+                    (("itm", itm_path), ("cap", cap_path), ("qa", qa_path)) if v}
+        if (model_path and not model_path.startswith("random")) or len(explicit) == 3:
+            # composite assembly (reference pnp_vqa.py from_config :321-338:
+            # BLIP-ITM + BLIP-caption + UnifiedQAv2-T5 built from three
+            # checkpoint configs through load_model_and_preprocess)
+            from llava_align_tpu.utils.hf_convert import load_blip_t5_composite
+
+            params, cfgs = load_blip_t5_composite(
+                model_path or "", qa_key="qa", paths=explicit or None
             )
-        cfg = pnp_mod.PnpVqaConfig.tiny()
-        params = pnp_mod.init(jax.random.PRNGKey(0), cfg)
+            cfg = pnp_mod.PnpVqaConfig(
+                itm=cfgs["itm"], cap=cfgs["cap"], qa=cfgs["qa"],
+                block_num=block_num,
+            )
+        else:
+            cfg = pnp_mod.PnpVqaConfig.tiny()
+            params = pnp_mod.init(jax.random.PRNGKey(0), cfg)
         super().__init__(params, cfg)
 
     def predict_answers(self, *args, **kw):
@@ -415,17 +427,29 @@ class Img2PromptModel(_ZooModel):
 
     arch = "img2prompt_vqa"
 
-    def __init__(self, model_path: Optional[str] = None, **kw):
+    def __init__(self, model_path: Optional[str] = None, *,
+                 itm_path: Optional[str] = None, cap_path: Optional[str] = None,
+                 qg_path: Optional[str] = None, block_num: int = 7, **kw):
         from llava_align_tpu.models import img2prompt as i2p_mod
 
-        if model_path and not model_path.startswith("random"):
-            raise NotImplementedError(
-                "img2prompt_vqa composes BLIP-ITM + BLIP-caption + a T5 QG "
-                "checkpoint; load via convert_blip/convert_t5 and assemble "
-                "params={'itm','cap','qg'}"
+        explicit = {k: v for k, v in
+                    (("itm", itm_path), ("cap", cap_path), ("qg", qg_path)) if v}
+        if (model_path and not model_path.startswith("random")) or len(explicit) == 3:
+            # composite assembly mirroring the reference img2prompt_vqa
+            # from_config (lavis/models/img2prompt_models/img2prompt_vqa.py:
+            # BLIP-ITM + BLIP-caption + T5 question-generation checkpoint)
+            from llava_align_tpu.utils.hf_convert import load_blip_t5_composite
+
+            params, cfgs = load_blip_t5_composite(
+                model_path or "", qa_key="qg", paths=explicit or None
             )
-        cfg = i2p_mod.Img2PromptConfig.tiny()
-        params = i2p_mod.init(jax.random.PRNGKey(0), cfg)
+            cfg = i2p_mod.Img2PromptConfig(
+                itm=cfgs["itm"], cap=cfgs["cap"], qg=cfgs["qg"],
+                block_num=block_num,
+            )
+        else:
+            cfg = i2p_mod.Img2PromptConfig.tiny()
+            params = i2p_mod.init(jax.random.PRNGKey(0), cfg)
         super().__init__(params, cfg)
 
     def prompts_construction(self, *args, **kw):

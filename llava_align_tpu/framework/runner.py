@@ -63,6 +63,10 @@ class Runner:
         self.eval_fn = eval_fn
         self.start_epoch = 0
         self.best_metric = -np.inf
+        # global batch counter (reference runner_iter.py:49-85 persists
+        # start_iters in the checkpoint for iteration-granular resume)
+        self.global_step = 0
+        self._batches = None  # persistent iterator (iteration mode)
         os.makedirs(cfg.output_dir, exist_ok=True)
         self._ckptr = None
 
@@ -81,6 +85,7 @@ class Runner:
             "params": self.params,
             "opt_state": self.opt_state,
             "epoch": epoch,
+            "iters": int(self.global_step),
             "best_metric": float(self.best_metric),
         }
         self._checkpointer().save(path, state, force=True)
@@ -92,30 +97,65 @@ class Runner:
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.start_epoch = int(state["epoch"]) + 1
+        self.global_step = int(state.get("iters", 0))
         self.best_metric = float(state.get("best_metric", -np.inf))
-        logging.info("resumed from %s at epoch %d", path, self.start_epoch)
+        logging.info(
+            "resumed from %s at epoch %d (iter %d)",
+            path, self.start_epoch, self.global_step,
+        )
 
     # -- loops ---------------------------------------------------------------
 
+    def _batch_stream(self):
+        """Persistent cycling batch iterator for iteration mode (reference
+        runner_iter.py keeps one IterLoader across inner epochs instead of
+        re-creating the loader, so batches continue where they left off)."""
+        epoch = 0
+        while True:
+            it = iter(self.train_loader_fn(epoch))
+            empty = True
+            for batch in it:
+                empty = False
+                yield batch
+            if empty:
+                raise RuntimeError("train loader yielded no batches")
+            epoch += 1
+
+    def _fast_forward(self, n_batches: int) -> None:
+        """Skip already-trained batches after an iteration-granular resume
+        (reference runner_iter.py:49-85 start_iters semantics: the loader is
+        deterministic, so skipping reproduces the original data order)."""
+        if self._batches is None:
+            self._batches = self._batch_stream()
+        logging.info("fast-forwarding train loader by %d batches", n_batches)
+        for _ in range(n_batches):
+            next(self._batches)
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         metrics = MetricLogger()
-        loader = self.train_loader_fn(epoch)
         if self.cfg.iters_per_inner_epoch:
             import itertools
 
-            loader = itertools.islice(iter(loader), self.cfg.iters_per_inner_epoch)
+            if self._batches is None:
+                self._batches = self._batch_stream()
+            loader = itertools.islice(self._batches, self.cfg.iters_per_inner_epoch)
+        else:
+            loader = self.train_loader_fn(epoch)
         for batch in metrics.log_every(
             loader, self.cfg.log_freq, header=f"Train epoch {epoch}"
         ):
             self.params, self.opt_state, loss = self.train_step(
                 self.params, self.opt_state, batch
             )
+            self.global_step += 1
             metrics.update(loss=float(loss))
         return metrics.global_avg()
 
     def train(self) -> Dict[str, float]:
         if self.cfg.resume_ckpt_path:
             self.load_checkpoint(self.cfg.resume_ckpt_path)
+            if self.cfg.iters_per_inner_epoch and self.global_step:
+                self._fast_forward(self.global_step)
         stats: Dict[str, float] = {}
         for epoch in range(self.start_epoch, self.cfg.max_epoch):
             stats = self.train_epoch(epoch)

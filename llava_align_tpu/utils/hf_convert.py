@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Callable, Dict, Mapping, Tuple
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -648,6 +648,103 @@ def config_from_hf(hf_cfg: dict, dtype=jnp.bfloat16) -> LlavaConfig:
         mm_use_im_start_end=hf_cfg.get("mm_use_im_start_end", False),
         mm_use_im_patch_token=hf_cfg.get("mm_use_im_patch_token", False),
     )
+
+
+def blip_config_from_json(d: dict):
+    """BlipConfig from a component config.json ({vision: {...}, text: {...},
+    embed_dim}); missing keys default to BLIP-base (the LAVIS med_config.json
+    + vit defaults the reference assembles from yaml)."""
+    import dataclasses as _dc
+
+    from llava_align_tpu.models.blip import BlipConfig, BlipVitConfig, MedConfig
+
+    vision = BlipVitConfig(**d.get("vision", {}))
+    text_kw = dict(d.get("text", {}))
+    text_kw.setdefault("use_type_embeddings", False)  # BLIP family
+    return BlipConfig(
+        vision=vision, text=MedConfig(**text_kw),
+        embed_dim=d.get("embed_dim", 256),
+    )
+
+
+def t5_config_from_json(d: dict):
+    """T5Config from an HF T5 config.json (the format UnifiedQAv2 ships)."""
+    from llava_align_tpu.models.t5 import T5Config
+
+    proj = d.get("feed_forward_proj", "relu")
+    return T5Config(
+        vocab_size=d.get("vocab_size", 32128),
+        d_model=d.get("d_model", 2048),
+        d_kv=d.get("d_kv", 64),
+        num_heads=d.get("num_heads", 32),
+        d_ff=d.get("d_ff", 5120),
+        num_layers=d.get("num_layers", 24),
+        num_decoder_layers=d.get("num_decoder_layers", d.get("num_layers", 24)),
+        relative_attention_num_buckets=d.get("relative_attention_num_buckets", 32),
+        relative_attention_max_distance=d.get("relative_attention_max_distance", 128),
+        gated_act=d.get("is_gated_act", proj.startswith("gated")),
+        tie_word_embeddings=d.get("tie_word_embeddings", True),
+    )
+
+
+def _load_component_sd(path: str) -> Tuple[Dict[str, Array], dict]:
+    """(state_dict, config.json dict) for one composite component: a dir of
+    safetensors/bin + config.json, a single .safetensors file, or a LAVIS
+    .pth file (unwrapping its 'model' envelope)."""
+    if os.path.isdir(path):
+        sd = load_state_dict(path)
+        cfg_path = os.path.join(path, "config.json")
+        cfg = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+        return sd, cfg
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        sd = {}
+        with safe_open(path, framework="np") as h:
+            for k in h.keys():
+                sd[k] = h.get_tensor(k)
+        return sd, {}
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    return {k: _np(v) for k, v in obj.items()}, {}
+
+
+def load_blip_t5_composite(
+    model_path: str, *, qa_key: str = "qa", paths: Optional[Dict[str, str]] = None,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Assemble the PnP-VQA / Img2Prompt composite (reference
+    lavis/models/pnp_vqa_models/pnp_vqa.py from_config :321-338, which builds
+    BLIP-ITM + BLIP-caption + UnifiedQAv2-T5 from three checkpoint configs):
+    `model_path` is a directory with `itm/`, `cap/`, and `<qa_key>/`
+    components (each a checkpoint dir/file per _load_component_sd), or pass
+    explicit per-component `paths`. Returns (params, cfgs) with
+    params/cfgs keyed {itm, cap, <qa_key>}."""
+    comp_paths = dict(paths or {})
+    for name in ("itm", "cap", qa_key):
+        if name not in comp_paths:
+            cand = os.path.join(model_path, name)
+            if not os.path.exists(cand):
+                raise FileNotFoundError(
+                    f"composite checkpoint missing component {name!r} "
+                    f"(expected {cand} or an explicit path)"
+                )
+            comp_paths[name] = cand
+
+    params: Dict[str, Any] = {}
+    cfgs: Dict[str, Any] = {}
+    for name in ("itm", "cap"):
+        sd, cfg_json = _load_component_sd(comp_paths[name])
+        cfg = blip_config_from_json(cfg_json)
+        params[name] = convert_blip(sd, cfg)
+        cfgs[name] = cfg
+    sd, cfg_json = _load_component_sd(comp_paths[qa_key])
+    t5_cfg = t5_config_from_json(cfg_json)
+    params[qa_key] = convert_t5(sd, t5_cfg)
+    cfgs[qa_key] = t5_cfg
+    return params, cfgs
 
 
 def load_llava_checkpoint(

@@ -130,3 +130,158 @@ def small_vision_config(vision_layers: int = 24, image_size: int = 336):
         yield
     finally:
         hf_convert.config_from_hf = orig
+
+
+# ---------------------------------------------------------------------------
+# PnP-VQA / Img2Prompt composite fixture: three tiny component checkpoints
+# (BLIP-ITM, BLIP-caption, UnifiedQAv2-style T5) with the REAL LAVIS/HF key
+# names the converters consume, under <dir>/{itm,cap,<qa_key>}.
+# ---------------------------------------------------------------------------
+
+BLIP_TINY_JSON = {
+    "vision": {"image_size": 32, "patch_size": 16, "hidden_size": 32,
+               "num_layers": 2, "num_heads": 4},
+    "text": {"vocab_size": 64, "hidden_size": 32, "num_layers": 2,
+             "num_heads": 4, "intermediate_size": 64,
+             "max_position_embeddings": 64},
+    "embed_dim": 16,
+}
+
+T5_TINY_JSON = {
+    "vocab_size": 64, "d_model": 32, "d_kv": 8, "num_heads": 4, "d_ff": 64,
+    "num_layers": 2, "num_decoder_layers": 2, "is_gated_act": True,
+    "tie_word_embeddings": False,
+}
+
+
+def _tiny_blip_sd(rng, *, decoder: bool):
+    """LAVIS BLIP checkpoint keys: visual_encoder.* (timm ViT, fused qkv) +
+    text_{en,de}coder MED BERT (cross-attention in every layer); the caption
+    flavor adds the text_decoder.cls.* head, the ITM flavor the projections."""
+    v = BLIP_TINY_JSON["vision"]
+    m = BLIP_TINY_JSON["text"]
+    D, F = v["hidden_size"], int(v["hidden_size"] * 4.0)
+    MD, MF, V_ = m["hidden_size"], m["intermediate_size"], m["vocab_size"]
+    n_pos = 1 + (v["image_size"] // v["patch_size"]) ** 2
+
+    def t(*shape):
+        return (rng.normal(size=shape) * 0.05).astype(np.float32)
+
+    sd = {
+        "visual_encoder.cls_token": t(1, 1, D),
+        "visual_encoder.pos_embed": t(1, n_pos, D),
+        "visual_encoder.patch_embed.proj.weight": t(D, 3, v["patch_size"], v["patch_size"]),
+        "visual_encoder.patch_embed.proj.bias": t(D),
+        "visual_encoder.norm.weight": t(D),
+        "visual_encoder.norm.bias": t(D),
+    }
+    for i in range(v["num_layers"]):
+        p = f"visual_encoder.blocks.{i}."
+        sd[p + "attn.qkv.weight"] = t(3 * D, D)
+        sd[p + "attn.qkv.bias"] = t(3 * D)
+        sd[p + "attn.proj.weight"] = t(D, D)
+        sd[p + "attn.proj.bias"] = t(D)
+        for ln in ("norm1", "norm2"):
+            sd[p + ln + ".weight"] = t(D)
+            sd[p + ln + ".bias"] = t(D)
+        sd[p + "mlp.fc1.weight"] = t(F, D)
+        sd[p + "mlp.fc1.bias"] = t(F)
+        sd[p + "mlp.fc2.weight"] = t(D, F)
+        sd[p + "mlp.fc2.bias"] = t(D)
+
+    tp = "text_decoder.bert." if decoder else "text_encoder."
+    sd[tp + "embeddings.word_embeddings.weight"] = t(V_, MD)
+    sd[tp + "embeddings.position_embeddings.weight"] = t(
+        m["max_position_embeddings"], MD
+    )
+    sd[tp + "embeddings.LayerNorm.weight"] = t(MD)
+    sd[tp + "embeddings.LayerNorm.bias"] = t(MD)
+    for i in range(m["num_layers"]):
+        p = tp + f"encoder.layer.{i}."
+        for blk in ("attention", "crossattention"):
+            for qkv in ("query", "key", "value"):
+                sd[p + f"{blk}.self.{qkv}.weight"] = t(MD, MD)
+                sd[p + f"{blk}.self.{qkv}.bias"] = t(MD)
+            sd[p + f"{blk}.output.dense.weight"] = t(MD, MD)
+            sd[p + f"{blk}.output.dense.bias"] = t(MD)
+            sd[p + f"{blk}.output.LayerNorm.weight"] = t(MD)
+            sd[p + f"{blk}.output.LayerNorm.bias"] = t(MD)
+        sd[p + "intermediate.dense.weight"] = t(MF, MD)
+        sd[p + "intermediate.dense.bias"] = t(MF)
+        sd[p + "output.dense.weight"] = t(MD, MF)
+        sd[p + "output.dense.bias"] = t(MD)
+        sd[p + "output.LayerNorm.weight"] = t(MD)
+        sd[p + "output.LayerNorm.bias"] = t(MD)
+    if decoder:
+        hp = "text_decoder.cls.predictions."
+        sd[hp + "transform.dense.weight"] = t(MD, MD)
+        sd[hp + "transform.dense.bias"] = t(MD)
+        sd[hp + "transform.LayerNorm.weight"] = t(MD)
+        sd[hp + "transform.LayerNorm.bias"] = t(MD)
+        sd[hp + "decoder.weight"] = t(V_, MD)
+        sd[hp + "bias"] = t(V_)
+    else:
+        E = BLIP_TINY_JSON["embed_dim"]
+        sd["vision_proj.weight"] = t(E, D)
+        sd["vision_proj.bias"] = t(E)
+        sd["text_proj.weight"] = t(E, MD)
+        sd["text_proj.bias"] = t(E)
+        sd["itm_head.weight"] = t(2, MD)
+        sd["itm_head.bias"] = t(2)
+    return sd
+
+
+def _tiny_t5_sd(rng):
+    """HF T5 v1.1 (gated, untied) keys at the T5_TINY_JSON dims."""
+    c = T5_TINY_JSON
+    D, V_ = c["d_model"], c["vocab_size"]
+    inner = c["num_heads"] * c["d_kv"]
+
+    def t(*shape):
+        return (rng.normal(size=shape) * 0.05).astype(np.float32)
+
+    sd = {"shared.weight": t(V_, D), "lm_head.weight": t(V_, D),
+          "encoder.final_layer_norm.weight": t(D),
+          "decoder.final_layer_norm.weight": t(D)}
+    for side, n_layers in (("encoder", c["num_layers"]),
+                           ("decoder", c["num_decoder_layers"])):
+        sd[f"{side}.block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = t(
+            32, c["num_heads"]
+        )
+        for i in range(n_layers):
+            b = f"{side}.block.{i}."
+            attns = [("layer.0.SelfAttention", "layer.0.layer_norm")]
+            ffn_layer = "layer.1"
+            if side == "decoder":
+                attns.append(("layer.1.EncDecAttention", "layer.1.layer_norm"))
+                ffn_layer = "layer.2"
+            for attn, ln in attns:
+                for proj in ("q", "k", "v"):
+                    sd[b + f"{attn}.{proj}.weight"] = t(inner, D)
+                sd[b + f"{attn}.o.weight"] = t(D, inner)
+                sd[b + ln + ".weight"] = t(D)
+            sd[b + ffn_layer + ".DenseReluDense.wi_0.weight"] = t(c["d_ff"], D)
+            sd[b + ffn_layer + ".DenseReluDense.wi_1.weight"] = t(c["d_ff"], D)
+            sd[b + ffn_layer + ".DenseReluDense.wo.weight"] = t(D, c["d_ff"])
+            sd[b + ffn_layer + ".layer_norm.weight"] = t(D)
+    return sd
+
+
+def build_tiny_blip_t5_composite(dirpath, *, qa_key: str = "qa", seed: int = 0):
+    """<dirpath>/{itm,cap,<qa_key>}/ each holding model.safetensors +
+    config.json — the on-disk layout load_blip_t5_composite consumes."""
+    from safetensors import numpy as st
+
+    rng = np.random.default_rng(seed)
+    comps = {
+        "itm": (_tiny_blip_sd(rng, decoder=False), BLIP_TINY_JSON),
+        "cap": (_tiny_blip_sd(rng, decoder=True), BLIP_TINY_JSON),
+        qa_key: (_tiny_t5_sd(rng), T5_TINY_JSON),
+    }
+    for name, (sd, cfg_json) in comps.items():
+        d = os.path.join(str(dirpath), name)
+        os.makedirs(d, exist_ok=True)
+        st.save_file(sd, os.path.join(d, "model.safetensors"))
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(cfg_json, f)
+    return str(dirpath)

@@ -172,3 +172,47 @@ def test_runner_iteration_mode(tmp_path):
     r = Runner(cfg, step, jnp.asarray(0.0), opt.init(jnp.asarray(0.0)), endless, None)
     r.train()
     assert abs(float(r.params) - 5.0) < 1e-2
+
+
+def test_runner_iteration_granular_resume(tmp_path):
+    """reference runner_iter.py:49-85: checkpoints persist the global iter
+    count and resume fast-forwards the (deterministic) loader instead of
+    replaying it — the resumed run must consume batches 5..9, not 0..4."""
+    import optax
+    from llava_align_tpu.framework.runner import Runner, RunnerConfig
+
+    opt = optax.sgd(0.0)  # lr 0: params untouched, we only watch the data
+
+    @jax.jit
+    def step(w, opt_state, batch):
+        return w, opt_state, batch  # "loss" echoes the batch value
+
+    consumed = []
+
+    def loader(epoch):
+        # deterministic stream: values 100*epoch + i
+        for i in range(10):
+            v = jnp.asarray(float(100 * epoch + i))
+            consumed.append(float(v))
+            yield v
+
+    cfg = RunnerConfig(
+        max_epoch=1, iters_per_inner_epoch=5,
+        output_dir=str(tmp_path / "itr"), log_freq=100,
+    )
+    r = Runner(cfg, step, jnp.asarray(0.0), opt.init(jnp.asarray(0.0)), loader, None)
+    r.train()
+    assert r.global_step == 5
+    assert consumed == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+    consumed.clear()
+    cfg2 = RunnerConfig(
+        max_epoch=2, iters_per_inner_epoch=5,
+        output_dir=str(tmp_path / "itr"), log_freq=100,
+        resume_ckpt_path=str(tmp_path / "itr" / "checkpoint_last"),
+    )
+    r2 = Runner(cfg2, step, jnp.asarray(0.0), opt.init(jnp.asarray(0.0)), loader, None)
+    r2.train()
+    # fast-forward re-drew 0..4, then inner epoch 1 trained on 5..9
+    assert r2.global_step == 10
+    assert consumed == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
