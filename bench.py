@@ -91,6 +91,11 @@ def main():
     ap.add_argument("--long-new", type=int, default=80)
     ap.add_argument("--answer-new", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--value-runs", type=int, default=3,
+        help="independent repeat groups for the headline decode number; the "
+        "JSON carries value_runs (per-group tps) and value = their median",
+    )
     ap.add_argument("--batch-questions", type=int, default=8)
     # int8 weight-only is the serving default: ~2x decode throughput over
     # bf16 (Pallas weight-streaming kernel, docs/DESIGN.md) + half the HBM
@@ -168,15 +173,36 @@ def main():
             act_quant=(args.quant == "w8a8"),
         )
 
-    results = {}
-    for label, dual in [("dual", True), ("single", False)]:
-        _, t_short = _time_generate(make_engine(args.short_new, dual), ids, image, args.iters)
-        _, t_long = _time_generate(make_engine(args.long_new, dual), ids, image, args.iters)
-        steps = args.long_new - args.short_new
+    def _tps_estimate(t_short, t_long, steps):
         dt = (min(t_long) - min(t_short)) / steps
         if dt <= 0:  # tunnel jitter can dominate at tiny scales; fall back
             dt = max((np.mean(t_long) - np.mean(t_short)) / steps, 1e-6)
-        results[label + "_decode_tps"] = 1.0 / dt
+        return 1.0 / dt
+
+    results = {}
+    for label, dual in [("dual", True), ("single", False)]:
+        # headline (dual) phase: R independent repeat groups so the artifact
+        # carries a spread — session-to-session tunnel scatter made
+        # round-over-round deltas uninterpretable from a single number
+        # (VERDICT r4 weak #1). Groups interleave (run i -> group i%R) to
+        # sample temporal drift; engines/compiles are shared across groups.
+        R = args.value_runs if dual else 1
+        _, t_short = _time_generate(
+            make_engine(args.short_new, dual), ids, image, args.iters * R
+        )
+        _, t_long = _time_generate(
+            make_engine(args.long_new, dual), ids, image, args.iters * R
+        )
+        steps = args.long_new - args.short_new
+        if dual and R > 1:
+            runs = [
+                _tps_estimate(t_short[g::R], t_long[g::R], steps)
+                for g in range(R)
+            ]
+            results["dual_decode_tps_runs"] = runs
+            results["dual_decode_tps"] = float(np.median(runs))
+        else:
+            results[label + "_decode_tps"] = _tps_estimate(t_short, t_long, steps)
         results[label + "_prefill_plus_short_s"] = min(t_short)
 
     # POPE-style sample latency: prefill + short answer (typical "Yes."),
@@ -411,7 +437,9 @@ def main():
             flips = sum(
                 1 for a, b in zip(outs["int8"][:n], outs["w8a8"][:n]) if a != b
             )
-            results["w8a8_answer_flip_rate"] = flips / max(n, 1)
+            # n == 0 (e.g. --flip-questions below one group) measured
+            # nothing: report null, not a fake perfect 0.0 flip rate
+            results["w8a8_answer_flip_rate"] = flips / n if n else None
             results["w8a8_flip_questions"] = n
         except Exception as e:
             sys.stderr.write(f"flip-rate bench failed ({type(e).__name__}: {e}); skipping\n")
@@ -549,6 +577,20 @@ def main():
     out = {
         "metric": "llava7b_vdd_dual_branch_decode_tokens_per_sec_per_chip",
         "value": round(dual_tps, 3),
+        # spread across --value-runs independent repeat groups (value is
+        # their median); interprets round-over-round deltas vs tunnel scatter
+        "value_runs": [
+            round(v, 3) for v in results.get("dual_decode_tps_runs", [dual_tps])
+        ],
+        "value_spread_pct": (
+            round(
+                100.0
+                * (max(results["dual_decode_tps_runs"])
+                   - min(results["dual_decode_tps_runs"]))
+                / dual_tps, 2,
+            )
+            if "dual_decode_tps_runs" in results else 0.0
+        ),
         "unit": "tokens/s/chip",
         "vs_baseline": round(dual_tps / baseline_tps, 3),
         "baseline_def": "single-branch tps / 3 (reference sequential 3-forward VDD on same chip)",

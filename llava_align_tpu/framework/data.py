@@ -114,14 +114,22 @@ class PrefetchLoader:
                     i = next_to_fetch[0]
                     if i >= n or error or stopped[0]:
                         return
-                    # bounded prefetch window
-                    while len(results) >= self.prefetch * self.batch_size and not (error or stopped[0]):
-                        cond.wait(timeout=0.1)
-                    if error or stopped[0]:
-                        return
-                    i = next_to_fetch[0]
-                    if i >= n:
-                        return
+                    # bounded prefetch window; re-enter the wait after
+                    # re-reading next_to_fetch — between a wakeup and the
+                    # claim another worker may have refilled the window, and
+                    # claiming anyway would overshoot the bound by up to
+                    # num_workers decoded items
+                    while True:
+                        while (len(results) >= self.prefetch * self.batch_size
+                               and not (error or stopped[0])):
+                            cond.wait(timeout=0.1)
+                        if error or stopped[0]:
+                            return
+                        i = next_to_fetch[0]
+                        if i >= n:
+                            return
+                        if len(results) < self.prefetch * self.batch_size:
+                            break
                     next_to_fetch[0] = i + 1
                 try:
                     item = self.dataset[i]

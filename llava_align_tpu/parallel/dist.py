@@ -81,4 +81,9 @@ def shard_questions(questions, num_chunks: Optional[int] = None, chunk_idx: Opti
     k = chunk_idx if chunk_idx is not None else get_rank()
     from llava_align_tpu.runners.common import get_chunk
 
-    return list(get_chunk(questions, n, k)) if n > 1 else list(questions)
+    # rank-derived indices: a rank past the ceil-chunk count legitimately
+    # holds an empty shard (it still writes its part file for the merge)
+    return (
+        list(get_chunk(questions, n, k, allow_out_of_range=True))
+        if n > 1 else list(questions)
+    )

@@ -24,7 +24,7 @@ from llava_align_tpu.runners.common import (
     build_prompt,
     load_image_tensor,
     load_model,
-    load_questions,
+    load_questions_for,
     make_generation_config,
 )
 from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_token
@@ -33,7 +33,7 @@ from llava_align_tpu.tokenization import keyword_token_ids, tokenizer_image_toke
 def run(args) -> str:
     model = load_model(args.model_path)
     tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
-    questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    questions = load_questions_for(args)
     if args.max_questions:
         questions = questions[: args.max_questions]
     ans = AnswerFile(args.answers_file, resume=args.resume)

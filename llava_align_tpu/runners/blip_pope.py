@@ -27,7 +27,7 @@ from llava_align_tpu.ops.noise import add_diffusion_noise
 from llava_align_tpu.runners.common import (
     AnswerFile,
     MockTokenizer,
-    load_questions,
+    load_questions_for,
     make_generation_config,
 )
 
@@ -57,7 +57,7 @@ def run(args) -> str:
     # --dist auto FIRST: jax.distributed.initialize must precede backend init
     apply_dist_auto(args)
     llm_tok, bert_tok, params, cfg, model_name = load_blip_model(args.model_path)
-    questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    questions = load_questions_for(args)
     if args.max_questions:
         questions = questions[: args.max_questions]
     ans = AnswerFile(args.answers_file, resume=args.resume)

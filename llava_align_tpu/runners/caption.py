@@ -22,14 +22,14 @@ from llava_align_tpu.decoding.engine import DecodeEngine
 from llava_align_tpu.framework.tasks import CaptionTask
 from llava_align_tpu.models import instructblip
 from llava_align_tpu.runners.blip_pope import _load_image, load_blip_model
-from llava_align_tpu.runners.common import load_questions
+from llava_align_tpu.runners.common import load_questions_for
 
 
 def run(args) -> str:
     from llava_align_tpu.config import GenerationConfig
 
     llm_tok, bert_tok, params, cfg, model_name = load_blip_model(args.model_path)
-    questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    questions = load_questions_for(args)
     if args.max_questions:
         questions = questions[: args.max_questions]
 

@@ -32,16 +32,29 @@ def split_list(lst: Sequence, n: int) -> List[Sequence]:
     return [lst[i : i + chunk_size] for i in range(0, len(lst), chunk_size)]
 
 
-def get_chunk(lst: Sequence, n: int, k: int) -> Sequence:
+def get_chunk(
+    lst: Sequence, n: int, k: int, *, allow_out_of_range: bool = False
+) -> Sequence:
     chunks = split_list(lst, n)
     # ceil chunking can yield FEWER than n chunks (6 items / 4 chunks of 2
-    # -> 3 chunks); ranks past the end hold an empty shard instead of the
-    # reference's IndexError (MME/run_llava.py:41) so a --dist auto rank
-    # never crashes and hangs the others at the merge barrier
-    return chunks[k] if k < len(chunks) else lst[:0]
+    # -> 3 chunks). Under --dist auto a rank past the end must hold an empty
+    # shard so it never crashes and hangs the others at the merge barrier;
+    # for a USER-typed --chunk-idx an empty answers file would silently hide
+    # the typo, so keep the reference's IndexError (MME/run_llava.py:41)
+    if k < len(chunks):
+        return chunks[k]
+    if allow_out_of_range:
+        return lst[:0]
+    raise IndexError(
+        f"chunk_idx {k} out of range: {len(lst)} items split into "
+        f"{len(chunks)} chunks (num_chunks={n})"
+    )
 
 
-def load_questions(path: str, num_chunks: int = 1, chunk_idx: int = 0) -> List[dict]:
+def load_questions(
+    path: str, num_chunks: int = 1, chunk_idx: int = 0,
+    *, allow_out_of_range: bool = False,
+) -> List[dict]:
     with open(os.path.expanduser(path)) as f:
         # some checked-in reference splits (data/POPE/coco/test_samples.json)
         # carry hand-edited trailing commas on jsonl lines; tolerate them
@@ -51,8 +64,21 @@ def load_questions(path: str, num_chunks: int = 1, chunk_idx: int = 0) -> List[d
             if line.strip().rstrip(",")
         ]
     if num_chunks > 1:
-        questions = list(get_chunk(questions, num_chunks, chunk_idx))
+        questions = list(
+            get_chunk(questions, num_chunks, chunk_idx,
+                      allow_out_of_range=allow_out_of_range)
+        )
     return questions
+
+
+def load_questions_for(args) -> List[dict]:
+    """load_questions wired to the runner arg namespace: chunk indices set
+    by --dist auto may exceed the ceil-chunk count (empty shard), while
+    user-typed --num-chunks/--chunk-idx out-of-range raises."""
+    return load_questions(
+        args.question_file, args.num_chunks, args.chunk_idx,
+        allow_out_of_range=getattr(args, "dist_merge_target", None) is not None,
+    )
 
 
 def apply_dist_auto(args) -> bool:
@@ -104,11 +130,17 @@ def merge_chunk_files(answers_file: str, world_size: int) -> str:
     --dist auto) back into `answers_file`. Chunks are contiguous slices
     (split_list), so rank-order concatenation restores question order."""
     root, ext = os.path.splitext(os.path.expanduser(answers_file))
+    parts = [f"{root}.rank{r}-of-{world_size}{ext}" for r in range(world_size)]
+    # AnswerFile creates every rank's part eagerly on open (even for an
+    # empty shard), so a missing part means a failed/misconfigured rank —
+    # merging around it would hand scoring a silently truncated answers file
+    missing = [p for p in parts if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"answer part(s) missing at merge — did those ranks fail? {missing}"
+        )
     with open(os.path.expanduser(answers_file), "w") as out:
-        for r in range(world_size):
-            part = f"{root}.rank{r}-of-{world_size}{ext}"
-            if not os.path.exists(part):
-                continue  # empty shard (more ranks than ceil-chunks)
+        for part in parts:
             with open(part) as f:
                 out.write(f.read())
     return answers_file

@@ -44,7 +44,7 @@ from llava_align_tpu.runners.common import (
     build_prompt,
     load_image_tensor,
     load_model,
-    load_questions,
+    load_questions_for,
     make_generation_config,
     postprocess_answer,
 )
@@ -69,7 +69,7 @@ def run_qwen(args) -> str:
 
         params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
-    samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    samples = load_questions_for(args)
     if args.max_questions:
         samples = samples[: args.max_questions]
     ans = AnswerFile(args.answers_file, resume=args.resume)
@@ -161,7 +161,7 @@ def run(args) -> str:
     apply_dist_auto(args)
     model = load_model(args.model_path)
     tokenizer, params, cfg = model.tokenizer, model.params, model.cfg
-    samples = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    samples = load_questions_for(args)
     if args.max_questions:
         samples = samples[: args.max_questions]
     ans = AnswerFile(args.answers_file, resume=args.resume)

@@ -32,7 +32,7 @@ from llava_align_tpu.runners.common import (
     build_prompt,
     load_image_tensor,
     load_model,
-    load_questions,
+    load_questions_for,
     make_generation_config,
     postprocess_answer,
 )
@@ -99,7 +99,7 @@ def run(args) -> str:
         params = dict(params, llama=quantize_llama_params(
             params["llama"], bits=4 if quant == "int4" else 8))
 
-    questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    questions = load_questions_for(args)
     if args.max_questions:
         questions = questions[: args.max_questions]
     ans = AnswerFile(args.answers_file, resume=args.resume)

@@ -23,7 +23,7 @@ from llava_align_tpu.models.qwen_vl import QwenVLConfig
 from llava_align_tpu.runners.common import (
     AnswerFile,
     MockTokenizer,
-    load_questions,
+    load_questions_for,
     make_generation_config,
 )
 
@@ -84,7 +84,7 @@ def run(args) -> str:
 
         params = dict(params, qwen=quantize_qwen_params(params["qwen"]))
     eod = getattr(tokenizer, "eod_id", getattr(tokenizer, "eos_token_id", 2))
-    questions = load_questions(args.question_file, args.num_chunks, args.chunk_idx)
+    questions = load_questions_for(args)
     if args.max_questions:
         questions = questions[: args.max_questions]
     ans = AnswerFile(args.answers_file, resume=args.resume)

@@ -136,3 +136,35 @@ def test_dist_helpers_single_process():
     qs = list(range(10))
     assert shard_questions(qs) == qs
     assert shard_questions(qs, 3, 1) == [4, 5, 6, 7]
+
+
+def test_get_chunk_out_of_range_semantics():
+    """User-typed out-of-range chunk indices raise (reference
+    MME/run_llava.py:41 IndexError); rank-derived --dist auto indices get an
+    empty shard so the merge barrier never hangs."""
+    import pytest
+
+    from llava_align_tpu.runners.common import get_chunk
+
+    lst = list(range(6))
+    assert get_chunk(lst, 4, 2) == [4, 5]  # 3 ceil-chunks of 2
+    with pytest.raises(IndexError):
+        get_chunk(lst, 4, 3)
+    assert get_chunk(lst, 4, 3, allow_out_of_range=True) == []
+
+
+def test_merge_chunk_files_raises_on_missing_part(tmp_path):
+    """Every rank writes its part eagerly (AnswerFile opens before the
+    loop), so a missing part means a failed rank — the merge must not
+    silently produce a truncated answers file."""
+    import pytest
+
+    from llava_align_tpu.runners.common import merge_chunk_files
+
+    target = tmp_path / "ans.jsonl"
+    (tmp_path / "ans.rank0-of-2.jsonl").write_text('{"a": 1}\n')
+    with pytest.raises(FileNotFoundError, match="rank1"):
+        merge_chunk_files(str(target), 2)
+    (tmp_path / "ans.rank1-of-2.jsonl").write_text("")  # empty shard is fine
+    merge_chunk_files(str(target), 2)
+    assert target.read_text() == '{"a": 1}\n'
