@@ -141,7 +141,7 @@ class LlavaAdapter:
     def init_cache(self, batch: int, max_len: int):
         from llava_align_tpu.models import llama
 
-        return llama.init_cache(self.cfg.text, batch, max_len)
+        return llama.init_cache(self.cfg.text, batch, max_len, kv_quant=self.kv_quant)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
                 max_seq_len, cache_row_offset=0, tp_mesh=None,
@@ -171,6 +171,12 @@ class LlavaAdapter:
     act_quant = False
     supports_act_quant = True
 
+    # Opt-in int8 KV cache (set by DecodeEngine(kv_quant="int8")): halves
+    # decode-time cache HBM reads at ~1/256 relative quantization error
+    # (models/llama.init_cache kv_quant + ops/quant.kv_quantize_block).
+    kv_quant = False
+    supports_kv_quant = True
+
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
         from llava_align_tpu.models import llama
 
@@ -185,6 +191,7 @@ class LlavaMptAdapter(LlavaAdapter):
     name = "llava_mpt"
     supports_shared_prefix = False  # mpt.forward has no shared-segment path
     supports_act_quant = False  # mpt.forward has no act_quant path
+    supports_kv_quant = False  # mpt.init_cache has no int8 layout
 
     @property
     def num_kv_heads(self) -> int:
@@ -248,6 +255,8 @@ class InstructBlipAdapter:
     name = "instructblip"
     act_quant = False  # see LlavaAdapter.act_quant
     supports_act_quant = True
+    kv_quant = False  # see LlavaAdapter.kv_quant
+    supports_kv_quant = True
 
     def __init__(self, cfg):
         self.cfg = cfg  # models.instructblip.InstructBlipConfig
@@ -309,7 +318,7 @@ class InstructBlipAdapter:
     def init_cache(self, batch: int, max_len: int):
         from llava_align_tpu.models import llama
 
-        return llama.init_cache(self.cfg.text, batch, max_len)
+        return llama.init_cache(self.cfg.text, batch, max_len, kv_quant=self.kv_quant)
 
     supports_shared_prefix = True
 
@@ -342,6 +351,7 @@ class Blip2OptAdapter(InstructBlipAdapter):
     name = "blip2_opt"
     supports_shared_prefix = False
     supports_act_quant = False  # opt.forward has no act_quant path
+    supports_kv_quant = False  # opt.init_cache has no int8 layout
 
     @property
     def num_kv_heads(self) -> int:
@@ -400,6 +410,8 @@ class QwenVLAdapter:
     supports_shared_prefix = True
     act_quant = False  # see LlavaAdapter.act_quant
     supports_act_quant = True
+    kv_quant = False  # see LlavaAdapter.kv_quant
+    supports_kv_quant = True
 
     def __init__(self, cfg):
         self.cfg = cfg  # models.qwen_vl.QwenVLConfig
@@ -471,7 +483,7 @@ class QwenVLAdapter:
     def init_cache(self, batch: int, max_len: int):
         from llava_align_tpu.models import qwen
 
-        return qwen.init_cache(self.cfg.text, batch, max_len)
+        return qwen.init_cache(self.cfg.text, batch, max_len, kv_quant=self.kv_quant)
 
     def forward(self, params, embeds, positions, cache, offsets, *, attn_impl,
                 max_seq_len, cache_row_offset=0, tp_mesh=None,

@@ -178,9 +178,25 @@ class DecodeEngine:
         mesh: Optional[Mesh] = None,
         max_compiled: int = 16,
         act_quant: bool = False,
+        kv_quant: Optional[str] = None,
     ):
         self.cfg = cfg
         self.adapter = adapter if adapter is not None else LlavaAdapter(cfg)
+        if kv_quant:
+            if kv_quant != "int8":
+                raise ValueError(f"unknown kv_quant mode {kv_quant!r}")
+            # Opt-in int8 KV cache: halves decode-time cache HBM reads at
+            # ~1/256 relative quantization error (models/llama.init_cache
+            # kv_quant; shared prefix segments quantize too). Same adapter
+            # compile-time-constant pattern as act_quant below.
+            if not getattr(type(self.adapter), "supports_kv_quant", False):
+                logger.warning(
+                    "kv_quant requested but adapter %s has no int8 cache "
+                    "path; ignoring.", getattr(self.adapter, "name", "?"),
+                )
+            else:
+                self.adapter = copy.copy(self.adapter)
+                self.adapter.kv_quant = True
         if act_quant:
             # Opt-in W8A8: compute-bound int8 matmuls take the int8-MXU path
             # with dynamic activation quant (~1.4x prefill, not bit-exact;
@@ -979,7 +995,8 @@ class DecodeEngine:
                 jnp.zeros((n_seg,), jnp.int32), attn_impl=attn_impl,
                 max_seq_len=total_len, tp_mesh=self._tp_mesh,
             )
-            shared = {"k": p_cache["k"], "v": p_cache["v"]}  # [L, n_seg, P, K, Dh]
+            # [L, n_seg, P, K, Dh] (+ ks/vs scale planes for int8 caches)
+            shared = dict(p_cache)
             seg_len = seg_tile(p_len)  # [n_seg]
 
             # ---- shared TEXT-branch prefixes: G*n_sh segment rows at their
@@ -1005,6 +1022,9 @@ class DecodeEngine:
                 )
                 shared["k2"] = t_cache["k"]  # [L, G*n_sh, Pt, K, Dh]
                 shared["v2"] = t_cache["v"]
+                if "ks" in t_cache:  # int8 cache: second table's scale planes
+                    shared["k2s"] = t_cache["ks"]
+                    shared["v2s"] = t_cache["vs"]
                 sh_len_txt = jnp.repeat(tp_len, Qg)  # [Msh], rows [g, j, q]
 
             # ---- per-question suffixes against [segment's shared | local]:

@@ -72,10 +72,21 @@ def init(rng: jax.Array, cfg: LlamaConfig) -> Params:
 
 
 def init_cache(
-    cfg: LlamaConfig, batch: int, max_len: int, dtype: Optional[jnp.dtype] = None
+    cfg: LlamaConfig, batch: int, max_len: int, dtype: Optional[jnp.dtype] = None,
+    kv_quant: bool = False,
 ) -> KVCache:
     dtype = dtype or cfg.dtype
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if kv_quant:
+        # int8 values + per-(layer,row,pos,head) f32 absmax scales
+        # (ops/quant.kv_quantize_block); the trailing singleton keeps the
+        # scale tree rank-5 so the engine's cache sharding constraint and
+        # cache-write helpers apply unchanged
+        sshape = shape[:-1] + (1,)
+        return {
+            "k": jnp.zeros(shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
+            "v": jnp.zeros(shape, jnp.int8), "vs": jnp.zeros(sshape, jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -222,7 +233,60 @@ def forward(
     fused_qkv = "qkv" in all_layers
     fused_gu = "gateup" in all_layers
 
-    def layer_fn(x, lp, k_full, v_full, li):
+    kv_quant = cache is not None and "ks" in cache
+
+    def _write_kv(c, k, v, li):
+        """Write the new K/V block into the cache dict (quantizing when the
+        cache is int8 — ops/quant.kv_quantize_block per-token/head scales)."""
+        off = cache_offset
+        if kv_quant:
+            from llava_align_tpu.ops.quant import kv_quantize_block
+
+            kq, ks = kv_quantize_block(k)
+            vq, vs = kv_quantize_block(v)
+            return dict(
+                c,
+                k=_write_cache_full(c["k"], kq, li, off, is_decode, cache_row_offset),
+                ks=_write_cache_full(c["ks"], ks, li, off, is_decode, cache_row_offset),
+                v=_write_cache_full(c["v"], vq, li, off, is_decode, cache_row_offset),
+                vs=_write_cache_full(c["vs"], vs, li, off, is_decode, cache_row_offset),
+            )
+        return dict(
+            c,
+            k=_write_cache_full(c["k"], k, li, off, is_decode, cache_row_offset),
+            v=_write_cache_full(c["v"], v, li, off, is_decode, cache_row_offset),
+        )
+
+    def _read_kv(c, li):
+        """Slice layer li from the cache dict, dequantizing int8 caches (the
+        multiply fuses into the attention dot — reads stay int8 in HBM)."""
+        k_slice = jax.lax.dynamic_index_in_dim(c["k"], li, 0, keepdims=False)
+        v_slice = jax.lax.dynamic_index_in_dim(c["v"], li, 0, keepdims=False)
+        if kv_quant:
+            from llava_align_tpu.ops.quant import kv_dequantize
+
+            k_slice = kv_dequantize(
+                k_slice, jax.lax.dynamic_index_in_dim(c["ks"], li, 0, keepdims=False),
+                cfg.dtype,
+            )
+            v_slice = kv_dequantize(
+                v_slice, jax.lax.dynamic_index_in_dim(c["vs"], li, 0, keepdims=False),
+                cfg.dtype,
+            )
+        return k_slice, v_slice
+
+    def _read_shared(li, kk, ss):
+        from llava_align_tpu.ops.quant import kv_dequantize
+
+        k_sh = jax.lax.dynamic_index_in_dim(shared_kv[kk], li, 0, keepdims=False)
+        if ss in shared_kv:
+            k_sh = kv_dequantize(
+                k_sh, jax.lax.dynamic_index_in_dim(shared_kv[ss], li, 0, keepdims=False),
+                cfg.dtype,
+            )
+        return k_sh
+
+    def layer_fn(x, lp, c, li):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         if fused_qkv:
             qkv = _lin(h, lp, "qkv", li)  # one launch streams q|k|v
@@ -239,8 +303,7 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         if cache is not None:
-            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode, cache_row_offset)
-            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode, cache_row_offset)
+            c = _write_kv(c, k, v, li)
 
         if shared_kv is not None:
             from llava_align_tpu.ops.attention import (
@@ -248,16 +311,15 @@ def forward(
                 decode_attention_shared, decode_attention_shared_grouped,
             )
 
-            k_sh = jax.lax.dynamic_index_in_dim(shared_kv["k"], li, 0, keepdims=False)
-            v_sh = jax.lax.dynamic_index_in_dim(shared_kv["v"], li, 0, keepdims=False)
+            k_sh = _read_shared(li, "k", "ks")
+            v_sh = _read_shared(li, "v", "vs")
             grouped = k_sh.ndim == 4  # [G, P, K, Dh]: one prefix per row-group
             k_sh2 = v_sh2 = None
             if "k2" in shared_kv:  # second (text-branch) segment table
-                k_sh2 = jax.lax.dynamic_index_in_dim(shared_kv["k2"], li, 0, keepdims=False)
-                v_sh2 = jax.lax.dynamic_index_in_dim(shared_kv["v2"], li, 0, keepdims=False)
+                k_sh2 = _read_shared(li, "k2", "k2s")
+                v_sh2 = _read_shared(li, "v2", "v2s")
             if is_decode:
-                k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
-                v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+                k_slice, v_slice = _read_kv(c, li)
                 if grouped:
                     attn = decode_attention_shared_grouped(
                         q, k_slice, v_slice, cache_offset, k_sh, v_sh,
@@ -276,8 +338,7 @@ def forward(
             else:
                 attn = chunk_attention_shared(q, k, v, k_sh, v_sh, shared_len)
         elif is_decode:
-            k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
-            v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+            k_slice, v_slice = _read_kv(c, li)
             attn = decode_attention(q, k_slice, v_slice, cache_offset)
         else:
             attn = causal_attention(q, k, v, impl=attn_impl)
@@ -296,25 +357,25 @@ def forward(
         else:
             act = silu(_lin(h, lp, "gate", li)) * _lin(h, lp, "up", li)
         x = x + _lin(act, lp, "down", li)
-        return x, k_full, v_full
+        return x, c
 
     if cache is not None:
         # The cache rides the scan CARRY (not xs/ys) so XLA updates it in
         # place inside the loop — scan ys would allocate a fresh cache-sized
         # buffer every call, which both doubles HBM traffic and OOMs 7B+cache
-        # on a 16GB chip.
+        # on a 16GB chip. The carry holds the whole cache dict (k/v, plus
+        # ks/vs scale planes for int8 caches).
         def scan_body(carry, lp):
-            x, kf, vf, li = carry
-            x, kf, vf = layer_fn(x, lp, kf, vf, li)
-            return (x, kf, vf, li + 1), None
+            x, c, li = carry
+            x, c = layer_fn(x, lp, c, li)
+            return (x, c, li + 1), None
 
-        init = (embeds, cache["k"], cache["v"], jnp.asarray(0, jnp.int32))
-        (x, kf, vf, _), _ = jax.lax.scan(scan_body, init, scan_layers)
-        new_cache = {"k": kf, "v": vf}
+        init = (embeds, dict(cache), jnp.asarray(0, jnp.int32))
+        (x, new_cache, _), _ = jax.lax.scan(scan_body, init, scan_layers)
     else:
         def scan_body(carry, lp):
             x, li = carry
-            x, _, _ = layer_fn(x, lp, None, None, li)
+            x, _ = layer_fn(x, lp, None, li)
             return (x, li + 1), None
 
         (x, _), _ = jax.lax.scan(

@@ -91,8 +91,19 @@ def init(rng: jax.Array, cfg: QwenConfig) -> Params:
     }
 
 
-def init_cache(cfg: QwenConfig, batch: int, max_len: int) -> Dict[str, jax.Array]:
+def init_cache(
+    cfg: QwenConfig, batch: int, max_len: int, kv_quant: bool = False
+) -> Dict[str, jax.Array]:
     shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    if kv_quant:
+        # int8 values + per-(layer,row,pos,head) f32 absmax scales — the
+        # biggest lever for Qwen's MHA cache (32 kv heads read 4x llava's
+        # GQA bytes per token; models/llama.init_cache kv_quant design)
+        sshape = shape[:-1] + (1,)
+        return {
+            "k": jnp.zeros(shape, jnp.int8), "ks": jnp.zeros(sshape, jnp.float32),
+            "v": jnp.zeros(shape, jnp.int8), "vs": jnp.zeros(sshape, jnp.float32),
+        }
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
 
 
@@ -184,8 +195,58 @@ def forward(
         )
 
     fused_w12 = "w12" in all_layers
+    kv_quant = cache is not None and "ks" in cache
 
-    def layer_fn(x, lp, k_full, v_full, li):
+    def _write_kv(c, k, v, li):
+        """models/llama.forward _write_kv: int8 caches store quantized
+        values + per-token/head scales (ops/quant.kv_quantize_block)."""
+        off = cache_offset
+        if kv_quant:
+            from llava_align_tpu.ops.quant import kv_quantize_block
+
+            kq, ks = kv_quantize_block(k)
+            vq, vs = kv_quantize_block(v)
+            return dict(
+                c,
+                k=_write_cache_full(c["k"], kq, li, off, is_decode, cache_row_offset),
+                ks=_write_cache_full(c["ks"], ks, li, off, is_decode, cache_row_offset),
+                v=_write_cache_full(c["v"], vq, li, off, is_decode, cache_row_offset),
+                vs=_write_cache_full(c["vs"], vs, li, off, is_decode, cache_row_offset),
+            )
+        return dict(
+            c,
+            k=_write_cache_full(c["k"], k, li, off, is_decode, cache_row_offset),
+            v=_write_cache_full(c["v"], v, li, off, is_decode, cache_row_offset),
+        )
+
+    def _read_kv(c, li):
+        k_slice = jax.lax.dynamic_index_in_dim(c["k"], li, 0, keepdims=False)
+        v_slice = jax.lax.dynamic_index_in_dim(c["v"], li, 0, keepdims=False)
+        if kv_quant:
+            from llava_align_tpu.ops.quant import kv_dequantize
+
+            k_slice = kv_dequantize(
+                k_slice, jax.lax.dynamic_index_in_dim(c["ks"], li, 0, keepdims=False),
+                cfg.dtype,
+            )
+            v_slice = kv_dequantize(
+                v_slice, jax.lax.dynamic_index_in_dim(c["vs"], li, 0, keepdims=False),
+                cfg.dtype,
+            )
+        return k_slice, v_slice
+
+    def _read_shared(li, kk, ss):
+        from llava_align_tpu.ops.quant import kv_dequantize
+
+        k_sh = jax.lax.dynamic_index_in_dim(shared_kv[kk], li, 0, keepdims=False)
+        if ss in shared_kv:
+            k_sh = kv_dequantize(
+                k_sh, jax.lax.dynamic_index_in_dim(shared_kv[ss], li, 0, keepdims=False),
+                cfg.dtype,
+            )
+        return k_sh
+
+    def layer_fn(x, lp, c, li):
         h = rms_norm(x, lp["ln_1"], cfg.layer_norm_eps)
         qkv = _lin(h, lp, "c_attn_w", li) + lp["c_attn_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -196,8 +257,7 @@ def forward(
             q = (q.astype(jnp.float32) * logn).astype(q.dtype)
 
         if cache is not None:
-            k_full = _write_cache_full(k_full, k, li, cache_offset, is_decode, cache_row_offset)
-            v_full = _write_cache_full(v_full, v, li, cache_offset, is_decode, cache_row_offset)
+            c = _write_kv(c, k, v, li)
 
         if shared_kv is not None:
             from llava_align_tpu.ops.attention import (
@@ -205,16 +265,15 @@ def forward(
                 decode_attention_shared, decode_attention_shared_grouped,
             )
 
-            k_sh = jax.lax.dynamic_index_in_dim(shared_kv["k"], li, 0, keepdims=False)
-            v_sh = jax.lax.dynamic_index_in_dim(shared_kv["v"], li, 0, keepdims=False)
+            k_sh = _read_shared(li, "k", "ks")
+            v_sh = _read_shared(li, "v", "vs")
             grouped = k_sh.ndim == 4  # [G, P, K, Dh]: one prefix per row-group
             k_sh2 = v_sh2 = None
             if "k2" in shared_kv:  # second (text-branch) segment table
-                k_sh2 = jax.lax.dynamic_index_in_dim(shared_kv["k2"], li, 0, keepdims=False)
-                v_sh2 = jax.lax.dynamic_index_in_dim(shared_kv["v2"], li, 0, keepdims=False)
+                k_sh2 = _read_shared(li, "k2", "k2s")
+                v_sh2 = _read_shared(li, "v2", "v2s")
             if is_decode:
-                k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
-                v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+                k_slice, v_slice = _read_kv(c, li)
                 if grouped:
                     attn = decode_attention_shared_grouped(
                         q, k_slice, v_slice, cache_offset, k_sh, v_sh,
@@ -233,8 +292,7 @@ def forward(
             else:
                 attn = chunk_attention_shared(q, k, v, k_sh, v_sh, shared_len)
         elif is_decode:
-            k_slice = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
-            v_slice = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+            k_slice, v_slice = _read_kv(c, li)
             attn = decode_attention(q, k_slice, v_slice, cache_offset)
         else:
             attn = causal_attention(q, k, v, impl=attn_impl)
@@ -248,21 +306,20 @@ def forward(
         else:
             act = _lin(h, lp, "w1", li) * silu(_lin(h, lp, "w2", li))
         x = x + _lin(act, lp, "mlp_proj", li)
-        return x, k_full, v_full
+        return x, c
 
     if cache is not None:
         def scan_body(carry, lp):
-            x, kf, vf, li = carry
-            x, kf, vf = layer_fn(x, lp, kf, vf, li)
-            return (x, kf, vf, li + 1), None
+            x, c, li = carry
+            x, c = layer_fn(x, lp, c, li)
+            return (x, c, li + 1), None
 
-        init_c = (embeds, cache["k"], cache["v"], jnp.asarray(0, jnp.int32))
-        (x, kf, vf, _), _ = jax.lax.scan(scan_body, init_c, scan_layers)
-        new_cache = {"k": kf, "v": vf}
+        init_c = (embeds, dict(cache), jnp.asarray(0, jnp.int32))
+        (x, new_cache, _), _ = jax.lax.scan(scan_body, init_c, scan_layers)
     else:
         def scan_body(carry, lp):
             x, li = carry
-            x, _, _ = layer_fn(x, lp, None, None, li)
+            x, _ = layer_fn(x, lp, None, li)
             return (x, li + 1), None
 
         (x, _), _ = jax.lax.scan(

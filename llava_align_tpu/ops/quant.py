@@ -983,3 +983,35 @@ def int8_matmul_stacked_tp(
         scale = jax.lax.dynamic_index_in_dim(s, li, 0, keepdims=False)
         out = f(h2, q, li) * scale[None, :].astype(h2.dtype)
     return out.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache int8 quantization (per-token, per-head absmax scales)
+# ---------------------------------------------------------------------------
+# The decode step's non-weight HBM traffic is dominated by KV-cache reads
+# (BENCH_r04 decode_weight_gbps_frac_of_ceiling=0.842 with ~3 ms residual);
+# storing K/V as int8 with one f32 scale per (row, position, head) halves
+# those bytes at a ~1/256 relative quantization error. The reference has no
+# cache optimization at all (each branch keeps an fp16 HF cache,
+# vcd_sample.py:269-277); this extends the load_8bit serving intent of
+# llava/model/builder.py:29-38 to the cache.
+
+
+def kv_quantize_block(x: jax.Array):
+    """[..., Dh] float → (int8 [..., Dh], f32 scale [..., 1]) with per-vector
+    absmax scaling. Exact zeros stay exact; a zero vector quantizes to zeros
+    with scale 0 (dequant reproduces zeros — padded cache slots stay inert)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * inv), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def kv_dequantize(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    """(int8 [..., Dh], f32 [..., 1]) → [..., Dh] in `dtype`. Written as a
+    single elementwise multiply so XLA fuses it into the consuming attention
+    dot's operand read — the HBM traffic stays int8 + scales."""
+    return (q.astype(jnp.float32) * scale).astype(dtype)
