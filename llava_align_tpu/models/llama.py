@@ -258,31 +258,25 @@ def forward(
         )
 
     def _read_kv(c, li):
-        """Slice layer li from the cache dict, dequantizing int8 caches (the
-        multiply fuses into the attention dot — reads stay int8 in HBM)."""
+        """Slice layer li from the cache dict. int8 caches come back as
+        (values, scales) tuples — the attention ops fold the scales into the
+        logits/probs instead of dequantizing the cache operand
+        (ops/attention._kv_parts; scripts/probe_kvq_fusion.py)."""
         k_slice = jax.lax.dynamic_index_in_dim(c["k"], li, 0, keepdims=False)
         v_slice = jax.lax.dynamic_index_in_dim(c["v"], li, 0, keepdims=False)
         if kv_quant:
-            from llava_align_tpu.ops.quant import kv_dequantize
-
-            k_slice = kv_dequantize(
-                k_slice, jax.lax.dynamic_index_in_dim(c["ks"], li, 0, keepdims=False),
-                cfg.dtype,
-            )
-            v_slice = kv_dequantize(
-                v_slice, jax.lax.dynamic_index_in_dim(c["vs"], li, 0, keepdims=False),
-                cfg.dtype,
+            return (
+                (k_slice, jax.lax.dynamic_index_in_dim(c["ks"], li, 0, keepdims=False)),
+                (v_slice, jax.lax.dynamic_index_in_dim(c["vs"], li, 0, keepdims=False)),
             )
         return k_slice, v_slice
 
     def _read_shared(li, kk, ss):
-        from llava_align_tpu.ops.quant import kv_dequantize
-
         k_sh = jax.lax.dynamic_index_in_dim(shared_kv[kk], li, 0, keepdims=False)
         if ss in shared_kv:
-            k_sh = kv_dequantize(
-                k_sh, jax.lax.dynamic_index_in_dim(shared_kv[ss], li, 0, keepdims=False),
-                cfg.dtype,
+            return (
+                k_sh,
+                jax.lax.dynamic_index_in_dim(shared_kv[ss], li, 0, keepdims=False),
             )
         return k_sh
 
@@ -313,7 +307,10 @@ def forward(
 
             k_sh = _read_shared(li, "k", "ks")
             v_sh = _read_shared(li, "v", "vs")
-            grouped = k_sh.ndim == 4  # [G, P, K, Dh]: one prefix per row-group
+            # [G, P, K, Dh]: one prefix per row-group (quantized segments are
+            # (values, scales) tuples — rank from the value array)
+            k_sh_vals = k_sh[0] if isinstance(k_sh, tuple) else k_sh
+            grouped = k_sh_vals.ndim == 4
             k_sh2 = v_sh2 = None
             if "k2" in shared_kv:  # second (text-branch) segment table
                 k_sh2 = _read_shared(li, "k2", "k2s")

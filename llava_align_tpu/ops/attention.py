@@ -76,16 +76,35 @@ def mha_xla(
     return out.reshape(B, Sq, H, Dh).astype(q.dtype)
 
 
+def _kv_parts(x):
+    """Cache/segment operands are either a plain array or an int8-quantized
+    (values, scales) tuple (ops/quant.kv_quantize_block layout: scales carry
+    a trailing singleton over Dh). Quantized operands are consumed by
+    SCALE-FOLDED einsums — the per-(pos,head) scale multiplies the small
+    [.., S] logits/probs tensors, never the [.., S, K, Dh]-sized operand, so
+    no dequantized cache copy is ever materialized (scripts/
+    probe_kvq_fusion.py: dequantize-then-dot measured 1.16x the bf16 cost;
+    folding measured 0.93x)."""
+    if isinstance(x, tuple):
+        return x
+    return x, None
+
+
+def _fold_rows(scales):
+    """[B, S, K, 1] scale plane → [B, K, 1, S] logits/probs multiplier."""
+    return scales[..., 0].transpose(0, 2, 1)[:, :, None, :]
+
+
 def decode_attention(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    k_cache,
+    v_cache,
     lengths: jax.Array,
 ) -> jax.Array:
     """Single-step decode attention over a KV cache.
 
     q        [B, 1, H, Dh]   (query token already written to cache at lengths[b])
-    k/v      [B, Smax, K, Dh]
+    k/v      [B, Smax, K, Dh] (or int8 (values, scales) tuples — _kv_parts)
     lengths  [B] int32 — index of the current token; keys j <= lengths[b] attend.
 
     Per-branch lengths make the packed VDD branch axis honest: the 'none'
@@ -93,6 +112,8 @@ def decode_attention(
     vcd_sample.py:156-160) — masking here reproduces physical removal exactly
     because the padded slots were never written with attended content.
     """
+    k_cache, k_s = _kv_parts(k_cache)
+    v_cache, v_s = _kv_parts(v_cache)
     B, _, H, Dh = q.shape
     Smax, K = k_cache.shape[1], k_cache.shape[2]
     group = H // K
@@ -100,21 +121,37 @@ def decode_attention(
 
     # bf16 cache reads with fp32 MXU accumulation — never upcast the cache
     # (an fp32 copy of a GB-scale cache per step would dominate HBM traffic).
-    qr = q.astype(k_cache.dtype).reshape(B, K, group, Dh)
-    logits = jnp.einsum(
-        "bkgd,bskd->bkgs", qr, k_cache,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale  # [B, K, group, Smax] fp32
+    if k_s is None:
+        qr = q.astype(k_cache.dtype).reshape(B, K, group, Dh)
+        logits = jnp.einsum(
+            "bkgd,bskd->bkgs", qr, k_cache,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale  # [B, K, group, Smax] fp32
+    else:
+        qr = q.astype(jnp.float32).reshape(B, K, group, Dh)
+        logits = jnp.einsum(
+            "bkgd,bskd->bkgs", qr, k_cache.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * (scale * _fold_rows(k_s))
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, Smax), 3)
     mask = pos <= lengths[:, None, None, None]
     logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum(
-        "bkgs,bskd->bkgd", probs.astype(v_cache.dtype), v_cache,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if v_s is None:
+        out = jnp.einsum(
+            "bkgs,bskd->bkgd", probs.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        out = jnp.einsum(
+            "bkgs,bskd->bkgd", probs * _fold_rows(v_s),
+            v_cache.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return out.reshape(B, 1, H, Dh).astype(q.dtype)
 
 
@@ -136,38 +173,73 @@ def decode_attention(
 # ---------------------------------------------------------------------------
 
 
-def _shared_logits(q4: jax.Array, k_sh: jax.Array, sh_len: jax.Array, scale):
-    """q4 [B,K,g,S,Dh] x k_sh [P,K,Dh] → masked fp32 logits [B,K,g,S,P]."""
+def _fold_seg(scales):
+    """[P, K, 1] segment scale plane → [1, K, 1, (1,) P] multiplier (callers
+    broadcast over the leading B and any S axis)."""
+    return scales[..., 0].transpose(1, 0)[None, :, None, :]
+
+
+def _shared_logits(q4: jax.Array, k_sh, sh_len: jax.Array, scale):
+    """q4 [B,K,g,S,Dh] x k_sh [P,K,Dh] → masked fp32 logits [B,K,g,S,P].
+    k_sh may be an int8 (values, scales) tuple (_kv_parts)."""
+    k_sh, k_s = _kv_parts(k_sh)
     B, K, g, S, Dh = q4.shape
     P = k_sh.shape[0]
-    logits = jnp.einsum(
-        "bkgsd,pkd->bkgsp", q4, k_sh,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
+    if k_s is None:
+        logits = jnp.einsum(
+            "bkgsd,pkd->bkgsp", q4, k_sh.astype(q4.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale
+    else:
+        logits = jnp.einsum(
+            "bkgsd,pkd->bkgsp", q4.astype(jnp.float32),
+            k_sh.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * (scale * _fold_seg(k_s)[:, :, None])
     col = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, 1, P), 4)
     return jnp.where(col < sh_len[:, None, None, None, None], logits, NEG_INF)
+
+
+def _seg_value_einsum(subs, probs, v_sh, compute_dtype, fold_shape=None):
+    """probs x segment values, folding int8 segment scales into probs."""
+    v_sh, v_s = _kv_parts(v_sh)
+    if v_s is None:
+        return jnp.einsum(
+            subs, probs.astype(compute_dtype), v_sh.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    fold = _fold_seg(v_s)
+    if fold_shape is not None:
+        fold = fold.reshape(fold_shape)
+    return jnp.einsum(
+        subs, probs * fold, v_sh.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def chunk_attention_shared(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    k_sh: jax.Array,
-    v_sh: jax.Array,
+    k_sh,
+    v_sh,
     sh_len: jax.Array,
 ) -> jax.Array:
     """Suffix prefill: causal within the local block [B,S] + full attention to
     the shared prefix. The local block is the FIRST local cache content
     (local offset 0); absolute positions are sh_len[b] + i (caller applies
-    RoPE before this)."""
+    RoPE before this). k_sh/v_sh may be int8 (values, scales) tuples."""
     B, S, H, Dh = q.shape
     K = k.shape[2]
     group = H // K
     scale = 1.0 / (Dh**0.5)
 
     qr = q.astype(k.dtype).reshape(B, S, K, group, Dh).transpose(0, 2, 3, 1, 4)
-    sh = _shared_logits(qr, k_sh.astype(k.dtype), sh_len, scale)  # [B,K,g,S,P]
+    sh = _shared_logits(qr, k_sh, sh_len, scale)  # [B,K,g,S,P]
     loc = jnp.einsum(
         "bkgsd,btkd->bkgst", qr, k,
         preferred_element_type=jnp.float32,
@@ -179,11 +251,10 @@ def chunk_attention_shared(
 
     logits = jnp.concatenate([sh, loc], axis=-1)  # prefix keys first
     probs = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
-    P = k_sh.shape[0]
-    out = jnp.einsum(
-        "bkgsp,pkd->bkgsd", probs[..., :P].astype(v.dtype), v_sh,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    P = _kv_parts(k_sh)[0].shape[0]
+    out = _seg_value_einsum(
+        "bkgsp,pkd->bkgsd", probs[..., :P], v_sh, v.dtype,
+        fold_shape=(1, K, 1, 1, P),
     ) + jnp.einsum(
         "bkgst,btkd->bkgsd", probs[..., P:].astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -194,42 +265,63 @@ def chunk_attention_shared(
 
 def decode_attention_shared(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    k_cache,
+    v_cache,
     lengths: jax.Array,
-    k_sh: jax.Array,
-    v_sh: jax.Array,
+    k_sh,
+    v_sh,
     sh_len: jax.Array,
 ) -> jax.Array:
     """decode_attention over [shared prefix | local cache]. lengths indexes
-    the LOCAL cache (current token already written at lengths[b])."""
+    the LOCAL cache (current token already written at lengths[b]). The cache
+    and segment operands may be int8 (values, scales) tuples."""
+    k_cache, k_s = _kv_parts(k_cache)
+    v_cache, v_s = _kv_parts(v_cache)
     B, _, H, Dh = q.shape
     Smax, K = k_cache.shape[1], k_cache.shape[2]
     group = H // K
     scale = 1.0 / (Dh**0.5)
 
-    qr = q.astype(k_cache.dtype).reshape(B, K, group, 1, Dh)
-    sh = _shared_logits(qr, k_sh.astype(k_cache.dtype), sh_len, scale)[:, :, :, 0]
-    loc = jnp.einsum(
-        "bkgd,bskd->bkgs", qr[:, :, :, 0], k_cache,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
+    qdt = jnp.float32 if k_s is not None else k_cache.dtype
+    qr = q.astype(qdt).reshape(B, K, group, 1, Dh)
+    sh = _shared_logits(qr, k_sh, sh_len, scale)[:, :, :, 0]
+    if k_s is None:
+        loc = jnp.einsum(
+            "bkgd,bskd->bkgs", qr[:, :, :, 0], k_cache,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale
+    else:
+        loc = jnp.einsum(
+            "bkgd,bskd->bkgs", qr[:, :, :, 0].astype(jnp.float32),
+            k_cache.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * (scale * _fold_rows(k_s))
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, Smax), 3)
     loc = jnp.where(pos <= lengths[:, None, None, None], loc, NEG_INF)
 
     logits = jnp.concatenate([sh, loc], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
-    P = k_sh.shape[0]
-    out = jnp.einsum(
-        "bkgp,pkd->bkgd", probs[..., :P].astype(v_cache.dtype), v_sh,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) + jnp.einsum(
-        "bkgs,bskd->bkgd", probs[..., P:].astype(v_cache.dtype), v_cache,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    P = _kv_parts(k_sh)[0].shape[0]
+    vdt = jnp.float32 if v_s is not None else v_cache.dtype
+    out = _seg_value_einsum(
+        "bkgp,pkd->bkgd", probs[..., :P], v_sh, vdt,
+        fold_shape=(1, K, 1, P),
     )
+    if v_s is None:
+        out = out + jnp.einsum(
+            "bkgs,bskd->bkgd", probs[..., P:].astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        out = out + jnp.einsum(
+            "bkgs,bskd->bkgd", probs[..., P:] * _fold_rows(v_s),
+            v_cache.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return out.reshape(B, 1, H, Dh).astype(q.dtype)
 
 
@@ -248,27 +340,42 @@ def decode_attention_shared(
 # ---------------------------------------------------------------------------
 
 
+def _fold_gseg(scales):
+    """[G, P, K, 1] grouped segment scale plane → [G, 1, K, 1, P]."""
+    return scales[..., 0].transpose(0, 2, 1)[:, None, :, None, :]
+
+
 def _chunk_span_shared(
     qr: jax.Array,  # [Bs, K, g, S, Dh] rows of this span
     k: jax.Array,   # [Bs, S, K, Dh] local keys
     v: jax.Array,
-    k_sh: jax.Array,  # [G, P, K, Dh]
-    v_sh: jax.Array,
+    k_sh,           # [G, P, K, Dh] (or int8 (values, scales) tuple)
+    v_sh,
     sh_len: jax.Array,  # [Bs]
     R: int,
     scale: float,
 ) -> jax.Array:
     """One-table grouped chunk attention over a contiguous row span.
     Returns [Bs, K, g, S, Dh] fp32."""
+    k_sh, k_s = _kv_parts(k_sh)
+    v_sh, v_s = _kv_parts(v_sh)
     Bs, K, g, S, Dh = qr.shape
     G = k_sh.shape[0]
     P = k_sh.shape[1]
     qg = qr.reshape(G, R, K, g, S, Dh)
-    sh = jnp.einsum(
-        "Grkgsd,Gpkd->Grkgsp", qg, k_sh,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
+    if k_s is None:
+        sh = jnp.einsum(
+            "Grkgsd,Gpkd->Grkgsp", qg, k_sh.astype(qr.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale
+    else:
+        sh = jnp.einsum(
+            "Grkgsd,Gpkd->Grkgsp", qg.astype(jnp.float32),
+            k_sh.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * (scale * _fold_gseg(k_s)[:, :, :, :, None])
     col = jax.lax.broadcasted_iota(jnp.int32, (G, R, 1, 1, 1, P), 5)
     sh = jnp.where(
         col < sh_len.reshape(G, R, 1, 1, 1, 1), sh, NEG_INF
@@ -285,12 +392,20 @@ def _chunk_span_shared(
 
     logits = jnp.concatenate([sh, loc], axis=-1)
     probs = jnp.nan_to_num(jax.nn.softmax(logits, axis=-1))
-    out_sh = jnp.einsum(
-        "Grkgsp,Gpkd->Grkgsd",
-        probs[..., :P].reshape(G, R, K, g, S, P).astype(v.dtype), v_sh,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(Bs, K, g, S, Dh)
+    p_sh = probs[..., :P].reshape(G, R, K, g, S, P)
+    if v_s is None:
+        out_sh = jnp.einsum(
+            "Grkgsp,Gpkd->Grkgsd", p_sh.astype(v.dtype), v_sh.astype(v.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(Bs, K, g, S, Dh)
+    else:
+        out_sh = jnp.einsum(
+            "Grkgsp,Gpkd->Grkgsd", p_sh * _fold_gseg(v_s)[:, :, :, :, None],
+            v_sh.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(Bs, K, g, S, Dh)
     return out_sh + jnp.einsum(
         "bkgst,btkd->bkgsd", probs[..., P:].astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -302,122 +417,177 @@ def chunk_attention_shared_grouped(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    k_sh: jax.Array,
-    v_sh: jax.Array,
+    k_sh,
+    v_sh,
     sh_len: jax.Array,
     rows_per_prefix: int,
-    k_sh2: jax.Array | None = None,
-    v_sh2: jax.Array | None = None,
+    k_sh2=None,
+    v_sh2=None,
     rows_per_prefix2: int = 0,
 ) -> jax.Array:
     """Suffix prefill with one shared prefix per static row-group. Rows are
     [table-1 span | table-2 span (optional)]; each span's rows block by its
-    own rows_per_prefix."""
+    own rows_per_prefix. Segment tables may be int8 (values, scales) tuples."""
     B, S, H, Dh = q.shape
     K = k.shape[2]
     group = H // K
     scale = 1.0 / (Dh**0.5)
-    M1 = k_sh.shape[0] * rows_per_prefix
+    M1 = _kv_parts(k_sh)[0].shape[0] * rows_per_prefix
 
     qr = q.astype(k.dtype).reshape(B, S, K, group, Dh).transpose(0, 2, 3, 1, 4)
     out1 = _chunk_span_shared(
-        qr[:M1], k[:M1], v[:M1], k_sh.astype(k.dtype), v_sh,
+        qr[:M1], k[:M1], v[:M1], k_sh, v_sh,
         sh_len[:M1], rows_per_prefix, scale,
     )
     if k_sh2 is None:
         out = out1
     else:
         out2 = _chunk_span_shared(
-            qr[M1:], k[M1:], v[M1:], k_sh2.astype(k.dtype), v_sh2,
+            qr[M1:], k[M1:], v[M1:], k_sh2, v_sh2,
             sh_len[M1:], rows_per_prefix2, scale,
         )
         out = jnp.concatenate([out1, out2], axis=0)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S, H, Dh).astype(q.dtype)
 
 
+def _slice_kv(x, sl):
+    """Row-slice a cache operand that may be a (values, scales) tuple."""
+    vals, scales = _kv_parts(x)
+    if scales is None:
+        return vals[sl]
+    return (vals[sl], scales[sl])
+
+
 def _decode_span_shared(
     qr: jax.Array,  # [Ms, K, g, Dh]
-    k_cache: jax.Array,  # [Ms, Smax, K, Dh]
-    v_cache: jax.Array,
+    k_cache,        # [Ms, Smax, K, Dh] (or int8 (values, scales) tuple)
+    v_cache,
     lengths: jax.Array,  # [Ms]
-    k_sh: jax.Array,  # [G, P, K, Dh]
-    v_sh: jax.Array,
+    k_sh,           # [G, P, K, Dh] (or tuple)
+    v_sh,
     sh_len: jax.Array,  # [Ms]
     R: int,
     scale: float,
 ) -> jax.Array:
     """One-table grouped decode attention over a row span → [Ms, K, g, Dh]."""
+    k_cache, k_s = _kv_parts(k_cache)
+    v_cache, v_s = _kv_parts(v_cache)
+    k_sh, ksh_s = _kv_parts(k_sh)
+    v_sh, vsh_s = _kv_parts(v_sh)
     Ms, K, g, Dh = qr.shape
     G = k_sh.shape[0]
     P = k_sh.shape[1]
     Smax = k_cache.shape[1]
     qg = qr.reshape(G, R, K, g, Dh)
-    sh = jnp.einsum(
-        "Grkgd,Gpkd->Grkgp", qg, k_sh,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
+    if ksh_s is None:
+        sh = jnp.einsum(
+            "Grkgd,Gpkd->Grkgp", qg, k_sh.astype(qr.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale
+    else:
+        sh = jnp.einsum(
+            "Grkgd,Gpkd->Grkgp", qg.astype(jnp.float32),
+            k_sh.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * (scale * _fold_gseg(ksh_s))
     col = jax.lax.broadcasted_iota(jnp.int32, (G, R, 1, 1, P), 4)
     sh = jnp.where(
         col < sh_len.reshape(G, R, 1, 1, 1), sh, NEG_INF
     ).reshape(Ms, K, g, P)
-    loc = jnp.einsum(
-        "bkgd,bskd->bkgs", qr, k_cache,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
+    if k_s is None:
+        loc = jnp.einsum(
+            "bkgd,bskd->bkgs", qr, k_cache,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale
+    else:
+        loc = jnp.einsum(
+            "bkgd,bskd->bkgs", qr.astype(jnp.float32),
+            k_cache.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * (scale * _fold_rows(k_s))
     pos = jax.lax.broadcasted_iota(jnp.int32, (Ms, 1, 1, Smax), 3)
     loc = jnp.where(pos <= lengths[:, None, None, None], loc, NEG_INF)
     logits = jnp.concatenate([sh, loc], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum(
-        "Grkgp,Gpkd->Grkgd",
-        probs[..., :P].reshape(G, R, K, g, P).astype(v_cache.dtype), v_sh,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(Ms, K, g, Dh) + jnp.einsum(
-        "bkgs,bskd->bkgd", probs[..., P:].astype(v_cache.dtype), v_cache,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    p_sh = probs[..., :P].reshape(G, R, K, g, P)
+    vdt = v_cache.dtype if v_s is None else jnp.float32
+    if vsh_s is None:
+        out_sh = jnp.einsum(
+            "Grkgp,Gpkd->Grkgd", p_sh.astype(vdt), v_sh.astype(vdt),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(Ms, K, g, Dh)
+    else:
+        out_sh = jnp.einsum(
+            "Grkgp,Gpkd->Grkgd", p_sh * _fold_gseg(vsh_s),
+            v_sh.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(Ms, K, g, Dh)
+    if v_s is None:
+        out_loc = jnp.einsum(
+            "bkgs,bskd->bkgd", probs[..., P:].astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        out_loc = jnp.einsum(
+            "bkgs,bskd->bkgd", probs[..., P:] * _fold_rows(v_s),
+            v_cache.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return out_sh + out_loc
 
 
 def decode_attention_shared_grouped(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    k_cache,
+    v_cache,
     lengths: jax.Array,
-    k_sh: jax.Array,
-    v_sh: jax.Array,
+    k_sh,
+    v_sh,
     sh_len: jax.Array,
     rows_per_prefix: int,
-    k_sh2: jax.Array | None = None,
-    v_sh2: jax.Array | None = None,
+    k_sh2=None,
+    v_sh2=None,
     rows_per_prefix2: int = 0,
 ) -> jax.Array:
     """Decode over [group's shared prefix | local cache]. Row layout:
     [table-1 span | table-2 span (optional) | plain rows]; plain rows (text
-    branches with no shared segment) attend their local cache only."""
+    branches with no shared segment) attend their local cache only. All
+    cache/segment operands may be int8 (values, scales) tuples."""
     B = q.shape[0]
-    M1 = k_sh.shape[0] * rows_per_prefix
-    M2 = (k_sh2.shape[0] * rows_per_prefix2) if k_sh2 is not None else 0
+    k_vals, k_s = _kv_parts(k_cache)
+    M1 = _kv_parts(k_sh)[0].shape[0] * rows_per_prefix
+    M2 = (
+        _kv_parts(k_sh2)[0].shape[0] * rows_per_prefix2
+        if k_sh2 is not None else 0
+    )
     M = M1 + M2
     _, _, H, Dh = q.shape
-    K = k_cache.shape[2]
+    K = k_vals.shape[2]
     group = H // K
     scale = 1.0 / (Dh**0.5)
 
-    qr = q[:M].astype(k_cache.dtype).reshape(M, K, group, Dh)
+    qdt = jnp.float32 if k_s is not None else k_vals.dtype
+    qr = q[:M].astype(qdt).reshape(M, K, group, Dh)
     out1 = _decode_span_shared(
-        qr[:M1], k_cache[:M1], v_cache[:M1], lengths[:M1],
-        k_sh.astype(k_cache.dtype), v_sh, sh_len[:M1], rows_per_prefix, scale,
+        qr[:M1], _slice_kv(k_cache, slice(None, M1)),
+        _slice_kv(v_cache, slice(None, M1)), lengths[:M1],
+        k_sh, v_sh, sh_len[:M1], rows_per_prefix, scale,
     )
     outs = [out1]
     if M2:
         outs.append(
             _decode_span_shared(
-                qr[M1:M], k_cache[M1:M], v_cache[M1:M], lengths[M1:M],
-                k_sh2.astype(k_cache.dtype), v_sh2, sh_len[M1:M],
+                qr[M1:M], _slice_kv(k_cache, slice(M1, M)),
+                _slice_kv(v_cache, slice(M1, M)), lengths[M1:M],
+                k_sh2, v_sh2, sh_len[M1:M],
                 rows_per_prefix2, scale,
             )
         )
@@ -426,7 +596,10 @@ def decode_attention_shared_grouped(
     ).reshape(M, 1, H, Dh).astype(q.dtype)
     if M == B:
         return out_m
-    out_r = decode_attention(q[M:], k_cache[M:], v_cache[M:], lengths[M:])
+    out_r = decode_attention(
+        q[M:], _slice_kv(k_cache, slice(M, None)),
+        _slice_kv(v_cache, slice(M, None)), lengths[M:],
+    )
     return jnp.concatenate([out_m, out_r], axis=0)
 
 

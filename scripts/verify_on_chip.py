@@ -230,6 +230,29 @@ def main():
                   f"{agree}/{len(single)} (near-tie noise expected at "
                   f"random 7B weights; not a gate)")
 
+        # int8 KV cache on hardware: first-step scores must match the bf16
+        # cache within quantization tolerance (the prefill hidden state is
+        # never quantized; the branches' cache reads are), and the grouped
+        # path (quantized shared segments) must execute.
+        keng = DecodeEngine(params, cfg, gen, attn_impl="auto", kv_quant="int8")
+        ksingle = [keng.generate(prefix + s, image) for s in sufs]
+        dmax_kv = max(
+            float(np.max(np.abs(
+                np.asarray(k.first_scores_top_probs)
+                - np.asarray(s.first_scores_top_probs)
+            ))) for k, s in zip(ksingle, single)
+        )
+        first_agree = sum(
+            k.token_ids[:1] == s.token_ids[:1]
+            for k, s in zip(ksingle, single)
+        )
+        check("kv_quant_first_step_probs", dmax_kv < 2e-2,
+              f"dprob={dmax_kv:.5f} first_agree={first_agree}/{len(single)}")
+        kgrouped = keng.generate_batch_groups([(prefix, sufs, image)])
+        check("kv_quant_grouped_runs",
+              all(len(g.token_ids) == 6 for g in kgrouped),
+              f"lens={[len(g.token_ids) for g in kgrouped]}")
+
     print(f"\n{len(FAILED)} failure(s)" if FAILED else "\nall checks passed")
     sys.exit(1 if FAILED else 0)
 

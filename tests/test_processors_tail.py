@@ -234,7 +234,14 @@ def ref_gpt():
         def get(name, default=None):
             return default
 
-    stub_module("lavis.common.registry", registry=_Reg())
+    mod = stub_module("lavis.common.registry", registry=_Reg())
+    # additive extension: an earlier test file may have registered its own
+    # registry object (stub_module only fills MISSING attributes) — make
+    # sure whatever object is there carries the members gpt_processors uses
+    reg = mod.registry
+    for attr in ("register_processor", "get"):
+        if not hasattr(reg, attr):
+            setattr(reg, attr, getattr(_Reg, attr))
     stub_module("lavis.processors.base_processor", BaseProcessor=object)
     stub_module("lavis.processors.randaugment", RandomAugment=ra.RandomAugment)
 
