@@ -420,6 +420,26 @@ def main():
                 N * GB * G / (time.perf_counter() - t0)
             )
             gb_kvq = GB
+
+            # headline-config decode slope with the int8 cache (long decodes
+            # are where the cache reads dominate; measured +3% at the 52+576
+            # context, growing with sequence length)
+            def kvq_engine(max_new):
+                return DecodeEngine(
+                    params, cfg,
+                    GenerationConfig(
+                        max_new_tokens=max_new, do_sample=True,
+                        temperature=1.0, use_dd=True, use_dd_unk=True,
+                        cd_alpha=1.0, cd_beta=0.1, eos_token_id=NO_EOS,
+                    ),
+                    attn_impl="auto", mesh=mesh, kv_quant="int8",
+                )
+
+            _, tks = _time_generate(kvq_engine(args.short_new), ids, image, args.iters)
+            _, tkl = _time_generate(kvq_engine(args.long_new), ids, image, args.iters)
+            results["dual_decode_tps_kvq"] = _tps_estimate(
+                tks, tkl, args.long_new - args.short_new
+            )
         except Exception as e:
             sys.stderr.write(f"kvq side bench failed ({type(e).__name__}: {e}); skipping\n")
 
@@ -700,6 +720,10 @@ def main():
             else None
         ),
         "group_batch_kvq": gb_kvq,
+        "dual_decode_tps_kvq": (
+            round(results["dual_decode_tps_kvq"], 3)
+            if results.get("dual_decode_tps_kvq") else None
+        ),
         # W8A8 accuracy bound: greedy dual-VDD answer flip-rate vs exact int8
         # over real POPE questions (RANDOM weights = pessimistic regime: the
         # fused top1-top2 gaps sit near zero; docs/DESIGN.md "W8A8 accuracy").

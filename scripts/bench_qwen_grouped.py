@@ -32,6 +32,7 @@ def build_params(cfg):
 
 def main():
     act_quant = "--act-quant" in sys.argv  # W8A8 prefill (ops/quant note)
+    kv_quant = "int8" if "--kv-quant" in sys.argv else None  # int8 KV cache
     cfg = QwenVLConfig()  # Qwen-VL 7B defaults
     params = build_params(cfg)
     adapter = QwenVLAdapter(cfg)
@@ -43,7 +44,7 @@ def main():
         eos_token_id=10**9,
     )
     eng = DecodeEngine(params, cfg, gen, adapter=adapter, bucket=64,
-                       act_quant=act_quant)
+                       act_quant=act_quant, kv_quant=kv_quant)
 
     span = qwen_vl.make_image_span_ids(cfg)
     rngq = np.random.default_rng(3)
@@ -77,7 +78,7 @@ def main():
             pending = h
         eng.collect_batch_groups(pending)
         dt = (time.perf_counter() - t0) / N
-        label = "w8a8" if act_quant else "int8"
+        label = ("w8a8" if act_quant else "int8") + ("+kvq" if kv_quant else "")
         print(
             f"qwen-7B {label} grouped POPE GB={GB}: {dt*1e3:.1f}ms/call "
             f"-> {GB*Qg/dt:.2f} samples/s (pipelined)",
