@@ -138,23 +138,32 @@ def test_init_distributed_single_process_is_noop():
 
 
 def test_get_chunk_more_ranks_than_chunks(tmp_path):
-    """ceil chunking of 6 items into 4 chunks yields 3 — rank 3 must get an
-    empty shard (not the reference's IndexError, MME/run_llava.py:41) so a
-    --dist auto rank never crashes and hangs the merge barrier; the merge
-    skips its missing part file."""
+    """ceil chunking of 6 items into 4 chunks yields 3 — a --dist auto rank
+    past the end (allow_out_of_range=True) must get an empty shard so it
+    never crashes and hangs the merge barrier, while a USER-typed chunk_idx
+    keeps the reference's IndexError (MME/run_llava.py:41). The merge
+    requires every rank's part file (AnswerFile creates them eagerly, even
+    for empty shards) and raises on a genuinely missing one."""
+    import pytest
+
     from llava_align_tpu.runners.common import get_chunk, merge_chunk_files
 
     items = list(range(6))
-    shards = [list(get_chunk(items, 4, k)) for k in range(4)]
+    shards = [
+        list(get_chunk(items, 4, k, allow_out_of_range=True)) for k in range(4)
+    ]
     assert shards == [[0, 1], [2, 3], [4, 5], []]
+    with pytest.raises(IndexError):
+        get_chunk(items, 4, 3)  # user-typed out-of-range chunk_idx
 
     answers = str(tmp_path / "a.jsonl")
-    for r, shard in enumerate(shards):
-        if not shard:
-            continue  # empty shard wrote no part
+    for r, shard in enumerate(shards[:-1]):
         with open(str(tmp_path / f"a.rank{r}-of-4.jsonl"), "w") as f:
             for q in shard:
                 f.write(json.dumps({"question_id": q}) + "\n")
+    with pytest.raises(FileNotFoundError):
+        merge_chunk_files(answers, 4)  # rank 3's part genuinely missing
+    open(str(tmp_path / "a.rank3-of-4.jsonl"), "w").close()  # empty shard part
     merged = merge_chunk_files(answers, 4)
     recs = [json.loads(l) for l in open(merged)]
     assert [x["question_id"] for x in recs] == items
