@@ -43,14 +43,12 @@ CFG = QwenVLConfig(text=TEXT_CFG, vision=VIS_CFG, image_start_id=IMG_START)
 
 
 def _stub_torchvision():
-    if "torchvision" in sys.modules:
-        return
-    import importlib.machinery
-
-    tv = types.ModuleType("torchvision")
-    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
-    transforms = types.ModuleType("torchvision.transforms")
-    transforms.__spec__ = importlib.machinery.ModuleSpec("torchvision.transforms", None)
+    # ADDITIVE (stub_utils): another oracle file may have registered a
+    # torchvision stub already — extend it with the attributes Qwen_VL's
+    # visual.py imports instead of early-returning (an early return left
+    # transforms without InterpolationMode when test_processors_tail's
+    # stub, which only puts it in transforms.functional, ran first).
+    from stub_utils import stub_module
 
     class _Noop:
         def __init__(self, *a, **k):
@@ -68,14 +66,17 @@ def _stub_torchvision():
                 x = f(x)
             return x
 
-    transforms.Compose = Compose
-    transforms.Resize = _Noop
-    transforms.ToTensor = _Noop
-    transforms.Normalize = _Noop
-    transforms.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
-    tv.transforms = transforms
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.transforms"] = transforms
+    tv = stub_module("torchvision")
+    transforms = stub_module(
+        "torchvision.transforms",
+        Compose=Compose,
+        Resize=_Noop,
+        ToTensor=_Noop,
+        Normalize=_Noop,
+        InterpolationMode=types.SimpleNamespace(BICUBIC="bicubic"),
+    )
+    if not hasattr(tv, "transforms"):
+        tv.transforms = transforms
 
 
 @pytest.fixture(scope="module")
