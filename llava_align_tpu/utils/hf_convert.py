@@ -514,8 +514,17 @@ def convert_eva_vit(sd: StateDict, cfg, prefix: str = "visual_encoder.") -> Dict
     }
 
 
-def convert_qformer(sd: StateDict, cfg, prefix: str = "Qformer.bert.") -> Dict[str, Any]:
-    """lavis Qformer BertModel state dict → models/qformer params."""
+def convert_qformer(
+    sd: StateDict, cfg, prefix: str = "Qformer.bert.",
+    head_prefix: Optional[str] = None,
+) -> Dict[str, Any]:
+    """lavis Qformer BertModel state dict → models/qformer params.
+
+    head_prefix: where the BertOnlyMLMHead lives when converting a
+    BertLMHeadModel (stage-1 BLIP-2, reference Qformer.py:624-651), e.g.
+    "Qformer.cls." for a LAVIS checkpoint or "cls." for a raw
+    BertLMHeadModel state dict. When given, the returned params carry a
+    "head" subtree consumed by qformer.lm_logits."""
     from llava_align_tpu.models.qformer import has_cross_attention
 
     p = prefix
@@ -552,7 +561,7 @@ def convert_qformer(sd: StateDict, cfg, prefix: str = "Qformer.bert.") -> Dict[s
             lp["cross_attn"] = attn(b + ".crossattention")
         layers.append(lp)
 
-    return {
+    out: Dict[str, Any] = {
         "embeddings": {
             "word": t(_np(sd[p + "embeddings.word_embeddings.weight"])),
             "position": t(_np(sd[p + "embeddings.position_embeddings.weight"])),
@@ -560,6 +569,21 @@ def convert_qformer(sd: StateDict, cfg, prefix: str = "Qformer.bert.") -> Dict[s
         },
         "layers": layers,
     }
+    if head_prefix is not None:
+        h = head_prefix + "predictions."
+        out["head"] = {
+            "transform": {
+                "w": t(_np(sd[h + "transform.dense.weight"])),
+                "b": t(_np(sd[h + "transform.dense.bias"])),
+            },
+            "ln": {
+                "scale": t(_np(sd[h + "transform.LayerNorm.weight"])),
+                "bias": t(_np(sd[h + "transform.LayerNorm.bias"])),
+            },
+            "decoder": t(_np(sd[h + "decoder.weight"])),
+            "bias": t(_np(sd[h + "bias"])),
+        }
+    return out
 
 
 def convert_instructblip(sd: StateDict, cfg) -> Dict[str, Any]:
