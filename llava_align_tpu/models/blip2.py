@@ -518,6 +518,169 @@ def compute_sim_matrix(
     return score_i2t, score_t2i
 
 
+# ---------------------------------------------------------------------------
+# LM-backend training losses + instruct paths
+# ---------------------------------------------------------------------------
+
+
+def _ce_mean_ignore(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """CE mean over labels != -100 (HF default reduction)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def opt_forward_loss(
+    params: Params, cfg: Blip2OptConfig,
+    images: Optional[jax.Array],
+    text_ids: jax.Array,          # [B, T] right-padded, "\n"-terminated captions
+    text_mask: jax.Array,         # [B, T]
+    *,
+    pad_token_id: int,
+    prompt_length: int = 0,
+    q_emb: Optional[jax.Array] = None,   # bypass vision+Q-Former (oracles)
+) -> jax.Array:
+    """Blip2OPT.forward (blip2_opt.py:107-162): [query prefix; token embeds]
+    into the frozen OPT with -100 targets on the prefix (and on the prompt's
+    first `prompt_length` columns), shifted-CE mean."""
+    from llava_align_tpu.models import opt as opt_model
+
+    if q_emb is None:
+        q_emb = encode_image_queries(params, cfg, images)  # [B, Q, D]
+    B, Q, _ = q_emb.shape
+    T = text_ids.shape[1]
+    tok = opt_model.embed_tokens(params["lm"], text_ids)
+    embeds = jnp.concatenate([q_emb.astype(tok.dtype), tok], axis=1)
+    mask = jnp.concatenate([jnp.ones((B, Q), text_mask.dtype), text_mask], axis=1)
+    # HF OPT positions derive from the attention mask: cumsum-1 (pads clamp,
+    # harmless: right padding + causal attention keeps them out of the loss)
+    positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None).astype(jnp.int32)
+    hidden, _ = opt_model.forward(params["lm"], cfg.text, embeds, positions)
+    logits = opt_model.logits_from_hidden(params["lm"], hidden)
+
+    targets = jnp.where(text_ids == pad_token_id, -100, text_ids)
+    if prompt_length:
+        col = jnp.arange(T)
+        targets = jnp.where(col[None, :] < prompt_length, -100, targets)
+    targets = jnp.concatenate([jnp.full((B, Q), -100, targets.dtype), targets], axis=1)
+    return _ce_mean_ignore(logits[:, :-1], targets[:, 1:])
+
+
+def _t5_shift_right(targets: jax.Array, pad_token_id: int, start_id: int) -> jax.Array:
+    ids = jnp.where(targets == -100, pad_token_id, targets)
+    return jnp.concatenate(
+        [jnp.full((targets.shape[0], 1), start_id, targets.dtype), ids[:, :-1]], axis=1
+    )
+
+
+def t5_encode_with_prefix(
+    params: Params, cfg: Blip2T5Config,
+    q_emb: jax.Array,             # [B, Qtok, D] projected query embeds
+    input_ids: jax.Array, input_mask: jax.Array,
+):
+    """[query prefix; token embeds] → T5 encoder states + joint mask."""
+    from llava_align_tpu.models import t5 as t5_model
+
+    B = q_emb.shape[0]
+    tok = t5_model.embed_tokens(params["lm"], input_ids)
+    enc_in = jnp.concatenate([q_emb.astype(tok.dtype), tok], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((B, q_emb.shape[1]), input_mask.dtype), input_mask], axis=1
+    )
+    return t5_model.encode(params["lm"], cfg.text, enc_in, mask), mask
+
+
+def t5_forward_loss(
+    params: Params, cfg: Blip2T5Config,
+    images: Optional[jax.Array],
+    input_ids: jax.Array, input_mask: jax.Array,
+    output_ids: jax.Array, output_mask: jax.Array,
+    *,
+    pad_token_id: int = 0,
+    decoder_start_token_id: int = 0,
+    q_emb: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Blip2T5.forward (blip2_t5.py:102-156): prefix+input through the T5
+    encoder, targets = output ids with pads ignored, CE mean."""
+    from llava_align_tpu.models import t5 as t5_model
+
+    if q_emb is None:
+        q_emb = encode_image_queries(params, cfg, images)
+    enc_hidden, enc_mask = t5_encode_with_prefix(params, cfg, q_emb, input_ids, input_mask)
+    targets = jnp.where(output_ids == pad_token_id, -100, output_ids)
+    dec_ids = _t5_shift_right(targets, pad_token_id, decoder_start_token_id)
+    logits = t5_model.decode(params["lm"], cfg.text, dec_ids, enc_hidden, enc_mask)
+    return _ce_mean_ignore(logits, targets)
+
+
+def t5_candidate_losses(
+    params: Params, cfg: Blip2T5Config,
+    enc_hidden: jax.Array,        # [B, S, D] (t5_encode_with_prefix output)
+    enc_mask: jax.Array,          # [B, S]
+    cand_ids: jax.Array,          # [C, Tc] candidate class tokenizations
+    *,
+    pad_token_id: int = 0,
+    decoder_start_token_id: int = 0,
+) -> jax.Array:
+    """Per-candidate summed LM loss [B, C] for predict_class ranking
+    (blip2_t5_instruct._predict_class :503-700, LAVIS modeling_t5
+    reduction='none' = per-sample token-sum). Rank with argsort(axis=-1)."""
+    from llava_align_tpu.models import t5 as t5_model
+
+    B, S, D = enc_hidden.shape
+    C, Tc = cand_ids.shape
+    enc_rep = jnp.repeat(enc_hidden, C, axis=0)                  # [B*C, S, D]
+    mask_rep = jnp.repeat(enc_mask, C, axis=0)
+    cand_rep = jnp.tile(cand_ids, (B, 1))                        # [B*C, Tc]
+    targets = jnp.where(cand_rep == pad_token_id, -100, cand_rep)
+    dec_ids = _t5_shift_right(targets, pad_token_id, decoder_start_token_id)
+    logits = t5_model.decode(params["lm"], cfg.text, dec_ids, enc_rep, mask_rep)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = targets != -100
+    safe = jnp.where(valid, targets, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum(-1).reshape(B, C)
+
+
+def encode_image_queries_instruct(
+    params: Params, cfg: Blip2T5Config,
+    images: jax.Array,
+    qformer_text_ids: Optional[jax.Array] = None,
+    qformer_text_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Text-conditioned query encoding (blip2_t5_instruct.py:312-386,
+    qformer_text_input=True). 5-D video input [B, 3, F, H, W] encodes each
+    frame and concatenates query outputs along the token axis (:328-359)."""
+    if images.ndim == 5:
+        frames = [
+            encode_image_queries_instruct(
+                params, cfg, images[:, :, j], qformer_text_ids, qformer_text_mask
+            )
+            for j in range(images.shape[2])
+        ]
+        return jnp.concatenate(frames, axis=1)
+    feats = eva_vit.forward(params["visual"], cfg.vision, images)
+    feats = layer_norm(
+        feats, params["ln_vision"]["scale"], params["ln_vision"]["bias"],
+        cfg.vision.layer_norm_eps,
+    )
+    B = images.shape[0]
+    hidden = qformer.forward(
+        params["qformer"], cfg.qformer, _queries(params, cfg, B),
+        feats.astype(cfg.qformer.dtype),
+        text_ids=qformer_text_ids, text_mask=qformer_text_mask,
+    )[:, : cfg.num_query_tokens]
+    w, b = params["proj"]["w"], params["proj"]["b"]
+    return (
+        jnp.einsum("...d,od->...o", hidden.astype(w.dtype), w, preferred_element_type=w.dtype)
+        + b
+    )
+
+
 def t5_generate(
     params: Params,
     cfg: Blip2T5Config,
@@ -527,20 +690,29 @@ def t5_generate(
     max_new_tokens: int = 32,
     decoder_start_token_id: int = 0,
     eos_token_id: int = 1,
+    qformer_text_ids: Optional[jax.Array] = None,
+    qformer_text_mask: Optional[jax.Array] = None,
 ) -> List[List[int]]:
     """BLIP-2 T5 generation: [query embeds; prompt embeds] → T5 encoder →
-    decoder greedy (reference blip2_t5 generate)."""
+    decoder greedy (reference blip2_t5 generate). With qformer_text_ids this
+    is the instruct path (text-conditioned Q-Former, blip2_t5_instruct)."""
     from llava_align_tpu.models import t5 as t5_model
 
     B = images.shape[0]
-    q_emb = encode_image_queries(params, cfg, images)  # [B, Q, D]
+    if qformer_text_ids is not None:
+        q_emb = encode_image_queries_instruct(
+            params, cfg, images, qformer_text_ids, qformer_text_mask
+        )
+    else:
+        q_emb = encode_image_queries(params, cfg, images)  # [B, Q, D]
+    Qtok = q_emb.shape[1]
     T = max(len(p) for p in prompt_ids)
     ids = np.zeros((B, T), np.int32)
-    mask = np.zeros((B, cfg.num_query_tokens + T), np.int32)
-    mask[:, : cfg.num_query_tokens] = 1
+    mask = np.zeros((B, Qtok + T), np.int32)
+    mask[:, :Qtok] = 1
     for b, p in enumerate(prompt_ids):
         ids[b, : len(p)] = p
-        mask[b, cfg.num_query_tokens : cfg.num_query_tokens + len(p)] = 1
+        mask[b, Qtok : Qtok + len(p)] = 1
     tok_emb = t5_model.embed_tokens(params["lm"], jnp.asarray(ids))
     enc_in = jnp.concatenate([q_emb.astype(tok_emb.dtype), tok_emb], axis=1)
     enc_hidden = t5_model.encode(params["lm"], cfg.text, enc_in, jnp.asarray(mask))

@@ -524,17 +524,36 @@ def convert_qformer(
     BertLMHeadModel (stage-1 BLIP-2, reference Qformer.py:624-651), e.g.
     "Qformer.cls." for a LAVIS checkpoint or "cls." for a raw
     BertLMHeadModel state dict. When given, the returned params carry a
-    "head" subtree consumed by qformer.lm_logits."""
+    "head" subtree consumed by qformer.lm_logits.
+
+    Blip2-OPT / Blip2-T5 checkpoints PRUNE the text branches before saving
+    (blip2_opt.py:78-84: cls, word/position embeddings, and each layer's
+    text feed-forward are set to None) — those keys are absent from the
+    state dict. Missing text parts convert to zeros: the query-only paths
+    never touch them."""
     from llava_align_tpu.models.qformer import has_cross_attention
 
     p = prefix
     t = _to(cfg.dtype)
+    D, F_ = cfg.hidden_size, cfg.intermediate_size
 
-    def dense(key):
-        return {"w": t(_np(sd[p + key + ".weight"])), "b": t(_np(sd[p + key + ".bias"]))}
+    def dense(key, fallback_shape=None):
+        wk = p + key + ".weight"
+        if fallback_shape is not None and wk not in sd:
+            return {
+                "w": jnp.zeros(fallback_shape, cfg.dtype),
+                "b": jnp.zeros((fallback_shape[0],), cfg.dtype),
+            }
+        return {"w": t(_np(sd[wk])), "b": t(_np(sd[p + key + ".bias"]))}
 
-    def lnorm(key):
-        return {"scale": t(_np(sd[p + key + ".weight"])), "bias": t(_np(sd[p + key + ".bias"]))}
+    def lnorm(key, width=None):
+        wk = p + key + ".weight"
+        if width is not None and wk not in sd:
+            return {
+                "scale": jnp.ones((width,), cfg.dtype),
+                "bias": jnp.zeros((width,), cfg.dtype),
+            }
+        return {"scale": t(_np(sd[wk])), "bias": t(_np(sd[p + key + ".bias"]))}
 
     def attn(base):
         return {
@@ -550,9 +569,9 @@ def convert_qformer(
         b = f"encoder.layer.{i}"
         lp = {
             "self_attn": attn(b + ".attention"),
-            "intermediate": dense(b + ".intermediate.dense"),
-            "output": dense(b + ".output.dense"),
-            "output_ln": lnorm(b + ".output.LayerNorm"),
+            "intermediate": dense(b + ".intermediate.dense", (F_, D)),
+            "output": dense(b + ".output.dense", (D, F_)),
+            "output_ln": lnorm(b + ".output.LayerNorm", D),
             "intermediate_query": dense(b + ".intermediate_query.dense"),
             "output_query": dense(b + ".output_query.dense"),
             "output_query_ln": lnorm(b + ".output_query.LayerNorm"),
@@ -561,10 +580,14 @@ def convert_qformer(
             lp["cross_attn"] = attn(b + ".crossattention")
         layers.append(lp)
 
+    wkey = p + "embeddings.word_embeddings.weight"
     out: Dict[str, Any] = {
         "embeddings": {
-            "word": t(_np(sd[p + "embeddings.word_embeddings.weight"])),
-            "position": t(_np(sd[p + "embeddings.position_embeddings.weight"])),
+            "word": t(_np(sd[wkey])) if wkey in sd
+            else jnp.zeros((cfg.vocab_size, D), cfg.dtype),
+            "position": t(_np(sd[p + "embeddings.position_embeddings.weight"]))
+            if p + "embeddings.position_embeddings.weight" in sd
+            else jnp.zeros((cfg.max_position_embeddings, D), cfg.dtype),
             "ln": lnorm("embeddings.LayerNorm"),
         },
         "layers": layers,
@@ -606,6 +629,66 @@ def convert_instructblip(sd: StateDict, cfg) -> Dict[str, Any]:
         },
         "llama": convert_llama(sd, cfg.text, prefix="llm_model."),
     }
+
+
+def _blip2_common(sd: StateDict, cfg, **qf_kw) -> Dict[str, Any]:
+    t_vis = _to(cfg.vision.dtype)
+    return {
+        "visual": convert_eva_vit(sd, cfg.vision),
+        "ln_vision": {
+            "scale": t_vis(_np(sd["ln_vision.weight"])),
+            "bias": t_vis(_np(sd["ln_vision.bias"])),
+        },
+        "query_tokens": _to(cfg.qformer.dtype)(
+            _np(sd["query_tokens"]).reshape(cfg.num_query_tokens, -1)
+        ),
+        "qformer": convert_qformer(sd, cfg.qformer, **qf_kw),
+    }
+
+
+def convert_blip2_stage1(sd: StateDict, cfg) -> Dict[str, Any]:
+    """LAVIS blip2 / blip2_feature_extractor / blip2_image_text_matching
+    checkpoint → models/blip2 stage-1 params (reference blip2_qformer.py
+    module layout: Qformer.bert + Qformer.cls + vision/text_proj + itm_head
+    + temp)."""
+    t = _to(cfg.qformer.dtype)
+
+    def lin(name):
+        return {"w": t(_np(sd[name + ".weight"])), "b": t(_np(sd[name + ".bias"]))}
+
+    out = _blip2_common(sd, cfg, head_prefix="Qformer.cls.")
+    out.update(
+        vision_proj=lin("vision_proj"),
+        text_proj=lin("text_proj"),
+        itm_head=lin("itm_head"),
+        temp=jnp.asarray(float(_np(sd["temp"])), jnp.float32),
+    )
+    return out
+
+
+def convert_blip2_opt(sd: StateDict, cfg) -> Dict[str, Any]:
+    """LAVIS blip2_opt checkpoint → models/blip2 Blip2OptConfig params
+    (blip2_opt.py: pruned-text Qformer + opt_proj + opt_model)."""
+    t = _to(cfg.text.dtype)
+    out = _blip2_common(sd, cfg)
+    out["proj"] = {
+        "w": t(_np(sd["opt_proj.weight"])), "b": t(_np(sd["opt_proj.bias"]))
+    }
+    out["lm"] = convert_opt(sd, cfg.text, prefix="opt_model.")
+    return out
+
+
+def convert_blip2_t5(sd: StateDict, cfg) -> Dict[str, Any]:
+    """LAVIS blip2_t5 / blip2_t5_instruct checkpoint → Blip2T5Config params
+    (blip2_t5.py / blip2_t5_instruct.py: t5_proj + t5_model; the instruct
+    variant keeps the Q-Former text branches)."""
+    t = _to(cfg.text.dtype)
+    out = _blip2_common(sd, cfg)
+    out["proj"] = {
+        "w": t(_np(sd["t5_proj.weight"])), "b": t(_np(sd["t5_proj.bias"]))
+    }
+    out["lm"] = convert_t5(sd, cfg.text, prefix="t5_model.")
+    return out
 
 
 # ---------------------------------------------------------------------------
