@@ -228,12 +228,22 @@ def _albef_factory(arch_name: str, variant: str):
                 return albef_mod.nlvr_forward(self.params, self.cfg, *args)
             return albef_mod.classify(self.params, self.cfg, *args)
 
+        def train_step(self, m_params, state, rng, pixels, ids, mask, **kw):
+            from llava_align_tpu.models import albef as albef_mod
+
+            fn = (
+                albef_mod.pretrain_train_step if self.variant == "pretrain"
+                else albef_mod.retrieval_train_step
+            )
+            return fn(self.params, m_params, state, self.cfg, rng, pixels, ids, mask, **kw)
+
     AlbefModel.__name__ = f"AlbefModel_{arch_name}"
     return AlbefModel
 
 
 for _arch, _variant in (
     ("albef_retrieval", "retrieval"),
+    ("albef_pretrain", "pretrain"),
     ("albef_vqa", "vqa"),
     ("albef_classification", "classification"),
     ("albef_nlvr", "nlvr"),
@@ -575,3 +585,184 @@ class BlipDiffusionModel(_ZooModel):
         from llava_align_tpu.models import blip_diffusion as bd_mod
 
         return bd_mod.train_loss(self.params, self.cfg, *args, **kw)
+
+
+def _blip2_stage1_factory(arch_name: str):
+    @registry.register_model(arch_name)
+    class Blip2Stage1Model(_ZooModel):
+        """Stage-1 BLIP-2 zoo entry (reference blip2_qformer.py — registered
+        as both 'blip2' and 'blip2_feature_extractor' :25-26 — and
+        blip2_image_text_matching.py Blip2ITM)."""
+
+        arch = arch_name
+
+        def __init__(self, model_path: Optional[str] = None, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            if model_path and not model_path.startswith("random"):
+                from llava_align_tpu.utils.hf_convert import (
+                    convert_blip2_stage1, load_state_dict,
+                )
+
+                cfg = blip2_mod.Blip2QformerConfig()
+                params = convert_blip2_stage1(load_state_dict(model_path), cfg)
+            else:
+                cfg = blip2_mod.Blip2QformerConfig.tiny()
+                params = blip2_mod.init_stage1(jax.random.PRNGKey(0), cfg)
+            super().__init__(params, cfg)
+
+        def forward(self, images, text_ids, text_mask, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            if arch_name == "blip2_image_text_matching":
+                return blip2_mod.match(
+                    self.params, self.cfg, images, text_ids, text_mask,
+                    match_head=kw.pop("match_head", "itm"),
+                )
+            return blip2_mod.pretrain_forward(
+                self.params, self.cfg, images, text_ids, text_mask, **kw
+            )
+
+        def generate(self, images, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            return blip2_mod.generate_caption(self.params, self.cfg, images, **kw)
+
+        def extract_features(self, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            return blip2_mod.extract_features(self.params, self.cfg, **kw)
+
+        def compute_sim_matrix(self, images, text_ids, text_mask, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            return blip2_mod.compute_sim_matrix(
+                self.params, self.cfg, images, text_ids, text_mask, **kw
+            )
+
+    Blip2Stage1Model.__name__ = f"Blip2Stage1Model_{arch_name}"
+    return Blip2Stage1Model
+
+
+for _arch in ("blip2", "blip2_feature_extractor", "blip2_image_text_matching"):
+    _blip2_stage1_factory(_arch)
+
+
+def _blip2_lm_factory(arch_name: str):
+    @registry.register_model(arch_name)
+    class Blip2LmModel(_ZooModel):
+        """BLIP-2 LM-backend zoo entry (reference blip2_opt.py, blip2_t5.py,
+        blip2_t5_instruct.py). 'blip2_t5_instruct' feeds the instruction into
+        the Q-Former (qformer_text_input=True)."""
+
+        arch = arch_name
+
+        def __init__(self, model_path: Optional[str] = None, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            is_opt = arch_name == "blip2_opt"
+            if model_path and not model_path.startswith("random"):
+                from llava_align_tpu.utils.hf_convert import (
+                    convert_blip2_opt, convert_blip2_t5, load_state_dict,
+                )
+
+                sd = load_state_dict(model_path)
+                if is_opt:
+                    cfg = blip2_mod.Blip2OptConfig()
+                    params = convert_blip2_opt(sd, cfg)
+                else:
+                    cfg = blip2_mod.Blip2T5Config()
+                    params = convert_blip2_t5(sd, cfg)
+            else:
+                if is_opt:
+                    cfg = blip2_mod.Blip2OptConfig.tiny()
+                    params = blip2_mod.init_opt(jax.random.PRNGKey(0), cfg)
+                else:
+                    cfg = blip2_mod.Blip2T5Config.tiny()
+                    params = blip2_mod.init_t5(jax.random.PRNGKey(0), cfg)
+            super().__init__(params, cfg)
+
+        def forward(self, images, *args, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            if arch_name == "blip2_opt":
+                return blip2_mod.opt_forward_loss(self.params, self.cfg, images, *args, **kw)
+            return blip2_mod.t5_forward_loss(self.params, self.cfg, images, *args, **kw)
+
+        def generate(self, images, prompt_ids, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            if arch_name == "blip2_opt":
+                raise NotImplementedError(
+                    "blip2_opt generation runs through the DecodeEngine with "
+                    "Blip2OptAdapter + precomputed_feats (see "
+                    "tests/test_blip2_variants.py)"
+                )
+            return blip2_mod.t5_generate(self.params, self.cfg, images, prompt_ids, **kw)
+
+        def predict_answers(self, images, prompt_ids, **kw):
+            # blip2_t5.predict_answers == greedy generate over the question
+            # prompt (blip2_t5.py:247-312)
+            return self.generate(images, prompt_ids, **kw)
+
+        def predict_class(self, images, input_ids, input_mask, cand_ids,
+                          qformer_text_ids=None, qformer_text_mask=None, **kw):
+            from llava_align_tpu.models import blip2 as blip2_mod
+
+            if arch_name == "blip2_opt":
+                raise NotImplementedError("predict_class is a T5-instruct path")
+            if arch_name == "blip2_t5_instruct" and qformer_text_ids is not None:
+                q_emb = blip2_mod.encode_image_queries_instruct(
+                    self.params, self.cfg, images, qformer_text_ids, qformer_text_mask
+                )
+            else:
+                q_emb = blip2_mod.encode_image_queries(self.params, self.cfg, images)
+            enc_hidden, enc_mask = blip2_mod.t5_encode_with_prefix(
+                self.params, self.cfg, q_emb, input_ids, input_mask
+            )
+            import numpy as _np
+
+            losses = blip2_mod.t5_candidate_losses(
+                self.params, self.cfg, enc_hidden, enc_mask, cand_ids, **kw
+            )
+            return _np.argsort(_np.asarray(losses), axis=-1)
+
+    Blip2LmModel.__name__ = f"Blip2LmModel_{arch_name}"
+    return Blip2LmModel
+
+
+for _arch in ("blip2_opt", "blip2_t5", "blip2_t5_instruct"):
+    _blip2_lm_factory(_arch)
+
+
+@registry.register_model("pnp_unifiedqav2_fid")
+class PnpUnifiedQAv2FiDModel(_ZooModel):
+    """Standalone Fusion-in-Decoder QA reader (reference
+    pnp_vqa_models/pnp_unifiedqav2_fid.py — a T5ForConditionalGeneration whose
+    encoder reshapes [B, n_ctx, S] into per-context encodes and fuses the
+    states along sequence)."""
+
+    arch = "pnp_unifiedqav2_fid"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        from llava_align_tpu.models.t5 import T5Config
+
+        if model_path and not model_path.startswith("random"):
+            from llava_align_tpu.utils.hf_convert import (
+                _load_component_sd, convert_t5, t5_config_from_json,
+            )
+
+            sd, cfg_json = _load_component_sd(model_path)
+            cfg = t5_config_from_json(cfg_json)
+            params = convert_t5(sd, cfg)
+        else:
+            from llava_align_tpu.models import t5 as t5_mod
+
+            cfg = T5Config.tiny()
+            params = t5_mod.init(jax.random.PRNGKey(0), cfg)
+        super().__init__(params, cfg)
+
+    def generate(self, context_ids, context_mask, **kw):
+        from llava_align_tpu.models import pnp_vqa as pnp_mod
+
+        return pnp_mod.fid_generate(self.params, self.cfg, context_ids, context_mask, **kw)

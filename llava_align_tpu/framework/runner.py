@@ -44,6 +44,10 @@ class Runner:
     train_step: (params, opt_state, batch) -> (params, opt_state, loss)
     train_loader_fn: epoch -> iterable of device-ready batches
     eval_fn: params -> dict of metrics (higher best_metric_key = better)
+
+    The reference's iteration-based RunnerIter (runner_iter.py) is this same
+    class with cfg.iters_per_inner_epoch set; `runner_iter` is registered as
+    an alias below so configs naming either runner resolve.
     """
 
     def __init__(
@@ -171,3 +175,10 @@ class Runner:
             if self.cfg.save_last:
                 self.save_checkpoint("last", epoch)
         return stats
+
+
+# Iteration-based runner alias (reference lavis/runners/runner_iter.py
+# registers "runner_iter"): the epoch Runner already implements its
+# capability through cfg.iters_per_inner_epoch (persistent batch stream +
+# iteration-granular resume), so the name maps to the same class.
+registry.register_runner("runner_iter")(Runner)

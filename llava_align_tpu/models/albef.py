@@ -105,7 +105,9 @@ class AlbefConfig:
 
 
 def init(rng: jax.Array, cfg: AlbefConfig, variant: str = "retrieval") -> Params:
-    """variant ∈ {retrieval, vqa, classification, nlvr, feature}."""
+    """variant ∈ {retrieval, pretrain, vqa, classification, nlvr, feature}.
+    pretrain (albef_pretrain.py:41-100) carries the retrieval heads plus the
+    MED MLM head that med_init always provides."""
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     D, E = cfg.text.hidden_size, cfg.embed_dim
     ks = iter(jax.random.split(k4, 8))
@@ -116,10 +118,10 @@ def init(rng: jax.Array, cfg: AlbefConfig, variant: str = "retrieval") -> Params
         ).astype(cfg.text.dtype)
 
     p: Params = {"visual": vit_init(k1, cfg.vision), "text": med_init(k2, cfg.text)}
-    if variant in ("retrieval", "feature"):
+    if variant in ("retrieval", "feature", "pretrain"):
         p["vision_proj"] = {"w": w(E, cfg.vision.hidden_size), "b": jnp.zeros((E,), cfg.text.dtype)}
         p["text_proj"] = {"w": w(E, D), "b": jnp.zeros((E,), cfg.text.dtype)}
-    if variant == "retrieval":
+    if variant in ("retrieval", "pretrain"):
         p["itm_head"] = {"w": w(2, D), "b": jnp.zeros((2,), cfg.text.dtype)}
         p["temp"] = jnp.asarray(cfg.temp, jnp.float32)
     if variant == "vqa":
@@ -556,6 +558,184 @@ def retrieval_train_step(
     loss_itm = -jnp.take_along_axis(logp, itm_labels[:, None], axis=-1).mean()
 
     losses = {"loss": loss_itc + loss_itm, "loss_itc": loss_itc, "loss_itm": loss_itm}
+    return losses, m_params, new_state
+
+
+def mlm_mask_inputs(
+    rng: jax.Array, ids: jax.Array, vocab_size: int,
+    *,
+    mask_token_id: int, pad_token_id: int, cls_token_id: int,
+    mlm_probability: float = 0.15,
+) -> Tuple[jax.Array, jax.Array]:
+    """BERT-style MLM corruption (albef_pretrain.mask :341-380): select
+    `mlm_probability` of non-pad/non-CLS positions; of those 80% → [MASK],
+    10% → random token, 10% unchanged. Returns (masked_ids, labels) with
+    labels -100 off the masked set."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    masked = jax.random.bernoulli(k1, mlm_probability, ids.shape)
+    masked = masked & (ids != pad_token_id) & (ids != cls_token_id)
+    labels = jnp.where(masked, ids, -100)
+    replace = jax.random.bernoulli(k2, 0.8, ids.shape) & masked
+    out = jnp.where(replace, mask_token_id, ids)
+    rand = jax.random.bernoulli(k3, 0.5, ids.shape) & masked & ~replace
+    rand_words = jax.random.randint(k4, ids.shape, 0, vocab_size)
+    out = jnp.where(rand, rand_words, out)
+    return out, labels
+
+
+def mlm_loss(
+    params: Params, cfg: AlbefConfig,
+    masked_ids: jax.Array, mask: jax.Array,
+    image_embeds: jax.Array,
+    labels: jax.Array,
+    *,
+    m_params: Optional[Params] = None,
+    image_embeds_m: Optional[jax.Array] = None,
+    alpha: float = 0.0,
+) -> jax.Array:
+    """Masked-LM loss with momentum distillation (albef_pretrain.py:292-314 +
+    med.py:1079-1091): CE over masked tokens, blended with the momentum
+    model's soft distribution at the masked positions."""
+    am = jnp.ones(image_embeds.shape[:2], jnp.int32)
+    h = med_forward(
+        params["text"], cfg.text, masked_ids, mask,
+        encoder_states=image_embeds, encoder_mask=am, mode="multimodal",
+    )
+    logits = med_logits(params["text"], h)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    loss = jnp.where(valid, nll, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+    if m_params is not None and alpha > 0.0:
+        h_m = med_forward(
+            m_params["text"], cfg.text, masked_ids, mask,
+            encoder_states=image_embeds_m, encoder_mask=am, mode="multimodal",
+        )
+        soft = jax.lax.stop_gradient(
+            jax.nn.softmax(med_logits(m_params["text"], h_m).astype(jnp.float32), axis=-1)
+        )
+        distill = -(soft * logp).sum(-1)
+        distill = jnp.where(valid, distill, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+        loss = (1.0 - alpha) * loss + alpha * distill
+    return loss
+
+
+def rampup_factor(epoch, iters, num_iters_per_epoch) -> float:
+    """albef_pretrain._rampup_factor :102-103."""
+    return min(1.0, (epoch * num_iters_per_epoch + iters) / (2 * num_iters_per_epoch))
+
+
+def pretrain_train_step(
+    params: Params, m_params: Params, state: Dict[str, jax.Array],
+    cfg: AlbefConfig, rng: jax.Array,
+    pixels: jax.Array, ids: jax.Array, mask: jax.Array,
+    *,
+    alpha: float, momentum: float = 0.995,
+    mask_token_id: int = 103, pad_token_id: int = 0, cls_token_id: int = 101,
+    mlm_probability: float = 0.15,
+    mlm_inputs: Optional[jax.Array] = None,     # explicit corruption (oracles)
+    mlm_labels: Optional[jax.Array] = None,
+    neg_idx: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[Dict[str, jax.Array], Params, Dict[str, jax.Array]]:
+    """One ALBEF pretraining forward (albef_pretrain.py:105-324): ITC over
+    in-batch + queue negatives with momentum-distilled DIAGONAL targets,
+    ITM with in-batch hard negatives, masked-LM with momentum distillation.
+    alpha arrives pre-ramped (rampup_factor). Returns
+    (losses, updated momentum params, updated queue state)."""
+    bs = pixels.shape[0]
+    temp = jnp.clip(params["temp"], 0.001, 0.5)
+
+    feats = itc_features(params, cfg, pixels=pixels, ids=ids, mask=mask)
+    image_embeds, text_embeds = feats["image_embeds"], feats["text_embeds"]
+    image_feat, text_feat = feats["image_feat"], feats["text_feat"]
+
+    m_params = momentum_update(params, m_params, momentum)
+    mfeats = jax.lax.stop_gradient(
+        itc_features(m_params, cfg, pixels=pixels, ids=ids, mask=mask)
+    )
+    image_feat_m, text_feat_m = mfeats["image_feat"], mfeats["text_feat"]
+    image_feat_all = jnp.concatenate([image_feat_m.T, state["image_queue"]], axis=1)
+    text_feat_all = jnp.concatenate([text_feat_m.T, state["text_queue"]], axis=1)
+
+    sim_targets = jnp.zeros((bs, image_feat_all.shape[1]), jnp.float32)
+    sim_targets = sim_targets.at[:, :bs].set(jnp.eye(bs))
+
+    sim_i2t_m = image_feat_m @ text_feat_all / temp
+    sim_t2i_m = text_feat_m @ image_feat_all / temp
+    i2t_tgt = jax.lax.stop_gradient(
+        alpha * jax.nn.softmax(sim_i2t_m, axis=1) + (1 - alpha) * sim_targets
+    )
+    t2i_tgt = jax.lax.stop_gradient(
+        alpha * jax.nn.softmax(sim_t2i_m, axis=1) + (1 - alpha) * sim_targets
+    )
+    sim_i2t = image_feat @ text_feat_all / temp
+    sim_t2i = text_feat @ image_feat_all / temp
+    loss_i2t = -(jax.nn.log_softmax(sim_i2t, axis=1) * i2t_tgt).sum(1).mean()
+    loss_t2i = -(jax.nn.log_softmax(sim_t2i, axis=1) * t2i_tgt).sum(1).mean()
+    loss_itc = (loss_i2t + loss_t2i) / 2
+
+    ptr = state["ptr"]
+    pos = (ptr + jnp.arange(bs)) % cfg.queue_size
+    new_state = dict(
+        state,
+        image_queue=state["image_queue"].at[:, pos].set(image_feat_m.T),
+        text_queue=state["text_queue"].at[:, pos].set(text_feat_m.T),
+        ptr=(ptr + bs) % cfg.queue_size,
+    )
+
+    # ITM (albef_pretrain.py:213-290); weights from diag(-inf)-masked sims,
+    # NO +1e-4 here (that epsilon is retrieval-only, albef_retrieval.py:237)
+    am = jnp.ones(image_embeds.shape[:2], jnp.int32)
+    pos_out = med_forward(
+        params["text"], cfg.text, None, mask,
+        encoder_states=image_embeds, encoder_mask=am,
+        mode="fusion", input_embeds=text_embeds,
+    )
+    w_i2t = jax.nn.softmax(jnp.where(jnp.eye(bs, dtype=bool), -jnp.inf, sim_i2t[:, :bs]), axis=1)
+    w_t2i = jax.nn.softmax(jnp.where(jnp.eye(bs, dtype=bool), -jnp.inf, sim_t2i[:, :bs]), axis=1)
+    w_i2t = jax.lax.stop_gradient(w_i2t)
+    w_t2i = jax.lax.stop_gradient(w_t2i)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    if neg_idx is not None:
+        neg_img, neg_txt = neg_idx
+    else:
+        neg_img = sample_hard_negative_indices(k1, w_t2i)
+        neg_txt = sample_hard_negative_indices(k2, w_i2t)
+
+    text_embeds_all = jnp.concatenate([text_embeds, text_embeds[neg_txt]], axis=0)
+    text_mask_all = jnp.concatenate([mask, mask[neg_txt]], axis=0)
+    image_embeds_all = jnp.concatenate([image_embeds[neg_img], image_embeds], axis=0)
+    am2 = jnp.ones(image_embeds_all.shape[:2], jnp.int32)
+    neg_out = med_forward(
+        params["text"], cfg.text, None, text_mask_all,
+        encoder_states=image_embeds_all, encoder_mask=am2,
+        mode="fusion", input_embeds=text_embeds_all,
+    )
+    vl = jnp.concatenate([pos_out[:, 0], neg_out[:, 0]], axis=0)
+    itm_logits = _proj(vl, params["itm_head"])
+    itm_labels = jnp.concatenate(
+        [jnp.ones((bs,), jnp.int32), jnp.zeros((2 * bs,), jnp.int32)]
+    )
+    logp = jax.nn.log_softmax(itm_logits.astype(jnp.float32), axis=-1)
+    loss_itm = -jnp.take_along_axis(logp, itm_labels[:, None], axis=-1).mean()
+
+    # MLM (albef_pretrain.py:292-314)
+    if mlm_inputs is None:
+        mlm_inputs, mlm_labels = mlm_mask_inputs(
+            k3, ids, cfg.text.vocab_size,
+            mask_token_id=mask_token_id, pad_token_id=pad_token_id,
+            cls_token_id=cls_token_id, mlm_probability=mlm_probability,
+        )
+    loss_mlm = mlm_loss(
+        params, cfg, mlm_inputs, mask, image_embeds, mlm_labels,
+        m_params=m_params, image_embeds_m=mfeats["image_embeds"], alpha=alpha,
+    )
+
+    losses = {
+        "loss": loss_itc + loss_itm + loss_mlm,
+        "loss_itc": loss_itc, "loss_itm": loss_itm, "loss_mlm": loss_mlm,
+    }
     return losses, m_params, new_state
 
 

@@ -1087,9 +1087,12 @@ def convert_albef(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, A
     if text_prefix is None:
         raise KeyError("no text_encoder.* keys in ALBEF state dict")
     sd_text = _zero_fill_cross(sd, text_prefix, cfg.text)
+    # pretrain checkpoints are BertForMaskedLM: the MLM head lives at
+    # text_encoder.cls.* regardless of whether bert. is nested
+    head_prefix = "text_encoder.cls." if variant == "pretrain" else "__none__."
     params: Dict[str, Any] = {
         "visual": convert_blip_vit(sd, cfg.vision, prefix="visual_encoder."),
-        "text": convert_med(sd_text, cfg.text, prefix=text_prefix, head_prefix="__none__."),
+        "text": convert_med(sd_text, cfg.text, prefix=text_prefix, head_prefix=head_prefix),
     }
 
     def linear(name, o, i):
@@ -1098,10 +1101,10 @@ def convert_albef(sd: StateDict, cfg, variant: str = "retrieval") -> Dict[str, A
         return {"w": jnp.zeros((o, i), cfg.text.dtype), "b": jnp.zeros((o,), cfg.text.dtype)}
 
     E, D = cfg.embed_dim, cfg.text.hidden_size
-    if variant in ("retrieval", "feature"):
+    if variant in ("retrieval", "feature", "pretrain"):
         params["vision_proj"] = linear("vision_proj", E, cfg.vision.hidden_size)
         params["text_proj"] = linear("text_proj", E, D)
-    if variant == "retrieval":
+    if variant in ("retrieval", "pretrain"):
         params["itm_head"] = linear("itm_head", 2, D)
         params["temp"] = (
             jnp.asarray(_np(sd["temp"]).reshape(()), jnp.float32)

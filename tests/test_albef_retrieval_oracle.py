@@ -1185,3 +1185,127 @@ def test_albef_compute_sim_matrix_matches_reference(ref_albef_retrieval):
     # re-ranked entries carry sim+itm scores; untouched entries are -100
     np.testing.assert_allclose(got_i2t, want_i2t, atol=3e-4, rtol=1e-3)
     np.testing.assert_allclose(got_t2i, want_t2i, atol=3e-4, rtol=1e-3)
+
+
+def test_albef_pretrain_losses_match_reference(ref_albef_retrieval):
+    """AlbefPretrain forward (albef_pretrain.py:105-324) head-to-head: ITC
+    (queue + momentum-distilled diagonal targets), ITM (hard negatives pinned
+    by patching torch.multinomial), and masked-LM with momentum distillation
+    (fixed corruption via the class's own mask hook)."""
+    ret_mod, med, vit = ref_albef_retrieval
+    from functools import partial
+
+    import torch.nn as nn
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    ROOT = "/root/reference/experiments/lavis/models/"
+    # albef_pretrain.py uses np.Inf, removed in NumPy 2.0 — restore the alias
+    # for the read-only reference module (module attr beats __getattr__)
+    np.Inf = np.inf
+    pre_mod = _load("ref_albef_pretrain", ROOT + "albef_models/albef_pretrain.py")
+
+    bcfg = BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12, pad_token_id=0, attn_implementation="eager",
+    )
+    bcfg.fusion_layer = 2
+    bcfg.encoder_width = D
+    bcfg.add_type_embeddings = False
+    bcfg.add_cross_attention = True
+    torch.manual_seed(3)
+    text_enc = med.BertForMaskedLM(config=bcfg)
+    img_enc = vit.VisionTransformerEncoder(
+        img_size=32, patch_size=16, embed_dim=D, depth=2, num_heads=4,
+        mlp_ratio=2.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+    )
+    img_enc.vision_width = D
+    pre_mod.AlbefPretrain.init_tokenizer = classmethod(lambda cls: None)
+    model = pre_mod.AlbefPretrain(
+        image_encoder=img_enc, text_encoder=text_enc, queue_size=16,
+        embed_dim=16, mlm_mask_prob=0.15, temp=0.07, momentum=0.995,
+        alpha=0.4, max_txt_len=8,
+    ).eval()
+
+    rng = np.random.default_rng(7)
+    b, s = 4, 6
+    ids = torch.tensor(rng.integers(3, V, (b, s)))
+    mask = torch.ones((b, s), dtype=torch.long)
+    model.tokenizer = lambda caption, **k: _FakeBatch(ids, mask)
+
+    # deterministic MLM corruption through the class's own mask() hook
+    mlm_inputs = ids.clone()
+    mlm_inputs[:, 2] = 5  # pretend-[MASK]
+    mlm_labels = torch.full_like(ids, -100)
+    mlm_labels[:, 2] = ids[:, 2]
+    mlm_labels[0, 4] = ids[0, 4]  # a kept-token target
+    model.mask = (
+        lambda input_ids, vocab_size, device, targets=None,
+        masked_indices=None, probability_matrix=None:
+        (mlm_inputs.clone(), mlm_labels.clone())
+    )
+
+    imgs = torch.tensor(rng.normal(size=(b, 3, 32, 32)).astype(np.float32))
+    q_img0 = model.image_queue.clone().numpy()
+    q_txt0 = model.text_queue.clone().numpy()
+
+    # pin the hard-negative multinomial draws: t2i (image negs) then i2t
+    neg_img = [1, 2, 3, 0]
+    neg_txt = [2, 3, 0, 1]
+    draws = iter(neg_img + neg_txt)
+    orig_multinomial = torch.multinomial
+    torch.multinomial = lambda w, n, **k: torch.tensor([next(draws)])
+    try:
+        with torch.no_grad():
+            out = model({
+                "image": imgs, "text_input": ["x"] * b,
+                "epoch": 5, "iters": 0, "num_iters_per_epoch": 1,
+            })
+    finally:
+        torch.multinomial = orig_multinomial
+    want = {
+        "loss_itc": float(out.loss_itc), "loss_itm": float(out.loss_itm),
+        "loss_mlm": float(out.loss_mlm),
+    }
+    want_q_img = model.image_queue.clone().numpy()
+    want_ptr = int(model.queue_ptr)
+
+    cfg = AlbefConfig(
+        vision=BlipVitConfig(
+            image_size=32, patch_size=16, hidden_size=D, num_layers=2,
+            num_heads=4, mlp_ratio=2.0,
+        ),
+        text=MedConfig(
+            vocab_size=V, hidden_size=D, num_layers=4, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64, fusion_layer=2,
+        ),
+        embed_dim=16, queue_size=16,
+    )
+    params = convert_albef(
+        {k: v.detach() for k, v in model.state_dict().items()}, cfg,
+        variant="pretrain",
+    )
+    m_params = jax.tree_util.tree_map(jnp.copy, params)
+    state = {
+        "image_queue": jnp.asarray(q_img0),
+        "text_queue": jnp.asarray(q_txt0),
+        "ptr": jnp.zeros((), jnp.int32),
+    }
+    alpha = 0.4 * albef.rampup_factor(5, 0, 1)
+    losses, _, new_state = albef.pretrain_train_step(
+        params, m_params, state, cfg, jax.random.PRNGKey(0),
+        jnp.asarray(imgs.numpy()), jnp.asarray(ids.numpy()),
+        jnp.asarray(mask.numpy()),
+        alpha=alpha,
+        mlm_inputs=jnp.asarray(mlm_inputs.numpy()),
+        mlm_labels=jnp.asarray(mlm_labels.numpy()),
+        neg_idx=(jnp.asarray(neg_img), jnp.asarray(neg_txt)),
+    )
+    for k, v in want.items():
+        np.testing.assert_allclose(float(losses[k]), v, atol=3e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_state["image_queue"]), want_q_img, atol=2e-4, rtol=1e-3
+    )
+    assert int(new_state["ptr"]) == want_ptr
