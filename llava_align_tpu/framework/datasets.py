@@ -284,8 +284,9 @@ class BaseDatasetBuilder:
         self.vis_processors = vis_processors or {}
         self.text_processors = text_processors or {}
         # `dataset` names the raw-data manifest key (framework/download.py);
-        # it is builder metadata, not a dataset-class kwarg
-        self.dataset_name = kw.pop("dataset", None)
+        # it is builder metadata, not a dataset-class kwarg. Named builders
+        # (coco_caption, flickr30k, ...) carry a class-level default.
+        self.dataset_name = kw.pop("dataset", None) or getattr(self, "DATASET", None)
         self.extra = kw
 
     def download_entries(self):
@@ -415,6 +416,37 @@ class VideoRetrievalDataset(RetrievalEvalDataset):
         return {"video": self.vis_processor(src), "index": index}
 
 
+class VideoCaptionDataset(VideoQADataset):
+    """video_caption_datasets.py VideoCaptionDataset: (video, caption) with
+    dense image ids for ITC targets."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.img_ids: Dict[Any, int] = {}
+        for ann in self.annotation:
+            self.img_ids.setdefault(ann["image_id"], len(self.img_ids))
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        return {
+            "video": self._video(ann["video"]),
+            "text_input": self.text_processor(ann["caption"]),
+            "image_id": self.img_ids[ann["image_id"]],
+        }
+
+
+class VideoCaptionEvalDataset(VideoQADataset):
+    """video_caption_datasets.py VideoCaptionEvalDataset."""
+
+    def __getitem__(self, index: int) -> dict:
+        ann = self.annotation[index]
+        return {
+            "video": self._video(ann["video"]),
+            "image_id": ann["image_id"],
+            "instance_id": ann["instance_id"],
+        }
+
+
 @registry.register_builder("video_qa")
 class VideoQABuilder(BaseDatasetBuilder):
     train_cls = VideoQADataset
@@ -425,6 +457,68 @@ class VideoQABuilder(BaseDatasetBuilder):
 class VideoRetrievalBuilder(BaseDatasetBuilder):
     train_cls = VideoRetrievalDataset
     eval_cls = VideoRetrievalDataset
+
+
+@registry.register_builder("video_caption")
+class VideoCaptionBuilder(BaseDatasetBuilder):
+    train_cls = VideoCaptionDataset
+    eval_cls = VideoCaptionEvalDataset
+
+
+# ---------------------------------------------------------------------------
+# named dataset builders (one per reference registration,
+# lavis/datasets/builders/*.py): each binds a generic builder to its dataset's
+# download-manifest key, so `registry.get_builder_class("coco_caption")`
+# resolves exactly as in the reference.
+# ---------------------------------------------------------------------------
+
+
+def _named_builder(name: str, base: type, dataset_key: Optional[str]):
+    @registry.register_builder(name)
+    class NamedBuilder(base):
+        DATASET = dataset_key
+
+    NamedBuilder.__name__ = f"Builder_{name}"
+    NamedBuilder.__doc__ = (
+        f"Reference builder '{name}' "
+        f"(lavis/datasets/builders — thin named binding of {base.__name__}"
+        + (f"; raw data manifest key '{dataset_key}'" if dataset_key else "")
+        + ")."
+    )
+    return NamedBuilder
+
+
+for _name, _base, _ds in (
+    # caption_builder.py
+    ("coco_caption", CaptionBuilder, "coco"),
+    ("nocaps", CaptionBuilder, "nocaps"),            # eval-only in reference
+    ("msrvtt_caption", VideoCaptionBuilder, "msrvtt"),
+    ("msvd_caption", VideoCaptionBuilder, "msvd"),
+    ("vatex_caption", VideoCaptionBuilder, None),
+    # image_text_pair_builder.py
+    ("conceptual_caption_3m", ImageTextPairBuilder, "conceptual_captions"),
+    ("conceptual_caption_12m", ImageTextPairBuilder, "conceptual_captions"),
+    ("sbu_caption", ImageTextPairBuilder, "sbu"),
+    ("vg_caption", ImageTextPairBuilder, "vg"),
+    ("laion2B_multi", ImageTextPairBuilder, None),   # webdataset shards
+    # vqa_builder.py
+    ("coco_vqa", VQABuilder, "coco"),
+    ("ok_vqa", VQABuilder, "coco"),
+    ("aok_vqa", VQABuilder, "coco"),
+    ("vg_vqa", VQABuilder, "vg"),
+    ("gqa", VQABuilder, "gqa"),
+    # retrieval_builder.py
+    ("coco_retrieval", RetrievalBuilder, "coco"),
+    ("flickr30k", RetrievalBuilder, "flickr30k"),
+    ("msrvtt_retrieval", VideoRetrievalBuilder, "msrvtt"),
+    ("didemo_retrieval", VideoRetrievalBuilder, "didemo"),
+    # video_qa_builder.py
+    ("msrvtt_qa", VideoQABuilder, "msrvtt"),
+    ("msvd_qa", VideoQABuilder, "msvd"),
+    # classification_builder.py ("nlvr" itself is registered above)
+    ("snli_ve", MultimodalClassificationBuilder, None),
+):
+    _named_builder(_name, _base, _ds)
 
 
 # ---------------------------------------------------------------------------

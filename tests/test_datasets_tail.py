@@ -216,3 +216,75 @@ def test_subject_driven_t2i_dataset_and_builder(tmp_path):
     assert set(splits) == {"train"}
     assert len(splits["train"]) == 4
     assert splits["train"][0]["subject_text"] == "sculpture"
+
+
+# ---------------------------------------------------------------------------
+# named builder registrations (round 5): every reference builder name
+# ---------------------------------------------------------------------------
+
+REFERENCE_BUILDERS = """aok_vqa avsd_dialogue blip_diffusion_finetune
+coco_caption coco_retrieval coco_vqa conceptual_caption_12m
+conceptual_caption_3m didemo_retrieval flickr30k gqa imagenet laion2B_multi
+msrvtt_caption msrvtt_qa msrvtt_retrieval msvd_caption msvd_qa nlvr nocaps
+ok_vqa sbu_caption snli_ve vatex_caption vg_caption vg_vqa""".split()
+
+
+def test_every_reference_builder_name_registered():
+    mine = set(registry.list("builder"))
+    missing = sorted(set(REFERENCE_BUILDERS) - mine)
+    assert not missing, f"unregistered reference builder names: {missing}"
+
+
+def test_named_caption_builder_builds(tmp_path):
+    ann = [
+        {"image": "a.jpg", "caption": "a dog", "image_id": "i0"},
+        {"image": "b.jpg", "caption": "a cat", "image_id": "i1"},
+    ]
+    p = tmp_path / "cap.json"
+    p.write_text(json.dumps(ann))
+    b = registry.get_builder_class("coco_caption")(
+        {"train": {"ann_paths": [str(p)], "vis_root": str(tmp_path)}},
+        synthetic_images=True,
+    )
+    split = b.build()["train"]
+    assert b.dataset_name == "coco" and len(b.download_entries()) > 0
+    sample = split[0]
+    assert sample["text_input"] == "a dog" and sample["image_id"] == 0
+
+
+def test_named_video_builders_build(tmp_path):
+    vid = tmp_path / "v0.npy"
+    np.save(vid, np.zeros((2, 8, 8, 3), np.uint8))
+    cap_ann = [{"video": "v0.npy", "caption": "clip", "image_id": "v0"}]
+    qa_ann = [{"video": "v0.npy", "question": "what?", "answer": "cat"}]
+    capf = tmp_path / "vc.json"
+    capf.write_text(json.dumps(cap_ann))
+    qaf = tmp_path / "vq.json"
+    qaf.write_text(json.dumps(qa_ann))
+
+    b = registry.get_builder_class("msrvtt_caption")(
+        {"train": {"ann_paths": [str(capf)], "vis_root": str(tmp_path)}},
+    )
+    s = b.build()["train"][0]
+    assert s["image_id"] == 0 and s["text_input"] == "clip"
+
+    b = registry.get_builder_class("msvd_qa")(
+        {"val": {"ann_paths": [str(qaf)], "vis_root": str(tmp_path)}},
+        answer_list=["dog", "cat"],
+    )
+    s = b.build()["val"][0]
+    assert s["answers"] == 1
+    assert b.dataset_name == "msvd"
+
+
+def test_snli_ve_builder_builds(tmp_path):
+    ann = [{"image": "x.jpg", "sentence": "a claim", "label": "entailment"}]
+    p = tmp_path / "snli.json"
+    p.write_text(json.dumps(ann))
+    b = registry.get_builder_class("snli_ve")(
+        {"val": {"ann_paths": [str(p)], "vis_root": str(tmp_path)}},
+        synthetic_images=True,
+        classnames=["contradiction", "neutral", "entailment"],
+    )
+    s = b.build()["val"][0]
+    assert s["label"] == 2
