@@ -766,3 +766,135 @@ class PnpUnifiedQAv2FiDModel(_ZooModel):
         from llava_align_tpu.models import pnp_vqa as pnp_mod
 
         return pnp_mod.fid_generate(self.params, self.cfg, context_ids, context_mask, **kw)
+
+
+# ---------------------------------------------------------------------------
+# front door (reference lavis/models/__init__.py:95-300 — load_model,
+# load_preprocess, load_model_and_preprocess, and the model_zoo listing)
+# ---------------------------------------------------------------------------
+
+# default preprocess per arch family: the reference reads these from each
+# model type's yaml `preprocess:` block; the families map to a small fixed
+# set of processor registrations, reproduced here.
+_DEFAULT_PREPROCESS: Dict[str, Dict[str, Dict[str, Optional[str]]]] = {
+    "blip": {
+        "vis": {"train": "blip_image_train", "eval": "blip_image_eval"},
+        "text": {"train": "blip_caption", "eval": "blip_caption"},
+    },
+    "blip2": {
+        "vis": {"train": "blip2_image_train", "eval": "blip_image_eval"},
+        "text": {"train": "blip_caption", "eval": "blip_caption"},
+    },
+    "albef": {
+        "vis": {"train": "blip_image_train", "eval": "blip_image_eval"},
+        "text": {"train": "blip_caption", "eval": "blip_caption"},
+    },
+    "alpro": {
+        "vis": {"train": "alpro_video_train", "eval": "alpro_video_eval"},
+        "text": {"train": "blip_caption", "eval": "blip_caption"},
+    },
+    "clip": {
+        "vis": {"train": "clip_image_train", "eval": "clip_image_eval"},
+        "text": {"train": None, "eval": None},
+    },
+    "gpt": {
+        "vis": {"train": "gpt_video_ft", "eval": "gpt_video_ft"},
+        "text": {"train": "gpt_dialogue", "eval": "gpt_dialogue"},
+    },
+    "blip_diffusion": {
+        "vis": {
+            "train": "blip_diffusion_inp_image_train",
+            "eval": "blip_diffusion_inp_image_eval",
+        },
+        "text": {"train": "blip_caption", "eval": "blip_caption"},
+    },
+    "pnp": {
+        "vis": {"train": None, "eval": "blip_image_eval"},
+        "text": {"train": None, "eval": "blip_caption"},
+    },
+    "img2prompt": {
+        "vis": {"train": None, "eval": "blip_image_eval"},
+        "text": {"train": None, "eval": "blip_caption"},
+    },
+}
+
+
+def _preprocess_family(name: str) -> Optional[Dict[str, Dict[str, Optional[str]]]]:
+    for prefix in ("blip_diffusion", "blip2", "img2prompt", "pnp", "blip",
+                   "albef", "alpro", "clip", "gpt"):
+        if name.startswith(prefix):
+            return _DEFAULT_PREPROCESS[prefix]
+    return None
+
+
+def load_preprocess(config: Dict[str, Any]):
+    """Build (vis_processors, txt_processors) dicts keyed train/eval from a
+    preprocess config {"vis_processor": {"train": {"name": ..., **kw}, ...},
+    "text_processor": {...}} (reference load_preprocess :129-179). Missing
+    entries fall back to identity."""
+
+    from llava_align_tpu.framework import processors  # noqa: F401 — registrations
+
+    def build(cfg):
+        if not cfg:
+            return lambda x: x
+        cfg = dict(cfg)
+        name = cfg.pop("name")
+        cls = registry.get_processor_class(name)
+        if cls is None:
+            raise KeyError(f"unknown processor {name!r}")
+        return cls(**cfg)
+
+    vis_cfg = (config or {}).get("vis_processor") or {}
+    txt_cfg = (config or {}).get("text_processor") or {}
+    vis = {k: build(vis_cfg.get(k)) for k in ("train", "eval")}
+    txt = {k: build(txt_cfg.get(k)) for k in ("train", "eval")}
+    return vis, txt
+
+
+def load_model(name: str, model_path: Optional[str] = None, **kw):
+    """Build a registered model by name (reference load_model :95-126;
+    checkpoint loading folds into the zoo constructors' model_path)."""
+    return registry.get_model_class(name)(model_path=model_path, **kw)
+
+
+def load_model_and_preprocess(name: str, model_path: Optional[str] = None, **kw):
+    """reference load_model_and_preprocess :181-224 — returns
+    (model, vis_processors, txt_processors) with the family's default
+    preprocess registrations."""
+    model = load_model(name, model_path, **kw)
+    fam = _preprocess_family(name)
+    if fam is None:
+        return model, None, None
+    cfg = {
+        "vis_processor": {
+            k: ({"name": v} if v else None) for k, v in fam["vis"].items()
+        },
+        "text_processor": {
+            k: ({"name": v} if v else None) for k, v in fam["text"].items()
+        },
+    }
+    vis, txt = load_preprocess(cfg)
+    return model, vis, txt
+
+
+class ModelZoo:
+    """String listing of registered architectures (reference ModelZoo
+    :228-267; types collapse to the zoo presets)."""
+
+    def __init__(self):
+        self.model_zoo = {name: ["default"] for name in registry.list("model")}
+
+    def __str__(self):
+        header = "=" * 50 + "\n" + f"{'Architectures':<30} {'Types'}\n" + "=" * 50
+        rows = [f"{n:<30} {', '.join(t)}" for n, t in sorted(self.model_zoo.items())]
+        return header + "\n" + "\n".join(rows)
+
+    def __iter__(self):
+        return iter(self.model_zoo.items())
+
+    def __len__(self):
+        return sum(len(v) for v in self.model_zoo.values())
+
+
+model_zoo = ModelZoo()

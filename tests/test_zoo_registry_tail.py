@@ -121,3 +121,35 @@ def test_pnp_unifiedqav2_fid_zoo_smoke():
     mask = jnp.ones((3, 7), jnp.int32)
     out = m.generate(ctx, mask, max_len=4)
     assert isinstance(out, list) and len(out) <= 4
+
+
+def test_load_model_and_preprocess_front_door():
+    """reference lavis/models/__init__.py front door: model + per-family
+    default processors + the model_zoo listing."""
+    from PIL import Image
+
+    model, vis, txt = model_zoo.load_model_and_preprocess("blip_caption")
+    assert model.arch == "blip_caption"
+    img = Image.fromarray(np.zeros((40, 40, 3), np.uint8))
+    arr = vis["eval"](img)
+    assert arr.shape[0] == 3 and arr.shape[1] == arr.shape[2]
+    assert txt["eval"]("A Dog!") == "a dog"
+
+    m2, vis2, txt2 = model_zoo.load_model_and_preprocess("clip")
+    assert vis2["train"] is not None and txt2["eval"]("KeepCase") == "KeepCase"
+
+    zoo = model_zoo.model_zoo
+    assert len(zoo) >= 30
+    assert "blip2_t5_instruct" in str(zoo)
+
+
+def test_load_preprocess_explicit_config():
+    vis, txt = model_zoo.load_preprocess({
+        "vis_processor": {"eval": {"name": "blip_image_eval", "image_size": 32}},
+        "text_processor": {"eval": {"name": "blip_caption", "prompt": "a photo of "}},
+    })
+    from PIL import Image
+
+    out = vis["eval"](Image.fromarray(np.zeros((48, 48, 3), np.uint8)))
+    assert out.shape == (3, 32, 32)
+    assert txt["eval"]("Cat.") == "a photo of cat"
