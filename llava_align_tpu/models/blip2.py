@@ -580,8 +580,12 @@ def t5_encode_with_prefix(
     params: Params, cfg: Blip2T5Config,
     q_emb: jax.Array,             # [B, Qtok, D] projected query embeds
     input_ids: jax.Array, input_mask: jax.Array,
+    *,
+    few_shot_embeds: Optional[jax.Array] = None,
+    few_shot_mask: Optional[jax.Array] = None,
 ):
-    """[query prefix; token embeds] → T5 encoder states + joint mask."""
+    """[few-shot context?; query prefix; token embeds] → T5 encoder states +
+    joint mask."""
     from llava_align_tpu.models import t5 as t5_model
 
     B = q_emb.shape[0]
@@ -590,6 +594,11 @@ def t5_encode_with_prefix(
     mask = jnp.concatenate(
         [jnp.ones((B, q_emb.shape[1]), input_mask.dtype), input_mask], axis=1
     )
+    if few_shot_embeds is not None:
+        enc_in = jnp.concatenate([few_shot_embeds.astype(tok.dtype), enc_in], axis=1)
+        if few_shot_mask is None:
+            few_shot_mask = jnp.ones(few_shot_embeds.shape[:2], mask.dtype)
+        mask = jnp.concatenate([few_shot_mask.astype(mask.dtype), mask], axis=1)
     return t5_model.encode(params["lm"], cfg.text, enc_in, mask), mask
 
 
@@ -602,14 +611,31 @@ def t5_forward_loss(
     pad_token_id: int = 0,
     decoder_start_token_id: int = 0,
     q_emb: Optional[jax.Array] = None,
+    qformer_text_ids: Optional[jax.Array] = None,
+    qformer_text_mask: Optional[jax.Array] = None,
+    few_shot_embeds: Optional[jax.Array] = None,   # [B, Sfs, D]
+    few_shot_mask: Optional[jax.Array] = None,     # [B, Sfs]
 ) -> jax.Array:
-    """Blip2T5.forward (blip2_t5.py:102-156): prefix+input through the T5
-    encoder, targets = output ids with pads ignored, CE mean."""
+    """Blip2T5.forward (blip2_t5.py:102-156) / Blip2T5Instruct.forward
+    (blip2_t5_instruct.py:118-202): [query prefix; input tokens] through the
+    T5 encoder, targets = output ids with pads ignored, CE mean. With
+    qformer_text_ids the queries are text-conditioned (instruct). Few-shot
+    context embeds prepend to the encoder stream exactly as the reference
+    concatenates prepare_few_shot_embeds' output (:188-190); the random
+    example SAMPLING (:204-228) is a data-side policy left to the caller."""
     from llava_align_tpu.models import t5 as t5_model
 
     if q_emb is None:
-        q_emb = encode_image_queries(params, cfg, images)
-    enc_hidden, enc_mask = t5_encode_with_prefix(params, cfg, q_emb, input_ids, input_mask)
+        if qformer_text_ids is not None:
+            q_emb = encode_image_queries_instruct(
+                params, cfg, images, qformer_text_ids, qformer_text_mask
+            )
+        else:
+            q_emb = encode_image_queries(params, cfg, images)
+    enc_hidden, enc_mask = t5_encode_with_prefix(
+        params, cfg, q_emb, input_ids, input_mask,
+        few_shot_embeds=few_shot_embeds, few_shot_mask=few_shot_mask,
+    )
     targets = jnp.where(output_ids == pad_token_id, -100, output_ids)
     dec_ids = _t5_shift_right(targets, pad_token_id, decoder_start_token_id)
     logits = t5_model.decode(params["lm"], cfg.text, dec_ids, enc_hidden, enc_mask)

@@ -284,3 +284,43 @@ def test_convert_qformer_tolerates_pruned_text_branches():
         params, qf_cfg, jnp.asarray(queries), jnp.asarray(image_embeds)
     )
     np.testing.assert_allclose(np.asarray(hidden), want, atol=3e-4, rtol=1e-3)
+
+
+def test_t5_instruct_forward_loss_with_few_shot(hf_t5):
+    """Instruct forward with a few-shot context prefix: loss equals HF on
+    the concatenated [fs; queries; input] encoder stream
+    (blip2_t5_instruct.py:161-190)."""
+    hf, lm_params = hf_t5
+    rng = np.random.default_rng(6)
+    B, Q, Sfs, Ti, To = 2, 3, 4, 5, 4
+    D = T5_CFG.text.d_model
+    q_emb = rng.normal(size=(B, Q, D)).astype(np.float32) * 0.05
+    fs = rng.normal(size=(B, Sfs, D)).astype(np.float32) * 0.05
+    fs_mask = np.ones((B, Sfs), np.int64)
+    fs_mask[1, 2:] = 0
+    in_ids = rng.integers(3, 120, (B, Ti))
+    in_mask = np.ones((B, Ti), np.int64)
+    out_ids = rng.integers(3, 120, (B, To))
+    out_mask = np.ones((B, To), np.int64)
+
+    with torch.no_grad():
+        tok = hf.encoder.embed_tokens(torch.tensor(in_ids))
+        embeds = torch.cat([torch.tensor(fs), torch.tensor(q_emb), tok], dim=1)
+        attn = torch.cat(
+            [torch.tensor(fs_mask), torch.ones(B, Q, dtype=torch.long),
+             torch.tensor(in_mask)], dim=1,
+        )
+        targets = torch.tensor(out_ids).masked_fill(torch.tensor(out_ids) == 0, -100)
+        ref = hf(
+            inputs_embeds=embeds, attention_mask=attn,
+            decoder_attention_mask=torch.tensor(out_mask), labels=targets,
+        ).loss
+
+    ours = blip2.t5_forward_loss(
+        {"lm": lm_params}, T5_CFG, None,
+        jnp.asarray(in_ids), jnp.asarray(in_mask),
+        jnp.asarray(out_ids), jnp.asarray(out_mask),
+        q_emb=jnp.asarray(q_emb),
+        few_shot_embeds=jnp.asarray(fs), few_shot_mask=jnp.asarray(fs_mask),
+    )
+    np.testing.assert_allclose(float(ours), float(ref), atol=3e-5, rtol=3e-5)
