@@ -374,6 +374,17 @@ def pretrain_forward(
     }
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _lm_step_logits(qf_params, qf_cfg, ids, kv):
+    """Last-position LM logits over the cached query K/V (jit-cached across
+    generate calls — kv rides as a pytree argument, not a closure)."""
+    hidden = qformer.forward_lm(qf_params, qf_cfg, ids, None, list(kv))
+    return qformer.lm_logits(qf_params["head"], hidden)[:, -1]
+
+
 def greedy_lm_decode(
     qf_params: Params,
     qf_cfg: QFormerConfig,
@@ -397,13 +408,10 @@ def greedy_lm_decode(
     ids = np.full((B, 1), bos_token_id, np.int32)
     done = np.zeros((B,), bool)
 
-    step = jax.jit(
-        lambda p, i: qformer.lm_logits(
-            p["head"], qformer.forward_lm(p, qf_cfg, i, None, kv)
-        )[:, -1]
-    )
     for t in range(max_new_tokens):
-        logits = np.asarray(step(qf_params, jnp.asarray(ids)))
+        logits = np.asarray(
+            _lm_step_logits(qf_params, qf_cfg, jnp.asarray(ids), tuple(map(tuple, kv)))
+        )
         if t < min_length - 1:
             logits[:, eos_token_id] = -1e30
         if top_p is not None:
